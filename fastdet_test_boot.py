@@ -1,0 +1,35 @@
+"""pytest boot plugin: re-exec the test run in a clean CPU environment.
+
+Why this exists: this machine's sitecustomize (PYTHONPATH=/root/.axon_site)
+imports jax at *interpreter start* and registers the experimental `axon`
+TPU backend with remote compilation. Consequences for tests:
+
+- conftest-time `JAX_PLATFORMS=cpu` is a no-op (jax is already imported),
+- every test process compiles over the TPU tunnel (slow, flaky stalls),
+- the virtual 8-device CPU mesh needed by sharding tests can't form.
+
+This module is loaded via ``-p fastdet_test_boot`` (pyproject addopts)
+during pytest's pre-parse phase — *before* pytest installs fd capture —
+so an os.execve here keeps stdout intact. It restarts the interpreter
+with .axon_site stripped, CPU platform, 8 virtual devices, and f32 matmul
+precision (the axon stack defaults convolutions to bf16 even on CPU,
+which would break numeric-parity tests).
+"""
+
+import os
+import sys
+
+if os.environ.get("FASTDET_TEST_REEXEC") != "1":
+    env = dict(os.environ)
+    env["FASTDET_TEST_REEXEC"] = "1"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p
+        for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and ".axon_site" not in p
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_DEFAULT_MATMUL_PRECISION"] = "float32"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)

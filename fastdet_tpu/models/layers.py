@@ -1,0 +1,171 @@
+"""NHWC neural-net layers for the YOLOv3 family, built for TPU/XLA.
+
+Design notes (TPU-first):
+
+- Layout is NHWC end to end ('NHWC' activations, 'HWIO' weights) — the
+  native layout for TPU convolutions; the reference's NCHW transposes
+  (server/detector.py:133-139) do not exist here.
+- Convolutions use *explicit* symmetric padding (k-1)//2 rather than
+  'SAME': for stride-2 3x3 convs XLA's SAME pads (0,1) while the Darknet
+  convention (which all YOLOv3 weights were trained under) pads (1,1) and
+  reads windows [2i-1, 2i+1]. Explicit padding keeps imported weights
+  numerically faithful.
+- Batch norm is stored unfolded (gamma/beta/mean/var) and folded into the
+  conv weight + bias for inference via :func:`fold_conv_bn`, so the whole
+  inference conv block is a single XLA convolution + bias + LeakyReLU that
+  the compiler fuses onto the MXU.
+- All compute can run in bfloat16 (``compute_dtype``) with f32 parameters;
+  XLA handles the mixed-precision convolution natively on the MXU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+BN_EPS = 1e-5
+LEAKY_SLOPE = 0.1
+
+Params = Dict[str, Any]
+
+_DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
+    """2-D convolution, NHWC/HWIO, Darknet-style symmetric padding."""
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=_DIMENSION_NUMBERS,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def leaky_relu(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, LEAKY_SLOPE * x)
+
+
+def conv_block(
+    params: Params,
+    x: jnp.ndarray,
+    stride: int = 1,
+    act: bool = True,
+) -> jnp.ndarray:
+    """Inference conv block: conv + bias (+ LeakyReLU).
+
+    ``params`` must be folded ({'w','b'}); use :func:`fold_conv_bn` on
+    BN-carrying params first. XLA fuses bias+activation into the conv.
+    """
+    y = conv2d(x, params["w"], stride)
+    y = y + params["b"].astype(y.dtype)
+    return leaky_relu(y) if act else y
+
+
+def batch_norm_inference(bn: Params, x: jnp.ndarray) -> jnp.ndarray:
+    inv = jax.lax.rsqrt(bn["var"].astype(jnp.float32) + BN_EPS)
+    scale = (bn["gamma"] * inv).astype(x.dtype)
+    bias = (bn["beta"] - bn["mean"] * bn["gamma"] * inv).astype(x.dtype)
+    return x * scale + bias
+
+
+def batch_norm_train(bn: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Batch statistics normalization (training forward).
+
+    Returns normalized activations; running-stat updates are handled by the
+    training loop (see fastdet_tpu.parallel.train).
+    """
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(0, 1, 2))
+    var = jnp.var(x32, axis=(0, 1, 2))
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    y = (x32 - mean) * inv * bn["gamma"] + bn["beta"]
+    return y.astype(x.dtype)
+
+
+def conv_bn_block_train(
+    params: Params, x: jnp.ndarray, stride: int = 1, act: bool = True
+) -> jnp.ndarray:
+    """Training conv block: conv + batch-stat BN (+ LeakyReLU)."""
+    y = conv2d(x, params["w"], stride)
+    if "bn" in params:
+        y = batch_norm_train(params["bn"], y)
+    else:
+        y = y + params["b"].astype(y.dtype)
+    return leaky_relu(y) if act else y
+
+
+def fold_conv_bn(params: Params) -> Params:
+    """Fold BN statistics into conv weight+bias for inference.
+
+    w' = w * gamma / sqrt(var + eps)   (per output channel)
+    b' = beta - mean * gamma / sqrt(var + eps)
+    """
+    if "bn" not in params:
+        return {"w": params["w"], "b": params["b"]}
+    bn = params["bn"]
+    inv = bn["gamma"] / jnp.sqrt(bn["var"] + BN_EPS)
+    w = params["w"] * inv[None, None, None, :]
+    b = bn["beta"] - bn["mean"] * inv
+    return {"w": w, "b": b}
+
+
+def maxpool2d(x: jnp.ndarray, size: int = 2, stride: int = 2) -> jnp.ndarray:
+    """Max pooling with Darknet padding semantics.
+
+    size=2/stride=2 on even inputs needs no padding; size=2/stride=1 (the
+    yolov3-tiny 13x13 pool) pads (0,1) on each spatial dim with -inf, which
+    matches Darknet's asymmetric maxpool padding.
+    """
+    if stride == size and x.shape[1] % size == 0:
+        padding = [(0, 0), (0, 0), (0, 0), (0, 0)]
+    else:
+        total = size - 1
+        lo = total // 2
+        padding = [(0, 0), (lo, total - lo), (lo, total - lo), (0, 0)]
+    neg = jnp.asarray(-jnp.inf, dtype=x.dtype)
+    return jax.lax.reduce_window(
+        x,
+        neg,
+        jax.lax.max,
+        window_dimensions=(1, size, size, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=padding,
+    )
+
+
+def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbour 2x spatial upsample (Darknet 'upsample' layer)."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+def init_conv_params(
+    key: jax.Array,
+    ksize: int,
+    in_ch: int,
+    out_ch: int,
+    bn: bool,
+    dtype=jnp.float32,
+) -> Params:
+    """Kaiming-style init matching LeakyReLU gain; BN initialized identity."""
+    fan_in = ksize * ksize * in_ch
+    gain = math.sqrt(2.0 / (1 + LEAKY_SLOPE**2))
+    std = gain / math.sqrt(fan_in)
+    w = jax.random.normal(key, (ksize, ksize, in_ch, out_ch), dtype) * std
+    if bn:
+        return {
+            "w": w,
+            "bn": {
+                "gamma": jnp.ones((out_ch,), dtype),
+                "beta": jnp.zeros((out_ch,), dtype),
+                "mean": jnp.zeros((out_ch,), dtype),
+                "var": jnp.ones((out_ch,), dtype),
+            },
+        }
+    return {"w": w, "b": jnp.zeros((out_ch,), dtype)}

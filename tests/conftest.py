@@ -1,19 +1,12 @@
 """Test configuration.
 
-Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-exercised without TPU hardware. The env vars must be set before jax is
-imported anywhere, hence this module-level setup in conftest.
+The clean CPU environment (axon stripped, JAX_PLATFORMS=cpu, 8 virtual
+devices, f32 matmul precision) is established by the ``fastdet_test_boot``
+plugin (see pyproject addopts), which re-execs pytest before jax can be
+touched. This conftest only wires up paths and shared fixtures.
 """
 
 import os
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 import pathlib
 import sys
 
@@ -21,4 +14,15 @@ REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
-TESTDATA = REPO_ROOT / "testdata"
+import pytest
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    """The 8 virtual CPU devices (skips if the boot plugin didn't run)."""
+    import jax
+
+    devs = jax.devices()
+    if len(devs) < 8 or devs[0].platform != "cpu":
+        pytest.skip("virtual 8-device CPU mesh unavailable")
+    return devs
