@@ -1,0 +1,64 @@
+"""Full on-device postprocess: decode -> candidate budget -> soft-NMS.
+
+One jit-compatible function per image, vmapped over the batch by the
+engine. Output shapes are static (max_det slots + valid mask); the wire
+layer trims to the valid count when packing results
+(cf. reference server/server.py:235-238).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastdet_tpu.models.yolov3 import ModelSpec
+from fastdet_tpu.ops.decode import decode_all, select_candidates
+from fastdet_tpu.ops.nms import NMSResult, soft_nms
+
+MAX_CANDIDATES = 512
+MAX_DET = 100
+
+
+def postprocess_image(
+    heads: Sequence[jnp.ndarray],   # per-scale (H, W, 3*(5+C)) for ONE image
+    spec: ModelSpec,
+    threshold: jnp.ndarray,
+    max_candidates: int = MAX_CANDIDATES,
+    max_det: int = MAX_DET,
+) -> NMSResult:
+    boxes, scores, klass = decode_all(heads, spec)
+    b, s, k = select_candidates(boxes, scores, klass, threshold, max_candidates)
+    return soft_nms(b, s, k, threshold, max_det)
+
+
+def postprocess_batch(
+    heads: Sequence[jnp.ndarray],   # per-scale (B, H, W, 3*(5+C))
+    spec: ModelSpec,
+    threshold: jnp.ndarray,         # scalar, shared by the batch
+    max_candidates: int = MAX_CANDIDATES,
+    max_det: int = MAX_DET,
+) -> NMSResult:
+    fn = lambda *hs: postprocess_image(hs, spec, threshold, max_candidates, max_det)
+    return jax.vmap(fn)(*heads)
+
+
+def to_reference_results(
+    result: NMSResult, image_size: int = 416
+) -> List[Tuple[int, float, float, float, float, float]]:
+    """Convert ONE image's NMSResult to the reference's result tuples.
+
+    [(klass, conf, x, y, w, h)] in pixel coordinates, pick order —
+    the exact shape Detector.perform returns (detector.py:142-144).
+    """
+    boxes = np.asarray(result.boxes, dtype=np.float64) * image_size
+    scores = np.asarray(result.scores, dtype=np.float64)
+    klass = np.asarray(result.klass)
+    n = int(result.count)
+    return [
+        (int(klass[i]), float(scores[i]),
+         float(boxes[i, 0]), float(boxes[i, 1]), float(boxes[i, 2]), float(boxes[i, 3]))
+        for i in range(n)
+    ]

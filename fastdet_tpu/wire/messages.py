@@ -96,6 +96,19 @@ class DetectRequest:
         )
 
 
+def _i16(v: float) -> int:
+    """int() truncation like the reference pack (server.py:235-238), but
+    clamped to int16 wire range — the reference would raise struct.error on
+    boxes beyond ±2^15 px; we saturate instead (documented divergence)."""
+    if v != v:          # NaN
+        return 0
+    if v >= 32767:      # also catches +inf (int(inf) would raise)
+        return 32767
+    if v <= -32768:
+        return -32768
+    return int(v)
+
+
 #: One detection result in server coordinates: class id (1-indexed),
 #: confidence in [0,1], and pixel-space x, y, w, h (floats; truncated to
 #: int16 on the wire exactly like server.py:235-238 ``int()``).
@@ -112,7 +125,9 @@ class DetectResponse:
         buf = b""
         for klass, conf, x, y, w, h in self.results:
             buf += RESULT_RECORD.pack(
-                klass, int(conf * 255), int(x), int(y), int(w), int(h)
+                klass,
+                int(conf * 255),
+                _i16(x), _i16(y), _i16(w), _i16(h),
             )
         return PAYLOAD_HEADER.pack(MAGIC_RESPONSE, self.reqid, self.msec, len(buf)) + buf
 
