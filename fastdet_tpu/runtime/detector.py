@@ -17,12 +17,15 @@ an ONNX Runtime session.
 from __future__ import annotations
 
 import logging
-from typing import List, Optional
+from typing import TYPE_CHECKING, List, Optional
 
 import numpy as np
 
 from fastdet_tpu.runtime import jpeg
-from fastdet_tpu.runtime.engine import DetectionEngine, ResultTuple
+from fastdet_tpu.wire.messages import ResultTuple
+
+if TYPE_CHECKING:  # jax-heavy; keep dummy-only servers jax-free at import
+    from fastdet_tpu.runtime.engine import DetectionEngine
 
 logger = logging.getLogger(__name__)
 
@@ -58,7 +61,7 @@ class DummyDetector(Detector):
 class TPUDetector(Detector):
     """JPEG -> host decode -> TPU pipeline -> reference-format results."""
 
-    def __init__(self, engine: DetectionEngine, path: str = "",
+    def __init__(self, engine: "DetectionEngine", path: str = "",
                  dbgout: Optional[str] = None):
         super().__init__(
             image_size=(engine.spec.image_size, engine.spec.image_size),

@@ -1,0 +1,388 @@
+"""Asyncio serving runtime: RTSP-like control plane + RTP-like data plane.
+
+Protocol-compatible rewrite of the reference's single-threaded selectors
+server (server/server.py:140-327), redesigned around two properties the
+reference lacks (SURVEY.md §3.2):
+
+- **No head-of-line blocking.** The reference runs inference synchronously
+  on the event-loop thread, so one slow frame stalls every session. Here
+  TPU dispatch is async: the loop keeps pumping sockets while the device
+  runs, and result fetch happens on an executor thread.
+- **Cross-client batching.** Each model has a ModelService with a
+  continuous batcher: whatever requests are queued when the device goes
+  idle form the next batch (up to the engine's max bucket). Under load,
+  batches grow and per-frame cost amortizes onto the MXU; when idle, a
+  single request ships immediately with zero added window latency.
+
+Wire behavior kept bit-compatible (reference cites in fastdet_tpu.wire):
+
+- ``FEED lport path`` -> ``+OK port sessionid`` handshake, errors
+  ``!UNKNOWN`` / ``!INVALID`` (server.py:267-310),
+- per-session ephemeral UDP socket, 12-byte init packet, seqno starts 1,
+- RTP reassembly with gap-cancel semantics; packets from a foreign
+  address are ignored (server.py:206-223),
+- request/response payload layouts and 40000-byte response chunking.
+
+Documented divergences: a malformed/wrong-size image produces an empty
+result response instead of killing the whole server (the reference lets
+the ValueError from detector.perform unwind its event loop); session idle
+timeout is actually enforced (the reference stores timeout=10 but never
+uses it, server.py:184,190).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import os
+import random
+import time
+from typing import Awaitable, Callable, Dict, List, Optional, Tuple
+
+from fastdet_tpu import wire
+from fastdet_tpu.runtime.detector import Detector, DummyDetector
+from fastdet_tpu.wire.messages import ResultTuple
+
+logger = logging.getLogger(__name__)
+
+SESSION_IDLE_TIMEOUT = 60.0   # seconds without datagrams before teardown
+
+
+class ModelService:
+    """Continuous batcher in front of one DetectionEngine.
+
+    submit() resolves when the request's results are ready. The worker
+    collects every queued request (up to the engine's largest bucket) the
+    moment the engine is free — batch size adapts to load automatically.
+    """
+
+    def __init__(self, engine, *, name: str = ""):
+        self.engine = engine
+        self.name = name
+        self.queue: asyncio.Queue = asyncio.Queue()
+        self._task: Optional[asyncio.Task] = None
+        self.batches = 0
+        self.frames = 0
+
+    def start(self) -> None:
+        if self._task is None:
+            self._task = asyncio.get_running_loop().create_task(self._worker())
+
+    def stop(self) -> None:
+        if self._task is not None:
+            self._task.cancel()
+            self._task = None
+
+    async def submit(self, jpeg: bytes, threshold: float) -> List[ResultTuple]:
+        fut = asyncio.get_running_loop().create_future()
+        self.queue.put_nowait((jpeg, threshold, fut))
+        return await fut
+
+    async def _worker(self) -> None:
+        loop = asyncio.get_running_loop()
+        while True:
+            first = await self.queue.get()
+            batch = [first]
+            while len(batch) < self.engine.max_batch:
+                try:
+                    batch.append(self.queue.get_nowait())
+                except asyncio.QueueEmpty:
+                    break
+
+            # Host JPEG decode on the executor (libjpeg releases the GIL).
+            def _decode(item):
+                jpeg_bytes, thr, _ = item
+                from fastdet_tpu.runtime import jpeg as jpeg_mod
+
+                img = jpeg_mod.decode_rgb(jpeg_bytes)
+                if img.shape[:2] != (self.engine.spec.image_size,) * 2:
+                    raise ValueError("invalid image size")
+                return img
+
+            imgs, thrs, futs, failed = [], [], [], []
+            decoded = await asyncio.gather(
+                *[loop.run_in_executor(None, _decode, it) for it in batch],
+                return_exceptions=True,
+            )
+            for (jpeg_bytes, thr, fut), img in zip(batch, decoded):
+                if isinstance(img, BaseException):
+                    failed.append((fut, img))
+                else:
+                    imgs.append(img)
+                    thrs.append(thr)
+                    futs.append(fut)
+            for fut, err in failed:
+                if not fut.done():
+                    fut.set_exception(err if isinstance(err, Exception) else Exception(str(err)))
+
+            if imgs:
+                try:
+                    res = self.engine.detect_async(imgs, thrs)
+                    results = await loop.run_in_executor(
+                        None, self.engine.fetch, res, len(imgs)
+                    )
+                except Exception as e:  # device-side failure: fail the batch
+                    for fut in futs:
+                        if not fut.done():
+                            fut.set_exception(e)
+                    continue
+                self.batches += 1
+                self.frames += len(imgs)
+                for fut, r in zip(futs, results):
+                    if not fut.done():
+                        fut.set_result(r)
+
+
+class DetectorService:
+    """Adapter running a plain synchronous Detector (e.g. DummyDetector)."""
+
+    def __init__(self, detector: Detector):
+        self.detector = detector
+
+    def start(self) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+    async def submit(self, jpeg: bytes, threshold: float) -> List[ResultTuple]:
+        return self.detector.perform(jpeg, threshold=threshold)
+
+
+class DetectSession(asyncio.DatagramProtocol):
+    """Per-FEED UDP endpoint: reassembly, detection, response streaming."""
+
+    def __init__(self, service, peer: Tuple[str, int], session_id: bytes,
+                 dbgout: Optional[str] = None):
+        self.service = service
+        self.peer = peer
+        self.session_id = session_id
+        self.dbgout = dbgout
+        self.transport: Optional[asyncio.DatagramTransport] = None
+        self.reasm = wire.Reassembler()
+        self.sender = wire.FrameSender(chunk_size=wire.SERVER_CHUNK_SIZE)
+        self.last_seen = time.monotonic()
+        self.closed = False
+
+    # -- DatagramProtocol hooks -----------------------------------------
+    def connection_made(self, transport) -> None:
+        self.transport = transport
+        # Stream initiation: 12-byte empty RTP packet (seqno -> 1).
+        transport.sendto(self.sender.initiation_packet(), self.peer)
+        logger.info(
+            "init: rtp_host=%s, rtp_port=%s, session_id=%s",
+            self.peer[0], self.peer[1], self.session_id.hex(),
+        )
+
+    def datagram_received(self, data: bytes, addr) -> None:
+        if addr != self.peer:
+            return  # reference drops foreign datagrams (server.py:207)
+        self.last_seen = time.monotonic()
+        before = self.reasm.drops
+        for payload in self.reasm.feed(data):
+            asyncio.get_running_loop().create_task(self._handle(payload))
+        if self.reasm.drops != before:
+            logger.info("recv: DROP (gap) session=%s", self.session_id.hex())
+
+    # -- request handling ------------------------------------------------
+    async def _handle(self, payload: bytes) -> None:
+        req = wire.parse_request(payload)
+        if req is None:
+            return  # short/mismatched payloads silently dropped
+        if self.dbgout:
+            try:
+                with open(self.dbgout, "wb") as fp:
+                    fp.write(req.jpeg)
+            except OSError:
+                pass
+        t0 = time.time()
+        try:
+            results = await self.service.submit(req.jpeg, req.threshold)
+        except ValueError as e:
+            logger.error("request %d failed: %s", req.reqid, e)
+            results = []
+        except Exception:
+            logger.exception("request %d failed", req.reqid)
+            results = []
+        msec = int((time.time() - t0) * 1000)
+        resp = wire.DetectResponse(reqid=req.reqid, msec=msec, results=results)
+        self.send_payload(resp.pack())
+
+    def send_payload(self, payload: bytes) -> None:
+        if self.transport is None or self.closed:
+            return
+        for frame in self.sender.frames(payload):
+            self.transport.sendto(frame, self.peer)
+
+    def close(self) -> None:
+        if not self.closed:
+            self.closed = True
+            if self.transport is not None:
+                self.transport.close()
+
+    @property
+    def udp_port(self) -> int:
+        return self.transport.get_extra_info("sockname")[1]
+
+
+class ControlConnection(asyncio.Protocol):
+    """One TCP control connection (the reference's RTSPService)."""
+
+    def __init__(self, server: "DetectionServer"):
+        self.server = server
+        self.transport: Optional[asyncio.Transport] = None
+        self.buf = b""
+        self.session: Optional[DetectSession] = None
+        self.peer: Optional[Tuple[str, int]] = None
+
+    def connection_made(self, transport) -> None:
+        self.transport = transport
+        self.peer = transport.get_extra_info("peername")
+        logger.info("accept: %s", self.peer)
+
+    def data_received(self, data: bytes) -> None:
+        # Line framing identical to the reference TCPService: split on \n,
+        # carry partial lines across reads (server.py:64-85).
+        self.buf += data
+        while True:
+            i = self.buf.find(b"\n")
+            if i < 0:
+                break
+            line, self.buf = self.buf[: i + 1], self.buf[i + 1 :]
+            self._feedline(line)
+
+    def eof_received(self):
+        if self.buf:
+            self._feedline(self.buf)
+            self.buf = b""
+        return False
+
+    def connection_lost(self, exc) -> None:
+        logger.info("closed: %s", self.peer)
+        if self.session is not None:
+            self.server.drop_session(self.session)
+            self.session = None
+
+    def _feedline(self, line: bytes) -> None:
+        cmd, args = wire.parse_command(line)
+        if cmd == wire.CMD_FEED:
+            asyncio.get_running_loop().create_task(self._startfeed(args))
+        else:
+            self.transport.write(wire.ERR_UNKNOWN)
+            logger.error("unknown command: req=%r", line)
+
+    async def _startfeed(self, args: bytes) -> None:
+        parsed = wire.parse_feed_args(args)
+        service = None
+        if parsed is not None:
+            rtp_port, path = parsed
+            service = self.server.services.get(path)
+        if parsed is None or service is None:
+            self.transport.write(wire.ERR_INVALID)
+            logger.error("startfeed: invalid args: args=%r", args)
+            return
+        rtp_host = self.peer[0]
+        session_id = bytes(random.randrange(256) for _ in range(4))
+        session = DetectSession(
+            service, (rtp_host, rtp_port), session_id, dbgout=self.server.dbgout
+        )
+        loop = asyncio.get_running_loop()
+        await loop.create_datagram_endpoint(
+            lambda: session, local_addr=("0.0.0.0", 0)
+        )
+        self.session = session
+        self.server.sessions.append(session)
+        port = session.udp_port
+        logger.info(
+            "startfeed: port=%s, rtp_host=%s, rtp_port=%s, session_id=%s, path=%s",
+            port, rtp_host, rtp_port, session_id.hex(), path,
+        )
+        self.transport.write(wire.pack_ok(port, session_id))
+
+
+class DetectionServer:
+    """Multi-model detection server (the reference's RTSPServer + loop)."""
+
+    def __init__(
+        self,
+        services: Dict[str, object],   # path -> ModelService | DetectorService
+        port: int = 10000,
+        host: str = "0.0.0.0",
+        dbgout: Optional[str] = None,
+    ):
+        self.services = services
+        self.port = port
+        self.host = host
+        self.dbgout = dbgout
+        self.sessions: List[DetectSession] = []
+        self._tcp_server: Optional[asyncio.AbstractServer] = None
+        self.bound_port: Optional[int] = None  # set once listening (port=0 ok)
+
+    def drop_session(self, session: DetectSession) -> None:
+        session.close()
+        if session in self.sessions:
+            self.sessions.remove(session)
+
+    async def _reaper(self) -> None:
+        # Enforced session idle timeout (reference declares but never uses
+        # one, server.py:184,190).
+        while True:
+            await asyncio.sleep(SESSION_IDLE_TIMEOUT / 4)
+            now = time.monotonic()
+            for s in list(self.sessions):
+                if now - s.last_seen > SESSION_IDLE_TIMEOUT:
+                    logger.info("session idle timeout: %s", s.session_id.hex())
+                    self.drop_session(s)
+
+    async def serve(self, ready: Optional[asyncio.Event] = None) -> None:
+        loop = asyncio.get_running_loop()
+        for svc in self.services.values():
+            svc.start()
+        self._tcp_server = await loop.create_server(
+            lambda: ControlConnection(self), self.host, self.port
+        )
+        self.bound_port = self._tcp_server.sockets[0].getsockname()[1]
+        logger.info("listening: port=%s...", self.bound_port)
+        reaper = loop.create_task(self._reaper())
+        if ready is not None:
+            ready.set()
+        try:
+            async with self._tcp_server:
+                await self._tcp_server.serve_forever()
+        finally:
+            reaper.cancel()
+            for svc in self.services.values():
+                svc.stop()
+            for s in list(self.sessions):
+                self.drop_session(s)
+
+    def run(self) -> None:
+        asyncio.run(self.serve())
+
+
+def build_services(
+    registry_args: List[str],
+    *,
+    mode: Optional[str] = None,
+    dbgout: Optional[str] = None,
+    warmup: bool = True,
+) -> Dict[str, object]:
+    """Build {path: service} from reference-style ``name:num_classes:path``
+    registry arguments (server.py:354-358); empty -> {'detect': dummy}
+    (server.py:359-360).
+    """
+    services: Dict[str, object] = {}
+    if not registry_args:
+        services["detect"] = DetectorService(DummyDetector(dbgout=dbgout))
+        return services
+    from fastdet_tpu.models import weights as weights_io
+    from fastdet_tpu.runtime.engine import DetectionEngine
+
+    for arg in registry_args:
+        (name, num_classes, path) = arg.split(":", 2)
+        spec, params = weights_io.load_model(path, num_classes=int(num_classes))
+        engine = DetectionEngine(spec, params, mode=mode)
+        if warmup:
+            engine.warmup()
+        services[name] = ModelService(engine, name=name)
+    return services

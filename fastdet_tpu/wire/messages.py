@@ -22,6 +22,7 @@ RESULT_RECORD = struct.Struct(">BBhhhh")
 
 MAGIC_REQUEST = b"JPEG"
 MAGIC_RESPONSE = b"YOLO"
+CMD_FEED = b"FEED"
 
 OK_PREFIX = b"+OK "
 ERR_UNKNOWN = b"!UNKNOWN\r\n"

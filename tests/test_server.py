@@ -1,0 +1,257 @@
+"""Serving runtime tests: protocol conformance, batching, fault handling.
+
+The acceptance bar (SURVEY.md §7): the UNMODIFIED reference test client
+must interoperate with our server — covered by test_reference_client_interop.
+"""
+
+import asyncio
+import os
+import socket
+import struct
+import subprocess
+import sys
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from fastdet_tpu import wire
+from fastdet_tpu.runtime import jpeg
+from fastdet_tpu.runtime.client import DetectClient
+from fastdet_tpu.runtime.server import (
+    DetectionServer,
+    DetectorService,
+    ModelService,
+    build_services,
+)
+
+REFERENCE_CLIENT = "/root/reference/server/client.py"
+
+
+class ServerThread:
+    """Run a DetectionServer on a background asyncio loop."""
+
+    def __init__(self, services):
+        self.server = DetectionServer(services, port=0, host="127.0.0.1")
+        self.loop = None
+        self.thread = None
+
+    def __enter__(self):
+        self.loop = asyncio.new_event_loop()
+
+        def runner():
+            asyncio.set_event_loop(self.loop)
+            try:
+                self.loop.run_until_complete(self.server.serve())
+            except asyncio.CancelledError:
+                pass
+
+        self.thread = threading.Thread(target=runner, daemon=True)
+        self.thread.start()
+        for _ in range(200):
+            if self.server.bound_port is not None:
+                return self
+            time.sleep(0.01)
+        raise RuntimeError("server did not start")
+
+    def __exit__(self, *exc):
+        def _stop():
+            for task in asyncio.all_tasks(self.loop):
+                task.cancel()
+
+        self.loop.call_soon_threadsafe(_stop)
+        self.thread.join(timeout=5)
+
+    @property
+    def port(self):
+        return self.server.bound_port
+
+
+@pytest.fixture
+def dummy_server():
+    with ServerThread(build_services([])) as st:
+        yield st
+
+
+def test_dummy_end_to_end(dummy_server):
+    c = DetectClient("127.0.0.1", dummy_server.port, "detect")
+    c.open()
+    c.request(1, 0.1, b"any bytes at all")
+    msec, records = c.wait_response(1)
+    # DummyDetector: cat (16), conf 1.0 -> 255, centered 166.4 box -> 166
+    assert records == [(16, 255, 208, 208, 166, 166)]
+    c.close()
+
+
+def test_multiple_sequential_requests(dummy_server):
+    c = DetectClient("127.0.0.1", dummy_server.port, "detect")
+    c.open()
+    for reqid in (5, 6, 7):
+        c.request(reqid, 0.2, b"x" * 1000)
+        msec, records = c.wait_response(reqid)
+        assert len(records) == 1
+    c.close()
+
+
+def test_unknown_command(dummy_server):
+    s = socket.create_connection(("127.0.0.1", dummy_server.port), 5)
+    s.send(b"PLAY something\r\n")
+    assert s.recv(100) == b"!UNKNOWN\r\n"
+    s.close()
+
+
+@pytest.mark.parametrize(
+    "line", [b"FEED\r\n", b"FEED 1234\r\n", b"FEED notaport path\r\n",
+             b"FEED 1234 nosuchpath\r\n"]
+)
+def test_invalid_feed(dummy_server, line):
+    s = socket.create_connection(("127.0.0.1", dummy_server.port), 5)
+    s.send(line)
+    assert s.recv(100) == b"!INVALID\r\n"
+    s.close()
+
+
+def test_packet_gap_cancels_but_recovers(dummy_server):
+    c = DetectClient("127.0.0.1", dummy_server.port, "detect")
+    c.open()
+    # hand-build a 3-chunk request and drop the middle chunk
+    payload = wire.DetectRequest(42, 0.1, b"z" * 70000).pack()
+    frames = list(wire.chunk_payload(payload, c.sender.seqno, 32768))
+    c.sender.seqno += len(frames)
+    assert len(frames) == 3
+    for f in (frames[0], frames[2]):
+        c.sock_udp.sendto(f, ("127.0.0.1", c.rtp_port))
+    with pytest.raises(TimeoutError):
+        c.wait_response(42, timeout=0.6)
+    # next intact request succeeds
+    c.request(43, 0.1, b"ok")
+    _, records = c.wait_response(43)
+    assert records == [(16, 255, 208, 208, 166, 166)]
+    c.close()
+
+
+def test_short_payload_ignored(dummy_server):
+    c = DetectClient("127.0.0.1", dummy_server.port, "detect")
+    c.open()
+    frame = wire.pack_frame(c.sender.seqno, b"tiny", marker=True)
+    c.sender.seqno += 1
+    c.sock_udp.sendto(frame, ("127.0.0.1", c.rtp_port))
+    with pytest.raises(TimeoutError):
+        c.wait_response(0, timeout=0.5)
+    c.request(1, 0.1, b"fine")
+    c.wait_response(1)
+    c.close()
+
+
+def test_length_mismatch_ignored(dummy_server):
+    c = DetectClient("127.0.0.1", dummy_server.port, "detect")
+    c.open()
+    bad = struct.pack(">4sLLL", b"JPEG", 9, 10, 50) + b"onlyten!!!"
+    for f in wire.chunk_payload(bad, c.sender.seqno, 32768):
+        c.sender.seqno += 1
+        c.sock_udp.sendto(f, ("127.0.0.1", c.rtp_port))
+    with pytest.raises(TimeoutError):
+        c.wait_response(9, timeout=0.5)
+    c.close()
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_CLIENT),
+                    reason="reference checkout not present")
+def test_reference_client_interop(dummy_server, tmp_path):
+    """Drive our server with the UNMODIFIED reference client.py."""
+    img = tmp_path / "frame.jpg"
+    img.write_bytes(jpeg.encode_rgb(np.zeros((416, 416, 3), np.uint8)))
+    proc = subprocess.Popen(
+        [sys.executable, REFERENCE_CLIENT, "-t", "0.1",
+         f"rtsp://127.0.0.1:{dummy_server.port}/detect", str(img)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=str(tmp_path),
+    )
+    try:
+        deadline = time.time() + 15
+        seen = ""
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                break
+            seen += line
+            if "result=" in line:
+                break
+        assert "result=[(16, 255, 208, 208, 166, 166)]" in seen, seen
+    finally:
+        proc.kill()
+        proc.wait()
+
+
+# ---------------------------------------------------------------------------
+# Real-engine serving (tiny model, CPU): batching + fault handling
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_service_server():
+    from fastdet_tpu.models import weights
+    from fastdet_tpu.runtime.engine import DetectionEngine
+
+    spec, params = weights.load_model("synthetic:tiny", num_classes=80)
+    engine = DetectionEngine(spec, params, mode="f32", buckets=(1, 2, 4))
+    engine.warmup()
+    with ServerThread({"tiny": ModelService(engine, name="tiny")}) as st:
+        yield st, engine
+
+
+def test_model_serving_end_to_end(tiny_service_server):
+    st, engine = tiny_service_server
+    img = np.random.RandomState(0).randint(0, 255, (416, 416, 3), np.uint8)
+    data = jpeg.encode_rgb(img, 95)
+    c = DetectClient("127.0.0.1", st.port, "tiny")
+    c.open()
+    c.request(1, 0.5, data)
+    msec, records = c.wait_response(1, timeout=30)
+    # parity: server must report exactly what the engine computes directly
+    direct = engine.detect_one(jpeg.decode_rgb(data), 0.5)
+    assert len(records) == len(direct)
+    for rec, d in zip(records, direct):
+        assert rec[0] == d[0]
+        assert rec[1] == int(d[1] * 255)
+        assert rec[2:] == tuple(
+            max(-32768, min(32767, int(v))) if v == v else 0 for v in d[2:]
+        )
+    c.close()
+
+
+def test_wrong_size_image_yields_empty_not_crash(tiny_service_server):
+    st, _ = tiny_service_server
+    bad = jpeg.encode_rgb(np.zeros((100, 100, 3), np.uint8))
+    c = DetectClient("127.0.0.1", st.port, "tiny")
+    c.open()
+    c.request(2, 0.5, bad)
+    msec, records = c.wait_response(2, timeout=30)
+    assert records == []
+    # server still alive for a valid request
+    ok = jpeg.encode_rgb(np.zeros((416, 416, 3), np.uint8))
+    c.request(3, 0.9, ok)
+    c.wait_response(3, timeout=30)
+    c.close()
+
+
+def test_cross_client_batching(tiny_service_server):
+    st, engine = tiny_service_server
+    imgs = [
+        jpeg.encode_rgb(
+            np.random.RandomState(i).randint(0, 255, (416, 416, 3), np.uint8), 95
+        )
+        for i in range(4)
+    ]
+    clients = []
+    for i, data in enumerate(imgs):
+        c = DetectClient("127.0.0.1", st.port, "tiny")
+        c.open()
+        clients.append(c)
+    for i, (c, data) in enumerate(zip(clients, imgs)):
+        c.request(100 + i, 0.5, data)
+    for i, (c, data) in enumerate(zip(clients, imgs)):
+        msec, records = c.wait_response(100 + i, timeout=30)
+        direct = engine.detect_one(jpeg.decode_rgb(data), 0.5)
+        assert len(records) == len(direct)
+        c.close()
