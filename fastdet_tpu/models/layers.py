@@ -129,10 +129,11 @@ def maxpool2d(x: jnp.ndarray, size: int = 2, stride: int = 2) -> jnp.ndarray:
         total = size - 1
         lo = total // 2
         padding = [(0, 0), (lo, total - lo), (lo, total - lo), (0, 0)]
-    neg = jnp.asarray(-jnp.inf, dtype=x.dtype)
+    # static python -inf: a traced init_value would block the
+    # reduce_window_max pattern match and break reverse-mode autodiff
     return jax.lax.reduce_window(
         x,
-        neg,
+        -jnp.inf,
         jax.lax.max,
         window_dimensions=(1, size, size, 1),
         window_strides=(1, stride, stride, 1),

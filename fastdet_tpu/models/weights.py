@@ -171,8 +171,42 @@ def load_npz(path: str) -> Tuple[ModelSpec, Dict[str, Any]]:
 # ---------------------------------------------------------------------------
 
 def synthetic_params(spec: ModelSpec, seed: int = 0) -> Dict[str, Any]:
-    """Deterministic random weights (for tests/benchmarks without blobs)."""
-    return yolov3.init_params(spec, jax.random.PRNGKey(seed))
+    """Deterministic random weights (for tests/benchmarks without blobs).
+
+    Generated with numpy (not jax.random) so loading costs zero device
+    compiles — on remote-compile backends each jax.random shape would
+    otherwise trigger its own compilation.
+    """
+    import math
+
+    rng = np.random.RandomState(seed)
+    params: Dict[str, Any] = {}
+    in_ch = 3
+    channels = []
+    gain = math.sqrt(2.0 / (1 + 0.1**2))
+    for l in spec.layers:
+        if isinstance(l, yolov3.Conv):
+            o, k = l.filters, l.ksize
+            std = gain / math.sqrt(k * k * in_ch)
+            w = (rng.randn(k, k, in_ch, o) * std).astype(np.float32)
+            if l.bn:
+                entry = {
+                    "w": jnp.asarray(w),
+                    "bn": {
+                        "gamma": jnp.ones((o,), jnp.float32),
+                        "beta": jnp.zeros((o,), jnp.float32),
+                        "mean": jnp.zeros((o,), jnp.float32),
+                        "var": jnp.ones((o,), jnp.float32),
+                    },
+                }
+            else:
+                entry = {"w": jnp.asarray(w), "b": jnp.zeros((o,), jnp.float32)}
+            params[l.name] = entry
+            in_ch = o
+        elif isinstance(l, yolov3.Route):
+            in_ch = sum(channels[i] for i in l.sources)
+        channels.append(in_ch)
+    return params
 
 
 # ---------------------------------------------------------------------------

@@ -69,6 +69,9 @@ class DetectionEngine:
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         folded: bool = False,
     ):
+        from fastdet_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         self.spec = spec
         self.mode = mode
         self.compute_dtype = _COMPUTE_DTYPES.get(mode, jnp.bfloat16)

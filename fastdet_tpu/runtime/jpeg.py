@@ -32,6 +32,15 @@ class JpegError(ValueError):
 
 def decode_rgb(data: bytes) -> np.ndarray:
     """Decode JPEG bytes to an RGB uint8 (H, W, 3) array."""
+    if _BACKEND == "native":
+        from fastdet_tpu.runtime import native_jpeg
+
+        try:
+            return native_jpeg.decode_rgb(data)
+        except native_jpeg.NativeJpegUnavailable:
+            pass  # fall through to cv2/PIL
+        except ValueError:
+            pass  # progressive/exotic file: fall through
     if _cv2 is not None:
         buf = np.frombuffer(data, dtype=np.uint8)
         img = _cv2.imdecode(buf, _cv2.IMREAD_COLOR)

@@ -41,6 +41,7 @@ from typing import Awaitable, Callable, Dict, List, Optional, Tuple
 
 from fastdet_tpu import wire
 from fastdet_tpu.runtime.detector import Detector, DummyDetector
+from fastdet_tpu.utils.profiling import GLOBAL as STAGES
 from fastdet_tpu.wire.messages import ResultTuple
 
 logger = logging.getLogger(__name__)
@@ -100,10 +101,12 @@ class ModelService:
                 return img
 
             imgs, thrs, futs, failed = [], [], [], []
+            t_dec = time.perf_counter()
             decoded = await asyncio.gather(
                 *[loop.run_in_executor(None, _decode, it) for it in batch],
                 return_exceptions=True,
             )
+            STAGES.record("decode_batch", time.perf_counter() - t_dec)
             for (jpeg_bytes, thr, fut), img in zip(batch, decoded):
                 if isinstance(img, BaseException):
                     failed.append((fut, img))
@@ -117,10 +120,13 @@ class ModelService:
 
             if imgs:
                 try:
+                    t_inf = time.perf_counter()
                     res = self.engine.detect_async(imgs, thrs)
                     results = await loop.run_in_executor(
                         None, self.engine.fetch, res, len(imgs)
                     )
+                    STAGES.record("infer_batch", time.perf_counter() - t_inf)
+                    # avg batch size is frames/batches on the service itself
                 except Exception as e:  # device-side failure: fail the batch
                     for fut in futs:
                         if not fut.done():
@@ -205,6 +211,7 @@ class DetectSession(asyncio.DatagramProtocol):
             logger.exception("request %d failed", req.reqid)
             results = []
         msec = int((time.time() - t0) * 1000)
+        STAGES.record("request_e2e", time.time() - t0)
         resp = wire.DetectResponse(reqid=req.reqid, msec=msec, results=results)
         self.send_payload(resp.pack())
 

@@ -1,0 +1,507 @@
+// fd_jpeg.cpp — first-party baseline JPEG decoder for the fastdet_tpu
+// frame path.
+//
+// The reference delegates JPEG decode to Pillow/libjpeg inside
+// detector.perform (reference server/detector.py:128-133). fastdet_tpu
+// treats host decode as a native data-loader stage; this library removes
+// the third-party dependency for the serving hot path (416x416 baseline
+// JPEGs from the mobile client) while cv2/PIL remain fallbacks for exotic
+// files.
+//
+// Supported: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
+// 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 / 4:1:1 subsampling, restart markers.
+// Not supported (falls back in python): progressive (SOF2), arithmetic
+// coding, 12-bit, CMYK.
+//
+// C ABI (ctypes):
+//   int fd_jpeg_info(const uint8_t* data, long n, int* w, int* h, int* comps);
+//   int fd_jpeg_decode_rgb(const uint8_t* data, long n, uint8_t* out,
+//                          long out_capacity);   // out: H*W*3 RGB
+// Returns 0 on success, negative error codes otherwise.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int ERR_TRUNCATED = -1;
+constexpr int ERR_BAD_MARKER = -2;
+constexpr int ERR_UNSUPPORTED = -3;
+constexpr int ERR_BAD_DATA = -4;
+constexpr int ERR_CAPACITY = -5;
+
+struct HuffTable {
+  // Canonical Huffman decode via per-length first-code/offset tables.
+  uint8_t bits[17] = {0};      // count of codes of length i (1..16)
+  uint8_t values[256] = {0};
+  int32_t mincode[17] = {0};
+  int32_t maxcode[18] = {0};   // maxcode[17] sentinel
+  int32_t valptr[17] = {0};
+  // fast path: direct lookup for codes <= 8 bits
+  int16_t fast_val[256];
+  int8_t fast_len[256];
+  bool present = false;
+
+  void build() {
+    int code = 0, k = 0;
+    for (int l = 1; l <= 16; ++l) {
+      valptr[l] = k;
+      mincode[l] = code;
+      code += bits[l];
+      k += bits[l];
+      maxcode[l] = code - 1;
+      code <<= 1;
+    }
+    maxcode[17] = 0x7fffffff;
+    for (int i = 0; i < 256; ++i) { fast_len[i] = 0; fast_val[i] = 0; }
+    // populate fast table
+    code = 0; k = 0;
+    for (int l = 1; l <= 8; ++l) {
+      for (int i = 0; i < bits[l]; ++i, ++k, ++code) {
+        int prefix = code << (8 - l);
+        for (int fill = 0; fill < (1 << (8 - l)); ++fill) {
+          fast_len[prefix | fill] = (int8_t)l;
+          fast_val[prefix | fill] = values[k];
+        }
+      }
+      code <<= 1;
+    }
+    present = true;
+  }
+};
+
+struct Component {
+  int id = 0, hs = 1, vs = 1, tq = 0, td = 0, ta = 0;
+  int dc_pred = 0;
+};
+
+struct BitReader {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint32_t acc = 0;
+  int nbits = 0;
+  bool hit_marker = false;
+
+  BitReader(const uint8_t* data, const uint8_t* e) : p(data), end(e) {}
+
+  // JPEG entropy stream: 0xFF bytes are stuffed with 0x00.
+  bool fill() {
+    while (nbits <= 24) {
+      if (p >= end) { if (nbits == 0) return false; acc |= 0; nbits += 8; continue; }
+      uint8_t b = *p;
+      if (b == 0xFF) {
+        if (p + 1 >= end) { hit_marker = true; acc = (acc << 8); nbits += 8; ++p; continue; }
+        uint8_t nxt = p[1];
+        if (nxt == 0x00) { p += 2; acc = (acc << 8) | 0xFF; nbits += 8; continue; }
+        // real marker (RSTn handled by caller; EOI etc end the stream)
+        hit_marker = true;
+        acc = (acc << 8);     // feed zeros past the marker
+        nbits += 8;
+        continue;
+      }
+      ++p;
+      acc = (acc << 8) | b;
+      nbits += 8;
+    }
+    return true;
+  }
+
+  int get_bit() {
+    if (nbits < 1) fill();
+    nbits -= 1;
+    return (acc >> nbits) & 1;
+  }
+
+  int peek8() {
+    if (nbits < 8) fill();
+    return (acc >> (nbits - 8)) & 0xFF;
+  }
+
+  void consume(int n) { nbits -= n; }
+
+  int receive(int n) {            // read n raw bits
+    int v = 0;
+    for (int i = 0; i < n; ++i) v = (v << 1) | get_bit();
+    return v;
+  }
+
+  void reset_at_restart() {
+    acc = 0; nbits = 0; hit_marker = false;
+  }
+};
+
+inline int extend(int v, int n) {   // JPEG sign extension (F.2.2.1)
+  return (n && v < (1 << (n - 1))) ? v - (1 << n) + 1 : v;
+}
+
+int decode_huff(BitReader& br, const HuffTable& h) {
+  int look = br.peek8();
+  int l = h.fast_len[look];
+  if (l) { br.consume(l); return h.fast_val[look]; }
+  // slow path: lengths 9..16
+  int code = 0;
+  for (int len = 1; len <= 16; ++len) {
+    code = (code << 1) | br.get_bit();
+    if (len >= 1 && code <= h.maxcode[len] && h.bits[len] &&
+        code >= h.mincode[len]) {
+      if (len <= 8) continue;  // already covered; defensive
+      return h.values[h.valptr[len] + code - h.mincode[len]];
+    }
+  }
+  return -1;
+}
+
+// Separable float IDCT with a precomputed basis table:
+//   T[u][x] = c(u)/2 * cos((2x+1)u*pi/16)
+// Two 8x8 matrix passes per block; the compiler auto-vectorizes the inner
+// loops. Exact enough (max ~1 LSB vs libjpeg's islow).
+struct IdctTable {
+  float t[8][8];
+  IdctTable() {
+    for (int u = 0; u < 8; ++u)
+      for (int x = 0; x < 8; ++x)
+        t[u][x] = (u == 0 ? 0.35355339059f : 0.5f) *
+                  __builtin_cosf((2 * x + 1) * u * 3.14159265358979f / 16);
+  }
+};
+static const IdctTable kIdct;
+
+void idct8x8(const int32_t* in, const uint16_t* qt, uint8_t* out, int stride) {
+  float blk[64], tmp[64];
+  for (int i = 0; i < 64; ++i) blk[i] = (float)in[i] * (float)qt[i];
+  // rows: tmp[y][x] = sum_u blk[y][u] * T[u][x]
+  for (int y = 0; y < 8; ++y) {
+    const float* row = blk + y * 8;
+    float* trow = tmp + y * 8;
+    for (int x = 0; x < 8; ++x) {
+      float s = 0;
+      for (int u = 0; u < 8; ++u) s += row[u] * kIdct.t[u][x];
+      trow[x] = s;
+    }
+  }
+  // cols: out[y][x] = sum_v tmp[v][x] * T[v][y]
+  for (int x = 0; x < 8; ++x) {
+    for (int y = 0; y < 8; ++y) {
+      float s = 0;
+      for (int v = 0; v < 8; ++v) s += tmp[v * 8 + x] * kIdct.t[v][y];
+      float val = s + 128.0f;
+      int iv = (int)(val + 0.5f);
+      out[y * stride + x] = (uint8_t)(iv < 0 ? 0 : (iv > 255 ? 255 : iv));
+    }
+  }
+}
+
+const int kZigzag[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+struct Decoder {
+  const uint8_t* data;
+  long n;
+  int width = 0, height = 0, ncomp = 0;
+  uint16_t qtab[4][64] = {{0}};
+  HuffTable hdc[4], hac[4];
+  Component comp[3];
+  int restart_interval = 0;
+  long scan_offset = -1;
+
+  int u16(long off) const {
+    return (data[off] << 8) | data[off + 1];
+  }
+
+  int parse_headers() {
+    if (n < 4 || data[0] != 0xFF || data[1] != 0xD8) return ERR_BAD_MARKER;
+    long off = 2;
+    while (off + 4 <= n) {
+      if (data[off] != 0xFF) return ERR_BAD_MARKER;
+      int marker = data[off + 1];
+      off += 2;
+      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) continue;
+      if (marker == 0xD9) break;  // EOI before scan: no image
+      if (off + 2 > n) return ERR_TRUNCATED;
+      int seglen = u16(off);
+      if (off + seglen > n) return ERR_TRUNCATED;
+      long seg = off + 2;
+      switch (marker) {
+        case 0xC0: {  // SOF0 baseline
+          height = u16(seg + 1);
+          width = u16(seg + 3);
+          ncomp = data[seg + 5];
+          if (data[seg] != 8) return ERR_UNSUPPORTED;       // precision
+          if (ncomp != 1 && ncomp != 3) return ERR_UNSUPPORTED;
+          for (int i = 0; i < ncomp; ++i) {
+            comp[i].id = data[seg + 6 + i * 3];
+            comp[i].hs = data[seg + 7 + i * 3] >> 4;
+            comp[i].vs = data[seg + 7 + i * 3] & 15;
+            comp[i].tq = data[seg + 8 + i * 3];
+            if (comp[i].hs < 1 || comp[i].hs > 4 || comp[i].vs < 1 ||
+                comp[i].vs > 4)
+              return ERR_UNSUPPORTED;
+          }
+          break;
+        }
+        case 0xC1: case 0xC2: case 0xC3: case 0xC5: case 0xC6: case 0xC7:
+        case 0xC9: case 0xCA: case 0xCB: case 0xCD: case 0xCE: case 0xCF:
+          return ERR_UNSUPPORTED;  // non-baseline SOF
+        case 0xC4: {  // DHT (may hold several tables)
+          long p = seg;
+          while (p < off + seglen) {
+            int tc = data[p] >> 4, th = data[p] & 15;
+            if (th > 3 || tc > 1) return ERR_BAD_DATA;
+            HuffTable& h = tc ? hac[th] : hdc[th];
+            int total = 0;
+            for (int i = 1; i <= 16; ++i) {
+              h.bits[i] = data[p + i];
+              total += h.bits[i];
+            }
+            if (total > 256 || p + 17 + total > off + seglen) return ERR_BAD_DATA;
+            for (int i = 0; i < total; ++i) h.values[i] = data[p + 17 + i];
+            h.build();
+            p += 17 + total;
+          }
+          break;
+        }
+        case 0xDB: {  // DQT
+          long p = seg;
+          while (p < off + seglen) {
+            int pq = data[p] >> 4, tq = data[p] & 15;
+            if (tq > 3) return ERR_BAD_DATA;
+            ++p;
+            for (int i = 0; i < 64; ++i) {
+              int v = pq ? ((data[p] << 8) | data[p + 1]) : data[p];
+              p += pq ? 2 : 1;
+              qtab[tq][kZigzag[i]] = (uint16_t)v;
+            }
+          }
+          break;
+        }
+        case 0xDD:  // DRI
+          restart_interval = u16(seg);
+          break;
+        case 0xDA: {  // SOS
+          int ns = data[seg];
+          if (ns != ncomp) return ERR_UNSUPPORTED;
+          for (int i = 0; i < ns; ++i) {
+            int cid = data[seg + 1 + i * 2];
+            int tables = data[seg + 2 + i * 2];
+            for (int k = 0; k < ncomp; ++k) {
+              if (comp[k].id == cid) {
+                comp[k].td = tables >> 4;
+                comp[k].ta = tables & 15;
+              }
+            }
+          }
+          scan_offset = off + seglen;
+          return 0;
+        }
+        default:
+          break;  // APPn/COM/etc: skip
+      }
+      off += seglen;
+    }
+    return scan_offset >= 0 ? 0 : ERR_TRUNCATED;
+  }
+
+  int decode_block(BitReader& br, Component& c, int32_t* blk) {
+    memset(blk, 0, 64 * sizeof(int32_t));
+    int t = decode_huff(br, hdc[c.td]);
+    if (t < 0) return ERR_BAD_DATA;
+    int diff = t ? extend(br.receive(t), t) : 0;
+    c.dc_pred += diff;
+    blk[0] = c.dc_pred;
+    int k = 1;
+    const HuffTable& ac = hac[c.ta];
+    while (k < 64) {
+      int rs = decode_huff(br, ac);
+      if (rs < 0) return ERR_BAD_DATA;
+      int r = rs >> 4, s = rs & 15;
+      if (s == 0) {
+        if (r == 15) { k += 16; continue; }  // ZRL
+        break;                                // EOB
+      }
+      k += r;
+      if (k > 63) return ERR_BAD_DATA;
+      blk[kZigzag[k]] = extend(br.receive(s), s);
+      ++k;
+    }
+    return 0;
+  }
+
+  int decode_rgb(uint8_t* out, long cap) {
+    int hmax = 1, vmax = 1;
+    for (int i = 0; i < ncomp; ++i) {
+      if (comp[i].hs > hmax) hmax = comp[i].hs;
+      if (comp[i].vs > vmax) vmax = comp[i].vs;
+    }
+    int mcux = (width + 8 * hmax - 1) / (8 * hmax);
+    int mcuy = (height + 8 * vmax - 1) / (8 * vmax);
+    if ((long)width * height * 3 > cap) return ERR_CAPACITY;
+
+    // per-component plane buffers at full MCU-padded resolution
+    std::vector<std::vector<uint8_t>> planes(ncomp);
+    std::vector<int> pw(ncomp), ph(ncomp);
+    for (int i = 0; i < ncomp; ++i) {
+      pw[i] = mcux * comp[i].hs * 8;
+      ph[i] = mcuy * comp[i].vs * 8;
+      planes[i].assign((size_t)pw[i] * ph[i], 128);
+    }
+
+    BitReader br(data + scan_offset, data + n);
+    int32_t blk[64];
+    int mcu_count = 0;
+
+    for (int my = 0; my < mcuy; ++my) {
+      for (int mx = 0; mx < mcux; ++mx) {
+        if (restart_interval && mcu_count == restart_interval) {
+          // skip to the RSTn marker: align and consume it
+          br.reset_at_restart();
+          const uint8_t* p = br.p;
+          while (p + 1 < data + n && !(p[0] == 0xFF && p[1] >= 0xD0 && p[1] <= 0xD7))
+            ++p;
+          if (p + 1 < data + n) br.p = p + 2;
+          for (int i = 0; i < ncomp; ++i) comp[i].dc_pred = 0;
+          mcu_count = 0;
+        }
+        for (int ci = 0; ci < ncomp; ++ci) {
+          Component& c = comp[ci];
+          for (int by = 0; by < c.vs; ++by) {
+            for (int bx = 0; bx < c.hs; ++bx) {
+              int rc = decode_block(br, c, blk);
+              if (rc) return rc;
+              int px = (mx * c.hs + bx) * 8;
+              int py = (my * c.vs + by) * 8;
+              idct8x8(blk, qtab[c.tq],
+                      planes[ci].data() + (size_t)py * pw[ci] + px, pw[ci]);
+            }
+          }
+        }
+        ++mcu_count;
+      }
+    }
+
+    // chroma upsample to full resolution. Factor-2 axes use libjpeg's
+    // "fancy" triangle filter (3:1 weighting) for bit-parity with the
+    // Pillow/cv2 stack the reference used; other factors fall back to
+    // nearest.
+    std::vector<std::vector<uint8_t>> full(ncomp);
+    for (int ci = 0; ci < ncomp; ++ci) {
+      int hs = comp[ci].hs, vs = comp[ci].vs;
+      if (hs == hmax && vs == vmax) continue;  // read directly
+      full[ci].assign((size_t)width * height, 0);
+      int sw = (width * hs + hmax - 1) / hmax;
+      int sh = (height * vs + vmax - 1) / vmax;
+      const uint8_t* src = planes[ci].data();
+      int sstride = pw[ci];
+      uint8_t* dst = full[ci].data();
+      bool h2 = (hmax / hs == 2) && (hmax % hs == 0);
+      bool v2 = (vmax / vs == 2) && (vmax % vs == 0);
+      if (h2 && v2) {
+        // h2v2 fancy: vertical 3:1 sum then horizontal triangle
+        std::vector<int> t(sw);
+        for (int oy = 0; oy < height; ++oy) {
+          int sy = oy >> 1;
+          int far = (oy & 1) ? sy + 1 : sy - 1;
+          if (far < 0) far = 0;
+          if (far >= sh) far = sh - 1;
+          const uint8_t* near_r = src + (size_t)sy * sstride;
+          const uint8_t* far_r = src + (size_t)far * sstride;
+          for (int i = 0; i < sw; ++i) t[i] = 3 * near_r[i] + far_r[i];
+          uint8_t* orow = dst + (size_t)oy * width;
+          for (int ox = 0; ox < width; ++ox) {
+            int i = ox >> 1;
+            if (ox & 1) {
+              int nxt = i + 1 < sw ? i + 1 : i;
+              orow[ox] = (uint8_t)((3 * t[i] + t[nxt] + 7) >> 4);
+            } else {
+              int prv = i > 0 ? i - 1 : i;
+              orow[ox] = (uint8_t)((3 * t[i] + t[prv] + 8) >> 4);
+            }
+          }
+        }
+      } else if (h2 && vs == vmax) {
+        // h2v1 fancy
+        for (int oy = 0; oy < height; ++oy) {
+          const uint8_t* srow = src + (size_t)oy * sstride;
+          uint8_t* orow = dst + (size_t)oy * width;
+          for (int ox = 0; ox < width; ++ox) {
+            int i = ox >> 1;
+            if (ox & 1) {
+              int nxt = i + 1 < sw ? i + 1 : i;
+              orow[ox] = (uint8_t)((3 * srow[i] + srow[nxt] + 2) >> 2);
+            } else {
+              int prv = i > 0 ? i - 1 : i;
+              orow[ox] = (uint8_t)((3 * srow[i] + srow[prv] + 1) >> 2);
+            }
+          }
+        }
+      } else {
+        for (int oy = 0; oy < height; ++oy) {
+          int sy = oy * vs / vmax;
+          if (sy >= sh) sy = sh - 1;
+          const uint8_t* srow = src + (size_t)sy * sstride;
+          uint8_t* orow = dst + (size_t)oy * width;
+          for (int ox = 0; ox < width; ++ox) {
+            int sx = ox * hs / hmax;
+            if (sx >= sw) sx = sw - 1;
+            orow[ox] = srow[sx];
+          }
+        }
+      }
+    }
+
+    auto sample = [&](int ci, int y, int x) -> int {
+      if (!full[ci].empty()) return full[ci][(size_t)y * width + x];
+      return planes[ci][(size_t)y * pw[ci] + x];
+    };
+
+    for (int y = 0; y < height; ++y) {
+      for (int x = 0; x < width; ++x) {
+        uint8_t* px = out + ((size_t)y * width + x) * 3;
+        if (ncomp == 1) {
+          uint8_t g = planes[0][(size_t)y * pw[0] + x];
+          px[0] = px[1] = px[2] = g;
+          continue;
+        }
+        int Y = sample(0, y, x);
+        int Cb = sample(1, y, x);
+        int Cr = sample(2, y, x);
+        int r = (int)(Y + 1.402f * (Cr - 128) + 0.5f);
+        int g = (int)(Y - 0.344136f * (Cb - 128) - 0.714136f * (Cr - 128) + 0.5f);
+        int b = (int)(Y + 1.772f * (Cb - 128) + 0.5f);
+        px[0] = (uint8_t)(r < 0 ? 0 : (r > 255 ? 255 : r));
+        px[1] = (uint8_t)(g < 0 ? 0 : (g > 255 ? 255 : g));
+        px[2] = (uint8_t)(b < 0 ? 0 : (b > 255 ? 255 : b));
+      }
+    }
+    return 0;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+int fd_jpeg_info(const uint8_t* data, long n, int* w, int* h, int* comps) {
+  Decoder d{data, n};
+  int rc = d.parse_headers();
+  if (rc) return rc;
+  *w = d.width;
+  *h = d.height;
+  *comps = d.ncomp;
+  return 0;
+}
+
+int fd_jpeg_decode_rgb(const uint8_t* data, long n, uint8_t* out, long cap) {
+  Decoder d{data, n};
+  int rc = d.parse_headers();
+  if (rc) return rc;
+  if (d.width <= 0 || d.height <= 0) return ERR_BAD_DATA;
+  return d.decode_rgb(out, cap);
+}
+
+const char* fd_jpeg_version() { return "fd_jpeg 0.1 (baseline sequential)"; }
+
+}  // extern "C"
