@@ -76,17 +76,20 @@ def batch_norm_inference(bn: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def batch_norm_train(bn: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """Batch statistics normalization (training forward).
+    """Batch statistics normalization (training forward)."""
+    y, _, _ = batch_norm_train_stats(bn, x)
+    return y
 
-    Returns normalized activations; running-stat updates are handled by the
-    training loop (see fastdet_tpu.parallel.train).
-    """
+
+def batch_norm_train_stats(bn: Params, x: jnp.ndarray):
+    """Training BN; returns (y, batch_mean, batch_var) so the train loop
+    can EMA the running statistics used at inference."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(0, 1, 2))
     var = jnp.var(x32, axis=(0, 1, 2))
     inv = jax.lax.rsqrt(var + BN_EPS)
     y = (x32 - mean) * inv * bn["gamma"] + bn["beta"]
-    return y.astype(x.dtype)
+    return y.astype(x.dtype), mean, var
 
 
 def conv_bn_block_train(

@@ -255,13 +255,16 @@ def apply(
     *,
     train: bool = False,
     compute_dtype=None,
+    bn_stats: Optional[Dict[str, Any]] = None,
 ) -> List[jnp.ndarray]:
     """Run the model graph; returns the raw head outputs (NHWC).
 
     ``x`` is an NHWC float batch (B, 416, 416, 3), already normalized to
     [0,1]. In inference (``train=False``) ``params`` must be folded
     (fold_params); in training they carry BN leaves and batch statistics
-    are used. Outputs are float32 regardless of compute dtype.
+    are used. Pass a dict as ``bn_stats`` in training to collect each BN
+    layer's batch (mean, var) for running-stat EMA updates. Outputs are
+    float32 regardless of compute dtype.
     """
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -271,7 +274,13 @@ def apply(
     for l in spec.layers:
         if isinstance(l, Conv):
             p = params[l.name]
-            if train:
+            if train and "bn" in p:
+                y = layers.conv2d(cur, p["w"], l.stride)
+                y, bmean, bvar = layers.batch_norm_train_stats(p["bn"], y)
+                if bn_stats is not None:
+                    bn_stats[l.name] = {"mean": bmean, "var": bvar}
+                cur = layers.leaky_relu(y) if l.act else y
+            elif train:
                 cur = layers.conv_bn_block_train(p, cur, l.stride, l.act)
             else:
                 cur = layers.conv_block(p, cur, l.stride, l.act)

@@ -34,6 +34,7 @@ from fastdet_tpu.parallel import mesh as mesh_lib
 
 LAMBDA_COORD = 5.0
 LAMBDA_NOOBJ = 0.5
+BN_MOMENTUM = 0.97   # running-stat EMA factor per step
 
 
 # ---------------------------------------------------------------------------
@@ -99,8 +100,13 @@ def yolo_loss(
     *,
     train: bool = True,
     compute_dtype=None,
+    collect_bn_stats: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    heads = yolov3.apply(spec, params, images, train=train, compute_dtype=compute_dtype)
+    bn_stats: Dict[str, Any] = {}
+    heads = yolov3.apply(
+        spec, params, images, train=train, compute_dtype=compute_dtype,
+        bn_stats=bn_stats if (train and collect_bn_stats) else None,
+    )
     b = images.shape[0]
     c = spec.num_classes
     coord_l = obj_l = cls_l = 0.0
@@ -124,12 +130,15 @@ def yolo_loss(
         cls_l += jnp.sum(pos[..., None] * _bce_logits(p[..., 5:], tgt[..., 5:]))
 
     total = (LAMBDA_COORD * coord_l + obj_l + cls_l) / b
-    return total, {
+    metrics: Dict[str, Any] = {
         "loss": total,
         "coord": coord_l / b,
         "obj": obj_l / b,
         "cls": cls_l / b,
     }
+    if collect_bn_stats:
+        metrics["bn_stats"] = bn_stats
+    return total, metrics
 
 
 # ---------------------------------------------------------------------------
@@ -142,8 +151,26 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def _decay_mask(params):
+    """Weight decay applies to conv kernels only — decaying BN statistics
+    or biases would corrupt them (their gradients are zero in train mode)."""
+
+    def entry(p):
+        out = {}
+        for k, v in p.items():
+            if k == "w":
+                out[k] = True
+            elif isinstance(v, dict):
+                out[k] = {kk: False for kk in v}
+            else:
+                out[k] = False
+        return out
+
+    return {name: entry(p) for name, p in params.items()}
+
+
 def make_optimizer(lr: float = 1e-3, weight_decay: float = 5e-4):
-    return optax.adamw(lr, weight_decay=weight_decay)
+    return optax.adamw(lr, weight_decay=weight_decay, mask=_decay_mask)
 
 
 def init_train_state(
@@ -158,13 +185,24 @@ def make_train_step(spec: ModelSpec, optimizer, *, compute_dtype=None):
     def step_fn(state: TrainState, images: jnp.ndarray, *targets: jnp.ndarray):
         (_, metrics), grads = jax.value_and_grad(
             lambda p: yolo_loss(
-                spec, p, images, targets, train=True, compute_dtype=compute_dtype
+                spec, p, images, targets, train=True,
+                compute_dtype=compute_dtype, collect_bn_stats=True,
             ),
             has_aux=True,
         )(state.params)
+        bn_stats = metrics.pop("bn_stats", {})
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), metrics
+        # EMA the BN running statistics used by the folded inference path.
+        new_params = dict(params)
+        for name, s in bn_stats.items():
+            p = dict(new_params[name])
+            bn = dict(p["bn"])
+            bn["mean"] = BN_MOMENTUM * bn["mean"] + (1 - BN_MOMENTUM) * s["mean"]
+            bn["var"] = BN_MOMENTUM * bn["var"] + (1 - BN_MOMENTUM) * s["var"]
+            p["bn"] = bn
+            new_params[name] = p
+        return TrainState(new_params, opt_state, state.step + 1), metrics
 
     return step_fn
 

@@ -382,12 +382,12 @@ def build_services(
     if not registry_args:
         services["detect"] = DetectorService(DummyDetector(dbgout=dbgout))
         return services
-    from fastdet_tpu.models import weights as weights_io
+    from fastdet_tpu.parallel.checkpoint import cached_import
     from fastdet_tpu.runtime.engine import DetectionEngine
 
     for arg in registry_args:
         (name, num_classes, path) = arg.split(":", 2)
-        spec, params = weights_io.load_model(path, num_classes=int(num_classes))
+        spec, params = cached_import(path, num_classes=int(num_classes))
         engine = DetectionEngine(spec, params, mode=mode)
         if warmup:
             engine.warmup()
