@@ -96,7 +96,19 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 32):
     jpegs = make_jpegs(64)
     thresholds = [BENCH_THRESHOLD] * batch
 
+    # Ingest path: 4:2:0 planes when the native decoder applies (half the
+    # host->device bytes — the bottleneck on bandwidth-limited links),
+    # else host pixel decode.
+    def dispatch(batch_jpegs, thrs):
+        res = engine.detect_async_planes(batch_jpegs, thrs)
+        if res is not None:
+            return res, "planes420"
+        imgs = [jpeg.decode_rgb(d) for d in batch_jpegs]
+        return engine.detect_async(imgs, thrs), "pixels"
+
     # ---- throughput: `inflight` batches in flight, decode on the fly ----
+    ingest = {"path": None}
+
     def run(n_frames):
         pending = []
         done = 0
@@ -104,9 +116,10 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 32):
         t0 = time.time()
         while done < n_frames:
             while len(pending) < inflight and i * batch < n_frames:
-                imgs = [jpeg.decode_rgb(jpegs[(i * batch + j) % len(jpegs)])
-                        for j in range(batch)]
-                pending.append(engine.detect_async(imgs, thresholds))
+                bjpegs = [jpegs[(i * batch + j) % len(jpegs)] for j in range(batch)]
+                res, path = dispatch(bjpegs, thresholds)
+                ingest["path"] = path
+                pending.append(res)
                 i += 1
             res = pending.pop(0)
             engine.fetch(res, batch)
@@ -121,11 +134,11 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 32):
     data = jpegs[0]
     for _ in range(40):
         t0 = time.time()
-        img = jpeg.decode_rgb(data)
-        engine.fetch(engine.detect_async([img], [BENCH_THRESHOLD]), 1)
+        res, _ = dispatch([data], [BENCH_THRESHOLD])
+        engine.fetch(res, 1)
         lat.append((time.time() - t0) * 1000)
     p50 = float(np.percentile(lat, 50))
-    return fps, p50, compile_s
+    return fps, p50, compile_s, ingest["path"]
 
 
 def bench_baseline_cpu(frames: int = 8):
@@ -203,7 +216,7 @@ def main():
         print(json.dumps(payload))
         return
 
-    fps, p50, compile_s = bench_tpu(args.frames, args.batch, args.inflight)
+    fps, p50, compile_s, ingest = bench_tpu(args.frames, args.batch, args.inflight)
     vs = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as fp:
@@ -216,6 +229,7 @@ def main():
         "p50_ms": round(p50, 1),
         "batch": args.batch,
         "inflight": args.inflight,
+        "ingest": ingest,
         "compile_s": round(compile_s, 1),
     }))
 

@@ -1,0 +1,140 @@
+"""On-device JPEG tail: dequant + IDCT + chroma upsample + color convert.
+
+Stage 2 of the preprocessing plan (SURVEY.md §7.5): the host does only the
+serial part of JPEG decode (Huffman entropy decoding, via the native
+library's fd_jpeg_coefficients), and the TPU runs everything data-parallel:
+
+- dequantization: one broadcast multiply;
+- 8x8 IDCT over all blocks as a SINGLE MXU matmul using the Kronecker
+  identity  pixels(N,64) = coeffs(N,64) @ (T (x) T)  where T is the 8-point
+  IDCT basis — a (N,64)x(64,64) GEMM, exactly what the systolic array is
+  built for (no Pallas needed; XLA maps this directly onto the MXU and
+  fuses the dequant multiply and +128 level shift into it);
+- libjpeg-compatible "fancy" (triangle) chroma upsampling as integer
+  interleave/shift arithmetic on the VPU;
+- YCbCr->RGB + uint8 quantization + /255 normalization, fused by XLA into
+  the first convolution of the detector.
+
+The wire transfer is int16 coefficients — the same byte volume as raw
+RGB888 pixels for 4:2:0 — so this removes ~60% of the host decode cost
+per frame without increasing PCIe/ICI traffic.
+
+Parity: each plane is rounded/clamped to the uint8 grid exactly where
+libjpeg does it (after IDCT, before upsampling), so outputs match the
+host-decode path within +-2 levels (IDCT rounding differences only).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache()
+def _idct_kron() -> np.ndarray:
+    t = np.zeros((8, 8), np.float32)
+    for u in range(8):
+        for x in range(8):
+            c = 0.35355339059327373 if u == 0 else 0.5
+            t[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16)
+    return np.kron(t, t).astype(np.float32)  # (64, 64): [uv, yx]
+
+
+def blocks_to_pixels(coeffs: jnp.ndarray, qtab: jnp.ndarray) -> jnp.ndarray:
+    """(N, 64) int16 coefficients + (64,) quant -> (N, 64) f32 samples.
+
+    Samples are level-shifted (+128) and rounded/clamped to the uint8 grid
+    (still f32), matching libjpeg's post-IDCT range limiting.
+    """
+    deq = coeffs.astype(jnp.float32) * qtab.astype(jnp.float32)[None, :]
+    pix = jnp.dot(deq, _idct_kron(), preferred_element_type=jnp.float32) + 128.0
+    return jnp.clip(jnp.round(pix), 0.0, 255.0)
+
+
+def plane_from_blocks(pix: jnp.ndarray, bh: int, bw: int) -> jnp.ndarray:
+    """(bh*bw, 64) block samples -> (bh*8, bw*8) plane."""
+    return (
+        pix.reshape(bh, bw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh * 8, bw * 8)
+    )
+
+
+def _shift_up(x):    # row i-1 with edge replication
+    return jnp.concatenate([x[:1], x[:-1]], axis=0)
+
+
+def _shift_down(x):
+    return jnp.concatenate([x[1:], x[-1:]], axis=0)
+
+
+def _shift_left(x):
+    return jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+
+
+def _shift_right(x):
+    return jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+
+
+def upsample2x_triangle(c: jnp.ndarray) -> jnp.ndarray:
+    """libjpeg h2v2 'fancy' 2x upsample, integer-exact.
+
+    Input (h, w) uint8-grid f32; output (2h, 2w). Vertical 3:1 sums then
+    horizontal triangle with the exact libjpeg bias/shift constants; edge
+    replication reproduces libjpeg's special cases (3a+a = 4a at borders).
+    """
+    ci = c.astype(jnp.int32)
+    v_near = 3 * ci
+    sum_up = v_near + _shift_up(ci)      # output row 2i
+    sum_dn = v_near + _shift_down(ci)    # output row 2i+1
+    h, w = c.shape
+    t = jnp.stack([sum_up, sum_dn], axis=1).reshape(2 * h, w)  # colsums, 4x scale
+    t3 = 3 * t
+    even = (t3 + _shift_left(t) + 8) >> 4   # output col 2j
+    odd = (t3 + _shift_right(t) + 7) >> 4   # output col 2j+1
+    out = jnp.stack([even, odd], axis=2).reshape(2 * h, 2 * w)
+    return out.astype(jnp.float32)
+
+
+def ycbcr_to_rgb01(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> jnp.ndarray:
+    """Per-plane f32 (H, W) -> (H, W, 3) RGB in [0,1], uint8-quantized."""
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = jnp.stack([r, g, b], axis=-1)
+    return jnp.clip(jnp.round(rgb), 0.0, 255.0) * (1.0 / 255.0)
+
+
+def decode420(
+    ycoef: jnp.ndarray,   # (Yb, 64) int16, Yb = (H/8)*(W/8)
+    cbcoef: jnp.ndarray,  # (Cb, 64) int16, Cb = (H/16)*(W/16)
+    crcoef: jnp.ndarray,
+    qy: jnp.ndarray,      # (64,) f32/int
+    qc: jnp.ndarray,
+    height: int,
+    width: int,
+) -> jnp.ndarray:
+    """Full device decode of one 4:2:0 image -> (H, W, 3) f32 RGB in [0,1].
+
+    H and W must be multiples of 16 (true for the protocol's 416x416).
+    """
+    yb_h, yb_w = height // 8, width // 8
+    cb_h, cb_w = height // 16, width // 16
+    ypix = plane_from_blocks(blocks_to_pixels(ycoef, qy), yb_h, yb_w)
+    cbp = plane_from_blocks(blocks_to_pixels(cbcoef, qc), cb_h, cb_w)
+    crp = plane_from_blocks(blocks_to_pixels(crcoef, qc), cb_h, cb_w)
+    cbu = upsample2x_triangle(cbp)
+    cru = upsample2x_triangle(crp)
+    return ycbcr_to_rgb01(ypix, cbu, cru)
+
+
+def decode420_batch(ycoef, cbcoef, crcoef, qy, qc, height: int, width: int):
+    """vmapped decode: leading batch dim on every argument."""
+    fn = lambda a, b, c, q1, q2: decode420(a, b, c, q1, q2, height, width)
+    return jax.vmap(fn)(ycoef, cbcoef, crcoef, qy, qc)

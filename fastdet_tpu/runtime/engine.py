@@ -81,6 +81,8 @@ class DetectionEngine:
         self.params = params if folded else yolov3.fold_params(spec, params)
         self.params = jax.device_put(self.params)
         self._jit = jax.jit(self._pipeline)
+        self._jit_coeffs = jax.jit(self._pipeline_coeffs)
+        self._jit_planes = jax.jit(self._pipeline_planes)
         self.max_batch = self.buckets[-1]
 
     # The whole frame path as one XLA program. Returns ONE packed f32 array
@@ -89,6 +91,9 @@ class DetectionEngine:
     # compute, dominates small-batch serving).
     def _pipeline(self, params, images_u8: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
         x = images_u8.astype(jnp.float32) * (1.0 / 255.0)
+        return self._postprocess_tail(params, x, thresholds)
+
+    def _postprocess_tail(self, params, x: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
         heads = yolov3.apply(self.spec, params, x, compute_dtype=self.compute_dtype)
         fn = lambda t, *hs: postprocess.postprocess_image(
             hs, self.spec, t, self.max_candidates, self.max_det
@@ -104,6 +109,62 @@ class DetectionEngine:
             axis=-1,
         )
 
+    # Stage-2 preprocessing (SURVEY.md §7.5): host entropy-decodes JPEG,
+    # the device does dequant + IDCT (one MXU matmul) + fancy chroma
+    # upsample + color convert, fused with the first conv by XLA.
+    def _pipeline_coeffs(
+        self, params, ycoef, cbcoef, crcoef, qy, qc, thresholds
+    ) -> jnp.ndarray:
+        from fastdet_tpu.ops import jpeg_device
+
+        size = self.spec.image_size
+        x = jpeg_device.decode420_batch(ycoef, cbcoef, crcoef, qy, qc, size, size)
+        return self._postprocess_tail(params, x, thresholds)
+
+    # Plane path: host Huffman+IDCT (native), device upsample+color+net.
+    # Ships 4:2:0 uint8 planes = 1.5 B/px, HALF the transfer of RGB888 —
+    # the best bytes/frame of the three ingest paths.
+    def _pipeline_planes(self, params, y, cb, cr, thresholds) -> jnp.ndarray:
+        from fastdet_tpu.ops import jpeg_device
+
+        def one(yp, cbp, crp):
+            cbu = jpeg_device.upsample2x_triangle(cbp.astype(jnp.float32))
+            cru = jpeg_device.upsample2x_triangle(crp.astype(jnp.float32))
+            return jpeg_device.ycbcr_to_rgb01(yp.astype(jnp.float32), cbu, cru)
+
+        x = jax.vmap(one)(y, cb, cr)
+        return self._postprocess_tail(params, x, thresholds)
+
+    def detect_async_planes(
+        self, jpegs: Sequence[bytes], thresholds: Sequence[float]
+    ) -> Optional[jnp.ndarray]:
+        """Dispatch via the half-bandwidth 4:2:0 plane path; None if N/A."""
+        from fastdet_tpu.runtime import native_jpeg
+
+        n = len(jpegs)
+        assert 0 < n <= self.max_batch, n
+        size = self.spec.image_size
+        if size % 16 != 0 or not native_jpeg.available():
+            return None
+        b = self.bucket_for(n)
+        y = np.zeros((b, size, size), np.uint8)
+        cb = np.full((b, size // 2, size // 2), 128, np.uint8)
+        cr = np.full((b, size // 2, size // 2), 128, np.uint8)
+        try:
+            for i, d in enumerate(jpegs):
+                yi, cbi, cri = native_jpeg.decode_planes420(d)
+                if yi.shape != (size, size):
+                    return None
+                y[i], cb[i], cr[i] = yi, cbi, cri
+        except (ValueError, native_jpeg.NativeJpegUnavailable):
+            return None
+        thr = np.full((b,), 2.0, np.float32)
+        thr[:n] = np.asarray(thresholds, np.float32)
+        return self._jit_planes(
+            self.params, jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
+            jnp.asarray(thr),
+        )
+
     def bucket_for(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:
@@ -112,8 +173,11 @@ class DetectionEngine:
 
     def warmup(self, buckets: Optional[Sequence[int]] = None) -> float:
         """AOT-compile every batch bucket; returns total compile seconds."""
+        from fastdet_tpu.runtime import native_jpeg
+
         t0 = time.time()
         size = self.spec.image_size
+        warm_planes = size % 16 == 0 and native_jpeg.available()
         for b in buckets or self.buckets:
             imgs = np.zeros((b, size, size, 3), np.uint8)
             thr = np.full((b,), 0.1, np.float32)
@@ -121,6 +185,14 @@ class DetectionEngine:
             # device backends the first d2h transfer pays a large one-time
             # setup cost that must not land on the first real request
             self.fetch(self._jit(self.params, jnp.asarray(imgs), jnp.asarray(thr)), b)
+            if warm_planes:
+                y = np.zeros((b, size, size), np.uint8)
+                c = np.full((b, size // 2, size // 2), 128, np.uint8)
+                self.fetch(
+                    self._jit_planes(self.params, jnp.asarray(y), jnp.asarray(c),
+                                     jnp.asarray(c), jnp.asarray(thr)),
+                    b,
+                )
         dt = time.time() - t0
         logger.info(
             "engine warmup: %s buckets=%s in %.1fs", self.spec.name, self.buckets, dt
@@ -164,6 +236,50 @@ class DetectionEngine:
         # are discarded in fetch().
         thr[n:] = 2.0  # above any possible score -> empty result, less NMS work
         return self._jit(self.params, jnp.asarray(batch), jnp.asarray(thr))
+
+    def detect_async_jpeg(
+        self, jpegs: Sequence[bytes], thresholds: Sequence[float]
+    ) -> Optional[jnp.ndarray]:
+        """Dispatch via the on-device (coefficient) decode path.
+
+        Returns None when the path doesn't apply (native lib missing, or
+        any frame isn't a 3-component 4:2:0 JPEG at the model size) —
+        caller then decodes on host and uses detect_async.
+        """
+        from fastdet_tpu.runtime import native_jpeg
+
+        n = len(jpegs)
+        assert 0 < n <= self.max_batch, n
+        size = self.spec.image_size
+        if size % 16 != 0 or not native_jpeg.available():
+            return None
+        try:
+            cis = [native_jpeg.decode_coefficients(d) for d in jpegs]
+        except (ValueError, native_jpeg.NativeJpegUnavailable):
+            return None
+        for ci in cis:
+            if not ci.is_420 or (ci.width, ci.height) != (size, size):
+                return None
+        b = self.bucket_for(n)
+        yb, cb = (size // 8) ** 2, (size // 16) ** 2
+        ycoef = np.zeros((b, yb, 64), np.int16)
+        cbcoef = np.zeros((b, cb, 64), np.int16)
+        crcoef = np.zeros((b, cb, 64), np.int16)
+        qy = np.ones((b, 64), np.float32)
+        qc = np.ones((b, 64), np.float32)
+        for i, ci in enumerate(cis):
+            ycoef[i] = ci.ycoef
+            cbcoef[i] = ci.cbcoef
+            crcoef[i] = ci.crcoef
+            qy[i] = ci.qy
+            qc[i] = ci.qc
+        thr = np.full((b,), 2.0, np.float32)
+        thr[:n] = np.asarray(thresholds, np.float32)
+        return self._jit_coeffs(
+            self.params, jnp.asarray(ycoef), jnp.asarray(cbcoef),
+            jnp.asarray(crcoef), jnp.asarray(qy), jnp.asarray(qc),
+            jnp.asarray(thr),
+        )
 
     def fetch(self, res: jnp.ndarray, n: int) -> List[List[ResultTuple]]:
         """Block on device results and convert the first n images.

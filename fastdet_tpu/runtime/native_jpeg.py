@@ -26,9 +26,27 @@ class NativeJpegUnavailable(RuntimeError):
     pass
 
 
+def _try_build() -> None:
+    """Build the library from source on first use (the .so is not
+    committed). Cheap no-op if sources or a toolchain are missing."""
+    import subprocess
+
+    src_dir = os.path.dirname(_LIB_PATH)
+    if not os.path.exists(os.path.join(src_dir, "fd_jpeg.cpp")):
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", src_dir], capture_output=True, timeout=120, check=False
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        pass
+
+
 def _load() -> ctypes.CDLL:
     global _lib
     if _lib is None:
+        if not os.path.exists(_LIB_PATH):
+            _try_build()
         if not os.path.exists(_LIB_PATH):
             raise NativeJpegUnavailable(
                 f"{_LIB_PATH} not built (run: make -C native/jpeg)"
@@ -44,6 +62,25 @@ def _load() -> ctypes.CDLL:
         lib.fd_jpeg_decode_rgb.argtypes = [
             ctypes.c_char_p, ctypes.c_long,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ]
+        lib.fd_jpeg_scan_info.restype = ctypes.c_int
+        lib.fd_jpeg_scan_info.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.fd_jpeg_planes420.restype = ctypes.c_int
+        lib.fd_jpeg_planes420.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ]
+        lib.fd_jpeg_coefficients.restype = ctypes.c_int
+        lib.fd_jpeg_coefficients.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint16),
         ]
         _lib = lib
     return _lib
@@ -67,6 +104,89 @@ def info(data: bytes) -> Tuple[int, int, int]:
     if rc != 0:
         raise ValueError(f"fd_jpeg_info failed: rc={rc}")
     return w.value, h.value, c.value
+
+
+class CoeffImage:
+    """Entropy-decoded JPEG: per-component int16 coefficient planes.
+
+    The host half of the on-device decode path (ops/jpeg_device.py).
+    ``ycoef``/``cbcoef``/``crcoef`` are (num_blocks, 64) int16, natural
+    frequency order; ``qy``/``qc`` the (64,) quant tables.
+    """
+
+    __slots__ = ("width", "height", "hmax", "vmax", "ycoef", "cbcoef",
+                 "crcoef", "qy", "qc")
+
+    def __init__(self, width, height, hmax, vmax, ycoef, cbcoef, crcoef, qy, qc):
+        self.width = width
+        self.height = height
+        self.hmax = hmax
+        self.vmax = vmax
+        self.ycoef = ycoef
+        self.cbcoef = cbcoef
+        self.crcoef = crcoef
+        self.qy = qy
+        self.qc = qc
+
+    @property
+    def is_420(self) -> bool:
+        return self.hmax == 2 and self.vmax == 2 and self.cbcoef is not None
+
+
+def decode_coefficients(data: bytes) -> CoeffImage:
+    """Entropy-decode only (the serial part); the rest runs on device."""
+    lib = _load()
+    info = (ctypes.c_int * 13)()
+    rc = lib.fd_jpeg_scan_info(data, len(data), info)
+    if rc != 0:
+        raise ValueError(f"fd_jpeg_scan_info failed: rc={rc}")
+    w, h, ncomp = info[0], info[1], info[2]
+    if ncomp != 3:
+        raise ValueError("coefficient path supports 3-component JPEGs only")
+    planes = []
+    for i in range(3):
+        bw, bh = info[5 + 2 * i], info[6 + 2 * i]
+        planes.append(np.zeros((bh * bw, 64), np.int16))
+    q = np.zeros((4, 64), np.uint16)
+    rc = lib.fd_jpeg_coefficients(
+        data, len(data),
+        planes[0].ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), planes[0].size,
+        planes[1].ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), planes[1].size,
+        planes[2].ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), planes[2].size,
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    if rc != 0:
+        raise ValueError(f"fd_jpeg_coefficients failed: rc={rc}")
+    return CoeffImage(
+        width=w, height=h, hmax=info[3], vmax=info[4],
+        ycoef=planes[0], cbcoef=planes[1], crcoef=planes[2],
+        qy=q[info[11]].astype(np.float32), qc=q[info[12]].astype(np.float32),
+    )
+
+
+def decode_planes420(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a 4:2:0 JPEG to raw planes: Y (H,W), Cb/Cr (H/2,W/2) uint8.
+
+    Host does Huffman+IDCT; upsample/color run on device. Shipping the
+    subsampled planes is 1.5 B/px vs 3 B/px for RGB888 — half the
+    host->device transfer. Raises ValueError for non-4:2:0/odd sizes.
+    """
+    lib = _load()
+    w, h, ncomp = info(data)
+    if ncomp != 3 or w % 16 or h % 16:
+        raise ValueError("planes420 path requires 3-component 4:2:0, size %16==0")
+    y = np.empty((h, w), np.uint8)
+    cb = np.empty((h // 2, w // 2), np.uint8)
+    cr = np.empty((h // 2, w // 2), np.uint8)
+    rc = lib.fd_jpeg_planes420(
+        data, len(data),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), y.size,
+        cb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cb.size,
+        cr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cr.size,
+    )
+    if rc != 0:
+        raise ValueError(f"fd_jpeg_planes420 failed: rc={rc}")
+    return y, cb, cr
 
 
 def decode_rgb(data: bytes) -> np.ndarray:

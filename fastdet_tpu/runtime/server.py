@@ -90,6 +90,38 @@ class ModelService:
                 except asyncio.QueueEmpty:
                     break
 
+            # Fast path: 4:2:0 plane ingest (half the h2d bytes; host does
+            # only Huffman+IDCT in the native decoder). All-or-nothing per
+            # batch; falls through to per-item pixel decode otherwise.
+            t_try = time.perf_counter()
+            futs_all = [it[2] for it in batch]
+            try:
+                res = await loop.run_in_executor(
+                    None,
+                    self.engine.detect_async_planes,
+                    [it[0] for it in batch],
+                    [it[1] for it in batch],
+                )
+            except Exception:
+                res = None
+            if res is not None:
+                try:
+                    results = await loop.run_in_executor(
+                        None, self.engine.fetch, res, len(batch)
+                    )
+                except Exception as e:
+                    for fut in futs_all:
+                        if not fut.done():
+                            fut.set_exception(e)
+                    continue
+                STAGES.record("infer_batch", time.perf_counter() - t_try)
+                self.batches += 1
+                self.frames += len(batch)
+                for fut, r in zip(futs_all, results):
+                    if not fut.done():
+                        fut.set_result(r)
+                continue
+
             # Host JPEG decode on the executor (libjpeg releases the GIL).
             def _decode(item):
                 jpeg_bytes, thr, _ = item

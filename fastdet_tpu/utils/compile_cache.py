@@ -16,6 +16,14 @@ def enable_compile_cache(path: str = _DEFAULT_DIR) -> None:
     import jax
 
     try:
+        backend = jax.default_backend()
+        if backend == "cpu":
+            # CPU AOT artifacts bake in host machine features; under this
+            # machine's remote-compile plugin the compiling host differs
+            # from the executing host, and stale artifacts can SIGILL.
+            # The cache only pays off for the (remote) TPU backend anyway.
+            return
+        path = os.path.join(path, backend)
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -482,7 +482,181 @@ struct Decoder {
 
 }  // namespace
 
+namespace {
+
+// Entropy-decode only: emit raw (not dequantized) coefficients per
+// component in natural (row-major frequency) order, block-raster order.
+// This is the host half of the TPU-side JPEG pipeline: the device does
+// dequant + IDCT + upsample + color (fastdet_tpu/ops/jpeg_device.py).
+int decode_coefficients(Decoder& d, int16_t* out[3], const long cap[3]) {
+  int hmax = 1, vmax = 1;
+  for (int i = 0; i < d.ncomp; ++i) {
+    if (d.comp[i].hs > hmax) hmax = d.comp[i].hs;
+    if (d.comp[i].vs > vmax) vmax = d.comp[i].vs;
+  }
+  int mcux = (d.width + 8 * hmax - 1) / (8 * hmax);
+  int mcuy = (d.height + 8 * vmax - 1) / (8 * vmax);
+  long written[3] = {0, 0, 0};
+  long bw[3], bh[3];
+  for (int i = 0; i < d.ncomp; ++i) {
+    bw[i] = (long)mcux * d.comp[i].hs;
+    bh[i] = (long)mcuy * d.comp[i].vs;
+    if (bw[i] * bh[i] * 64 > cap[i]) return ERR_CAPACITY;
+  }
+  BitReader br(d.data + d.scan_offset, d.data + d.n);
+  int32_t blk[64];
+  int mcu_count = 0;
+  for (int my = 0; my < mcuy; ++my) {
+    for (int mx = 0; mx < mcux; ++mx) {
+      if (d.restart_interval && mcu_count == d.restart_interval) {
+        br.reset_at_restart();
+        const uint8_t* p = br.p;
+        while (p + 1 < d.data + d.n &&
+               !(p[0] == 0xFF && p[1] >= 0xD0 && p[1] <= 0xD7))
+          ++p;
+        if (p + 1 < d.data + d.n) br.p = p + 2;
+        for (int i = 0; i < d.ncomp; ++i) d.comp[i].dc_pred = 0;
+        mcu_count = 0;
+      }
+      for (int ci = 0; ci < d.ncomp; ++ci) {
+        Component& c = d.comp[ci];
+        for (int by = 0; by < c.vs; ++by) {
+          for (int bx = 0; bx < c.hs; ++bx) {
+            int rc = d.decode_block(br, c, blk);
+            if (rc) return rc;
+            long bxx = (long)mx * c.hs + bx;
+            long byy = (long)my * c.vs + by;
+            int16_t* dst = out[ci] + (byy * bw[ci] + bxx) * 64;
+            for (int i = 0; i < 64; ++i) dst[i] = (int16_t)blk[i];
+            written[ci] += 64;
+          }
+        }
+      }
+      ++mcu_count;
+    }
+  }
+  (void)written;
+  return 0;
+}
+
+}  // namespace
+
 extern "C" {
+
+// Scan geometry for the coefficient API. info layout (13 ints):
+// [w, h, ncomp, hmax, vmax,
+//  bw0, bh0, bw1, bh1, bw2, bh2,   (coefficient blocks per component)
+//  tq0, tq1]                        (quant table index of comp0 / comp1)
+int fd_jpeg_scan_info(const uint8_t* data, long n, int* info) {
+  Decoder d{data, n};
+  int rc = d.parse_headers();
+  if (rc) return rc;
+  int hmax = 1, vmax = 1;
+  for (int i = 0; i < d.ncomp; ++i) {
+    if (d.comp[i].hs > hmax) hmax = d.comp[i].hs;
+    if (d.comp[i].vs > vmax) vmax = d.comp[i].vs;
+  }
+  int mcux = (d.width + 8 * hmax - 1) / (8 * hmax);
+  int mcuy = (d.height + 8 * vmax - 1) / (8 * vmax);
+  info[0] = d.width;
+  info[1] = d.height;
+  info[2] = d.ncomp;
+  info[3] = hmax;
+  info[4] = vmax;
+  for (int i = 0; i < 3; ++i) {
+    if (i < d.ncomp) {
+      info[5 + 2 * i] = mcux * d.comp[i].hs;
+      info[6 + 2 * i] = mcuy * d.comp[i].vs;
+    } else {
+      info[5 + 2 * i] = info[6 + 2 * i] = 0;
+    }
+  }
+  info[11] = d.ncomp > 0 ? d.comp[0].tq : 0;
+  info[12] = d.ncomp > 1 ? d.comp[1].tq : 0;
+  return 0;
+}
+
+// Entropy-decode into caller-allocated int16 coefficient planes (natural
+// frequency order within each 64-coeff block, blocks in raster order at
+// the component's block resolution from fd_jpeg_scan_info). qtabs:
+// 4*64 uint16, natural order.
+int fd_jpeg_coefficients(const uint8_t* data, long n,
+                         int16_t* c0, long cap0,
+                         int16_t* c1, long cap1,
+                         int16_t* c2, long cap2,
+                         uint16_t* qtabs) {
+  Decoder d{data, n};
+  int rc = d.parse_headers();
+  if (rc) return rc;
+  int16_t* out[3] = {c0, c1, c2};
+  const long cap[3] = {cap0, cap1, cap2};
+  rc = decode_coefficients(d, out, cap);
+  if (rc) return rc;
+  for (int t = 0; t < 4; ++t)
+    for (int i = 0; i < 64; ++i) qtabs[t * 64 + i] = d.qtab[t][i];
+  return 0;
+}
+
+// Decode to raw 4:2:0 planes (no upsample, no color convert): Y at full
+// resolution, Cb/Cr at half. The device does upsample+color+normalize
+// (fastdet_tpu/ops/jpeg_device.py), and shipping subsampled planes halves
+// the host->device bytes vs RGB888 (1.5 B/px vs 3 B/px).
+// Requires a 3-component image with 2x2 subsampling on both chroma
+// components and dimensions divisible by 16.
+int fd_jpeg_planes420(const uint8_t* data, long n,
+                      uint8_t* yout, long ycap,
+                      uint8_t* cbout, long cbcap,
+                      uint8_t* crout, long crcap) {
+  Decoder d{data, n};
+  int rc = d.parse_headers();
+  if (rc) return rc;
+  if (d.ncomp != 3 || d.width % 16 || d.height % 16) return ERR_UNSUPPORTED;
+  if (d.comp[0].hs != 2 || d.comp[0].vs != 2 || d.comp[1].hs != 1 ||
+      d.comp[1].vs != 1 || d.comp[2].hs != 1 || d.comp[2].vs != 1)
+    return ERR_UNSUPPORTED;
+  long w = d.width, h = d.height;
+  if (w * h > ycap || (w / 2) * (h / 2) > cbcap || (w / 2) * (h / 2) > crcap)
+    return ERR_CAPACITY;
+
+  int mcux = (int)(w / 16), mcuy = (int)(h / 16);
+  BitReader br(d.data + d.scan_offset, d.data + d.n);
+  int32_t blk[64];
+  uint8_t pix[64];
+  int mcu_count = 0;
+  uint8_t* outs[3] = {yout, cbout, crout};
+  long strides[3] = {w, w / 2, w / 2};
+  for (int my = 0; my < mcuy; ++my) {
+    for (int mx = 0; mx < mcux; ++mx) {
+      if (d.restart_interval && mcu_count == d.restart_interval) {
+        br.reset_at_restart();
+        const uint8_t* p = br.p;
+        while (p + 1 < d.data + d.n &&
+               !(p[0] == 0xFF && p[1] >= 0xD0 && p[1] <= 0xD7))
+          ++p;
+        if (p + 1 < d.data + d.n) br.p = p + 2;
+        for (int i = 0; i < 3; ++i) d.comp[i].dc_pred = 0;
+        mcu_count = 0;
+      }
+      for (int ci = 0; ci < 3; ++ci) {
+        Component& c = d.comp[ci];
+        for (int by = 0; by < c.vs; ++by) {
+          for (int bx = 0; bx < c.hs; ++bx) {
+            int rc2 = d.decode_block(br, c, blk);
+            if (rc2) return rc2;
+            idct8x8(blk, d.qtab[c.tq], pix, 8);
+            long px = ((long)mx * c.hs + bx) * 8;
+            long py = ((long)my * c.vs + by) * 8;
+            uint8_t* dst = outs[ci] + py * strides[ci] + px;
+            for (int r = 0; r < 8; ++r)
+              memcpy(dst + r * strides[ci], pix + r * 8, 8);
+          }
+        }
+      }
+      ++mcu_count;
+    }
+  }
+  return 0;
+}
 
 int fd_jpeg_info(const uint8_t* data, long n, int* w, int* h, int* comps) {
   Decoder d{data, n};

@@ -1,0 +1,90 @@
+"""4:2:0 plane ingest path: parity and serving integration."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from tests.conftest import REPO_ROOT
+from fastdet_tpu.models import weights
+from fastdet_tpu.runtime import jpeg
+from fastdet_tpu.runtime.engine import DetectionEngine
+
+
+@pytest.fixture(scope="module")
+def native_ready():
+    from fastdet_tpu.runtime import native_jpeg
+
+    if not native_jpeg.available():
+        pytest.skip("native jpeg library unavailable")
+    return native_jpeg
+
+
+@pytest.fixture(scope="module")
+def engine():
+    spec, params = weights.load_model("synthetic:tiny", num_classes=80)
+    return DetectionEngine(spec, params, mode="f32", buckets=(1, 2))
+
+
+def _jpeg(seed):
+    rng = np.random.RandomState(seed)
+    img = np.kron(rng.randint(0, 255, (52, 52, 3), np.uint8),
+                  np.ones((8, 8, 1), np.uint8))
+    return jpeg.encode_rgb(img, 90)
+
+
+def test_planes_match_native_full_decode(native_ready):
+    """Device upsample+color on host planes == native full decode, exactly
+    (same IDCT, same integer triangle filter, same color constants)."""
+    import jax.numpy as jnp
+
+    from fastdet_tpu.ops import jpeg_device
+
+    data = _jpeg(0)
+    y, cb, cr = native_ready.decode_planes420(data)
+    cbu = jpeg_device.upsample2x_triangle(jnp.asarray(cb, jnp.float32))
+    cru = jpeg_device.upsample2x_triangle(jnp.asarray(cr, jnp.float32))
+    rgb01 = jpeg_device.ycbcr_to_rgb01(jnp.asarray(y, jnp.float32), cbu, cru)
+    dev = np.asarray(rgb01 * 255).round().astype(int)
+    ref = native_ready.decode_rgb(data).astype(int)
+    # <=1: only round-half convention differs (jnp half-even vs C++ +0.5)
+    assert np.abs(dev - ref).max() <= 1
+
+
+def test_engine_planes_path(engine, native_ready):
+    datas = [_jpeg(1), _jpeg(2)]
+    res = engine.detect_async_planes(datas, [0.5, 0.5])
+    assert res is not None
+    got = engine.fetch(res, 2)
+    for g in got:
+        for k, c, *_ in g:
+            assert 1 <= k <= 80 and c >= 0.5
+
+
+def test_engine_planes_rejects_wrong_size(engine, native_ready):
+    data = jpeg.encode_rgb(np.zeros((224, 224, 3), np.uint8))
+    assert engine.detect_async_planes([data], [0.5]) is None
+
+
+def test_server_uses_planes_path(native_ready):
+    """End-to-end through the serving runtime: batcher takes the plane
+    fast path and the response still matches the engine's direct output."""
+    from tests.test_server import ServerThread
+    from fastdet_tpu.runtime.client import DetectClient
+    from fastdet_tpu.runtime.server import ModelService
+
+    spec, params = weights.load_model("synthetic:tiny", num_classes=80)
+    engine = DetectionEngine(spec, params, mode="f32", buckets=(1, 2))
+    engine.warmup()
+    svc = ModelService(engine, name="tiny")
+    with ServerThread({"tiny": svc}) as st:
+        c = DetectClient("127.0.0.1", st.port, "tiny")
+        c.open()
+        data = _jpeg(3)
+        c.request(1, 0.5, data)
+        msec, records = c.wait_response(1, timeout=30)
+        c.close()
+    direct = engine.fetch(engine.detect_async_planes([data], [0.5]), 1)[0]
+    assert len(records) == len(direct)
+    for rec, d in zip(records, direct):
+        assert rec[0] == d[0] and rec[1] == int(d[1] * 255)
