@@ -124,6 +124,7 @@ class ObjectDetector:
         for reqid in expired:
             del self._pending[reqid]
             logger.info("request timeout: %d", reqid)
+            self._request_timed_out(reqid)
             if self.on_timeout is not None:
                 self.on_timeout(reqid)
 
@@ -139,6 +140,9 @@ class ObjectDetector:
         raise NotImplementedError
 
     def _drain(self) -> None:
+        pass
+
+    def _request_timed_out(self, reqid: int) -> None:
         pass
 
     # -- shared result plumbing -------------------------------------------
@@ -200,34 +204,74 @@ class DummyDetector(ObjectDetector):
 
 
 class RemoteDetector(ObjectDetector):
-    """Streams frames to a fastdet server (rtsp://host[:port]/path)."""
+    """Streams frames to a fastdet server (rtsp://host[:port]/path).
 
-    def __init__(self, url: str, names=None, jpeg_quality: int = 90):
+    Elastic recovery beyond the reference (which never reconnects): after
+    ``RECONNECT_AFTER`` consecutive request timeouts the session is torn
+    down and re-established (fresh FEED handshake + UDP endpoint), so a
+    restarted server picks the stream back up without app involvement.
+    """
+
+    RECONNECT_AFTER = 3
+
+    def __init__(self, url: str, names=None, jpeg_quality: int = 90,
+                 auto_reconnect: bool = True):
         super().__init__(names)
         if not url.startswith("rtsp://"):
             raise ValueError(f"bad url: {url!r}")
         hostport, _, path = url[7:].partition("/")
         host, _, port = hostport.partition(":")
+        self._addr = (host or "localhost", int(port) if port else 10000,
+                      path or "detect")
+        self.jpeg_quality = jpeg_quality
+        self.auto_reconnect = auto_reconnect
+        self._timeout_streak = 0
+        self.reconnects = 0
+        self.client = self._connect()
+
+    def _connect(self):
         from fastdet_tpu.runtime.client import DetectClient
 
-        self.client = DetectClient(host or "localhost",
-                                   int(port) if port else 10000,
-                                   path or "detect")
-        self.client.open()
-        self.jpeg_quality = jpeg_quality
+        client = DetectClient(*self._addr)
+        client.open()
+        return client
 
     def _submit(self, reqid, frame416, threshold):
         from fastdet_tpu.runtime import jpeg
 
-        self.client.request(reqid, threshold, jpeg.encode_rgb(frame416, self.jpeg_quality))
+        try:
+            self.client.request(
+                reqid, threshold, jpeg.encode_rgb(frame416, self.jpeg_quality)
+            )
+        except OSError:
+            pass  # counted as a timeout; reconnect logic recovers
 
     def _drain(self):
-        self.client.poll(0)
+        try:
+            self.client.poll(0)
+        except OSError:
+            return
         for reqid in list(self.client.responses):
             msec, records = self.client.responses.pop(reqid)
             raw = [(k, c255 / 255.0, x, y, w, h)
                    for (k, c255, x, y, w, h) in records]
+            self._timeout_streak = 0
             self._deliver(reqid, msec / 1000.0, raw)
+
+    def _request_timed_out(self, reqid):
+        self._timeout_streak += 1
+        if self.auto_reconnect and self._timeout_streak >= self.RECONNECT_AFTER:
+            logger.warning("reconnecting after %d timeouts", self._timeout_streak)
+            self._timeout_streak = 0
+            try:
+                self.client.close()
+            except OSError:
+                pass
+            try:
+                self.client = self._connect()
+                self.reconnects += 1
+            except OSError as e:
+                logger.error("reconnect failed: %s", e)
 
     def close(self):
         self.client.close()

@@ -57,12 +57,16 @@ class DetectClient:
         self.reasm._expected = None  # accept the server's first seqno
 
     def request(self, reqid: int, threshold: float, jpeg: bytes) -> None:
+        if self.sock_udp is None:
+            raise OSError("client is closed")
         payload = wire.DetectRequest(reqid, threshold, jpeg).pack()
         for frame in self.sender.frames(payload):
             self.sock_udp.sendto(frame, (self.host, self.rtp_port))
 
     def poll(self, timeout: float = 0.0) -> None:
         """Drain pending datagrams; parsed responses land in .responses."""
+        if self.sock_udp is None:
+            raise OSError("client is closed")
         r, _, _ = select.select([self.sock_udp], [], [], timeout)
         if not r:
             return

@@ -277,6 +277,7 @@ class ControlConnection(asyncio.Protocol):
     def connection_made(self, transport) -> None:
         self.transport = transport
         self.peer = transport.get_extra_info("peername")
+        self.server.connections.add(self)
         logger.info("accept: %s", self.peer)
 
     def data_received(self, data: bytes) -> None:
@@ -298,6 +299,7 @@ class ControlConnection(asyncio.Protocol):
 
     def connection_lost(self, exc) -> None:
         logger.info("closed: %s", self.peer)
+        self.server.connections.discard(self)
         if self.session is not None:
             self.server.drop_session(self.session)
             self.session = None
@@ -354,8 +356,24 @@ class DetectionServer:
         self.host = host
         self.dbgout = dbgout
         self.sessions: List[DetectSession] = []
+        self.connections: set = set()          # live ControlConnections
         self._tcp_server: Optional[asyncio.AbstractServer] = None
         self.bound_port: Optional[int] = None  # set once listening (port=0 ok)
+
+    def request_shutdown(self) -> None:
+        """Abort live control connections and stop listening.
+
+        MUST run before cancelling the serve task: py3.12's
+        Server.serve_forever() awaits wait_closed() on cancellation, which
+        blocks until every open connection handler finishes — so a client
+        holding its control TCP open would keep the server (and its UDP
+        sessions) alive forever.
+        """
+        for conn in list(self.connections):
+            if conn.transport is not None:
+                conn.transport.abort()
+        if self._tcp_server is not None:
+            self._tcp_server.close()
 
     def drop_session(self, session: DetectSession) -> None:
         session.close()
@@ -386,10 +404,10 @@ class DetectionServer:
         if ready is not None:
             ready.set()
         try:
-            async with self._tcp_server:
-                await self._tcp_server.serve_forever()
+            await self._tcp_server.serve_forever()
         finally:
             reaper.cancel()
+            self.request_shutdown()
             for svc in self.services.values():
                 svc.stop()
             for s in list(self.sessions):

@@ -57,11 +57,15 @@ class ServerThread:
 
     def __exit__(self, *exc):
         def _stop():
+            # abort connections first: serve_forever's cancellation path
+            # awaits wait_closed(), which hangs while clients hold TCP open
+            self.server.request_shutdown()
             for task in asyncio.all_tasks(self.loop):
                 task.cancel()
 
         self.loop.call_soon_threadsafe(_stop)
         self.thread.join(timeout=5)
+        assert not self.thread.is_alive(), "server loop failed to shut down"
 
     @property
     def port(self):
