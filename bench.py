@@ -185,9 +185,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--baseline", action="store_true",
                     help="measure the torch-CPU anchor and write bench_baseline.json")
-    ap.add_argument("--frames", type=int, default=256)
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--inflight", type=int, default=4)
+    # defaults = best measured config on the tunneled v5e-1 (see git log:
+    # 40 f/s @ b8/if4 pixels -> 47 @ b32/if8 -> 82.6 @ b16/if8 planes)
+    ap.add_argument("--frames", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--inflight", type=int, default=8)
     args = ap.parse_args()
 
     if args.baseline:
