@@ -181,16 +181,157 @@ def bench_baseline_cpu(frames: int = 8):
     return fps, float(np.percentile(lat, 50))
 
 
+def bench_all(frames: int = 128):
+    """The full BASELINE.md config matrix; writes BENCH_DETAIL.json.
+
+    1. yolov3-tiny single-image detect (p50 + fps)
+    2. yolov3-full single-image + batched throughput (the headline)
+    3. rsu-9 variant on the committed fixtures
+    4. server streaming: full + rsu endpoints, sequential protocol client
+    5. multi-client concurrent streams with cross-client batching
+    """
+    import threading
+
+    from fastdet_tpu.models import weights, yolov3
+    from fastdet_tpu.runtime import jpeg
+    from fastdet_tpu.runtime.client import DetectClient
+    from fastdet_tpu.runtime.engine import DetectionEngine
+    from fastdet_tpu.runtime.server import DetectionServer, ModelService
+
+    detail = {}
+    fixtures = [open(os.path.join(REPO, "testdata", f"scene{i}.jpg"), "rb").read()
+                for i in (1, 2, 3)]
+
+    def mk_engine(arch, classes, buckets):
+        spec = yolov3.get_spec(arch, classes)
+        eng = DetectionEngine(spec, calibrated_params(spec), buckets=buckets)
+        eng.warmup()
+        return eng
+
+    def p50_fps(eng, n=40):
+        lat = []
+        for i in range(n):
+            t0 = time.time()
+            res = eng.detect_async_planes([fixtures[i % 3]], [BENCH_THRESHOLD])
+            if res is None:
+                img = jpeg.decode_rgb(fixtures[i % 3])
+                res = eng.detect_async([img], [BENCH_THRESHOLD])
+            eng.fetch(res, 1)
+            lat.append(time.time() - t0)
+        return float(np.percentile(lat, 50) * 1000), 1.0 / float(np.mean(lat))
+
+    # 1-3: per-model single-image configs
+    engines = {}
+    for key, arch, classes in (("tiny80", "tiny", 80), ("full80", "full", 80),
+                               ("rsu9", "full", 9)):
+        eng = mk_engine(arch, classes, (1, 8))
+        engines[key] = eng
+        p50, fps1 = p50_fps(eng)
+        detail[key + "_single"] = {"p50_ms": round(p50, 1),
+                                   "fps_single_stream": round(fps1, 1)}
+
+    # 2b: full batched throughput (same methodology as the headline)
+    eng = engines["full80"]
+    pending = []
+    done = 0
+    i = 0
+    t0 = time.time()
+    while done < frames:
+        while len(pending) < 6 and i * 8 < frames:
+            bj = [fixtures[(i * 8 + j) % 3] for j in range(8)]
+            res = eng.detect_async_planes(bj, [BENCH_THRESHOLD] * 8)
+            if res is None:
+                res = eng.detect_async([jpeg.decode_rgb(d) for d in bj],
+                                       [BENCH_THRESHOLD] * 8)
+            pending.append(res)
+            i += 1
+        eng.fetch(pending.pop(0), 8)
+        done += 8
+    detail["full80_batched_fps"] = round(frames / (time.time() - t0), 1)
+
+    # 4-5: serving through the real protocol stack
+    import asyncio
+
+    services = {"full": ModelService(engines["full80"], name="full"),
+                "rsu": ModelService(engines["rsu9"], name="rsu")}
+    server = DetectionServer(services, port=0, host="127.0.0.1")
+    loop = asyncio.new_event_loop()
+    th = threading.Thread(
+        target=lambda: (asyncio.set_event_loop(loop),
+                        loop.run_until_complete(server.serve())),
+        daemon=True)
+    th.start()
+    while server.bound_port is None:
+        time.sleep(0.01)
+
+    # sequential streaming against both endpoints
+    for path in ("full", "rsu"):
+        c = DetectClient("127.0.0.1", server.bound_port, path)
+        c.open()
+        lat = []
+        for reqid in range(1, 21):
+            t0 = time.time()
+            c.request(reqid, BENCH_THRESHOLD, fixtures[reqid % 3])
+            c.wait_response(reqid, timeout=30)
+            lat.append(time.time() - t0)
+        c.close()
+        detail[f"server_{path}_seq_p50_ms"] = round(
+            float(np.percentile(lat, 50)) * 1000, 1)
+
+    # concurrent clients -> cross-client batching on 'full'
+    n_clients, per_client = 8, 12
+    t_start = time.time()
+    errs = []
+
+    def client_task(ci):
+        try:
+            c = DetectClient("127.0.0.1", server.bound_port, "full")
+            c.open()
+            for reqid in range(1, per_client + 1):
+                c.request(reqid, BENCH_THRESHOLD, fixtures[(ci + reqid) % 3])
+                c.wait_response(reqid, timeout=60)
+            c.close()
+        except Exception as e:  # pragma: no cover
+            errs.append(repr(e))
+
+    ts = [threading.Thread(target=client_task, args=(i,)) for i in range(n_clients)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    wall = time.time() - t_start
+    svc = services["full"]
+    detail["multiclient"] = {
+        "clients": n_clients,
+        "total_fps": round(n_clients * per_client / wall, 1),
+        "avg_batch": round(svc.frames / max(1, svc.batches), 2),
+        "errors": errs,
+    }
+    loop.call_soon_threadsafe(lambda: (server.request_shutdown(),
+                                       [t.cancel() for t in asyncio.all_tasks(loop)]))
+    th.join(timeout=5)
+
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fp:
+        json.dump(detail, fp, indent=1)
+    print(json.dumps(detail))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--baseline", action="store_true",
                     help="measure the torch-CPU anchor and write bench_baseline.json")
+    ap.add_argument("--all", action="store_true",
+                    help="run the full BASELINE config matrix -> BENCH_DETAIL.json")
     # defaults = best measured config on the tunneled v5e-1 (see git log:
     # 40 f/s @ b8/if4 pixels -> 47 @ b32/if8 -> 82.6 @ b16/if8 planes)
     ap.add_argument("--frames", type=int, default=512)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--inflight", type=int, default=8)
     args = ap.parse_args()
+
+    if args.all:
+        bench_all()
+        return
 
     if args.baseline:
         # the anchor is a HOST CPU measurement: force a clean CPU jax env

@@ -19,13 +19,10 @@ All loaders return *unfolded* parameter pytrees (BN separate); fold with
 
 from __future__ import annotations
 
-import io
 import json
-import os
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from fastdet_tpu.models import yolov3

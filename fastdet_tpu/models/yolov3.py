@@ -23,8 +23,8 @@ first (13x13, biggest anchors), per detector.py:96-106.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ loop nesting — so downstream tie-breaking matches.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -27,8 +27,6 @@ host-decode path within +-2 levels (IDCT rounding differences only).
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,7 @@ its sort, since pick scores are non-increasing).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

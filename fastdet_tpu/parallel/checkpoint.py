@@ -18,7 +18,6 @@ import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import numpy as np
 
 from fastdet_tpu.models import weights as weights_io
 from fastdet_tpu.models import yolov3

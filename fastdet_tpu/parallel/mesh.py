@@ -21,7 +21,7 @@ the shortest ICI hops.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import numpy as np

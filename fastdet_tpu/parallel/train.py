@@ -20,7 +20,6 @@ gradient psum over dp and the channel collectives over tp.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax

@@ -23,7 +23,6 @@ Engine properties:
 
 from __future__ import annotations
 
-import functools
 import logging
 import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -68,6 +67,7 @@ class DetectionEngine:
         max_det: int = postprocess.MAX_DET,
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         folded: bool = False,
+        devices: Optional[Sequence[jax.Device]] = None,
     ):
         from fastdet_tpu.utils.compile_cache import enable_compile_cache
 
@@ -77,13 +77,44 @@ class DetectionEngine:
         self.compute_dtype = _COMPUTE_DTYPES.get(mode, jnp.bfloat16)
         self.max_candidates = max_candidates
         self.max_det = max_det
-        self.buckets = tuple(sorted(buckets))
         self.params = params if folded else yolov3.fold_params(spec, params)
-        self.params = jax.device_put(self.params)
+
+        # Multi-chip serving: with >1 device, batches shard over a 'dp'
+        # mesh (params replicated — the model is tiny next to HBM) and the
+        # per-image pipeline runs SPMD; the cross-client batcher upstream
+        # is what fills the slice (BASELINE.json north star). Buckets are
+        # rounded up to multiples of the dp size so every chip gets equal
+        # work with no padding surprises.
+        devs = list(devices if devices is not None else jax.devices())
+        self.n_devices = len(devs)
+        if self.n_devices > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            self._mesh = Mesh(np.array(devs), axis_names=("dp",))
+            self._batch_sharding = NamedSharding(self._mesh, P("dp"))
+            rep = NamedSharding(self._mesh, P())
+            self.params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), self.params
+            )
+            buckets = sorted(
+                {max(b, self.n_devices) - (max(b, self.n_devices) % -self.n_devices)
+                 for b in buckets}
+            )
+        else:
+            self._mesh = None
+            self._batch_sharding = None
+            self.params = jax.device_put(self.params, devs[0])
+        self.buckets = tuple(sorted(buckets))
         self._jit = jax.jit(self._pipeline)
         self._jit_coeffs = jax.jit(self._pipeline_coeffs)
         self._jit_planes = jax.jit(self._pipeline_planes)
         self.max_batch = self.buckets[-1]
+
+    def _place(self, arr: np.ndarray):
+        """device_put a batch-major array with the dp sharding if any."""
+        if self._batch_sharding is not None:
+            return jax.device_put(arr, self._batch_sharding)
+        return jnp.asarray(arr)
 
     # The whole frame path as one XLA program. Returns ONE packed f32 array
     # (B, max_det, 7) = [x, y, w, h, score, klass, valid] so results reach
@@ -161,8 +192,8 @@ class DetectionEngine:
         thr = np.full((b,), 2.0, np.float32)
         thr[:n] = np.asarray(thresholds, np.float32)
         return self._jit_planes(
-            self.params, jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
-            jnp.asarray(thr),
+            self.params, self._place(y), self._place(cb), self._place(cr),
+            self._place(thr),
         )
 
     def bucket_for(self, n: int) -> int:
@@ -184,13 +215,13 @@ class DetectionEngine:
             # exercise the FULL path including the host fetch: on tunneled
             # device backends the first d2h transfer pays a large one-time
             # setup cost that must not land on the first real request
-            self.fetch(self._jit(self.params, jnp.asarray(imgs), jnp.asarray(thr)), b)
+            self.fetch(self._jit(self.params, self._place(imgs), self._place(thr)), b)
             if warm_planes:
                 y = np.zeros((b, size, size), np.uint8)
                 c = np.full((b, size // 2, size // 2), 128, np.uint8)
                 self.fetch(
-                    self._jit_planes(self.params, jnp.asarray(y), jnp.asarray(c),
-                                     jnp.asarray(c), jnp.asarray(thr)),
+                    self._jit_planes(self.params, self._place(y), self._place(c),
+                                     self._place(c), self._place(thr)),
                     b,
                 )
         dt = time.time() - t0
@@ -235,7 +266,7 @@ class DetectionEngine:
         # Padded slots run with threshold 0 on a zero image; their outputs
         # are discarded in fetch().
         thr[n:] = 2.0  # above any possible score -> empty result, less NMS work
-        return self._jit(self.params, jnp.asarray(batch), jnp.asarray(thr))
+        return self._jit(self.params, self._place(batch), self._place(thr))
 
     def detect_async_jpeg(
         self, jpegs: Sequence[bytes], thresholds: Sequence[float]
@@ -276,9 +307,9 @@ class DetectionEngine:
         thr = np.full((b,), 2.0, np.float32)
         thr[:n] = np.asarray(thresholds, np.float32)
         return self._jit_coeffs(
-            self.params, jnp.asarray(ycoef), jnp.asarray(cbcoef),
-            jnp.asarray(crcoef), jnp.asarray(qy), jnp.asarray(qc),
-            jnp.asarray(thr),
+            self.params, self._place(ycoef), self._place(cbcoef),
+            self._place(crcoef), self._place(qy), self._place(qc),
+            self._place(thr),
         )
 
     def fetch(self, res: jnp.ndarray, n: int) -> List[List[ResultTuple]]:

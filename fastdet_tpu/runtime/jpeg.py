@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import io
 import os
-from typing import Optional
-
 import numpy as np
 
 _BACKEND = os.environ.get("FASTDET_JPEG_BACKEND", "auto")

@@ -34,10 +34,9 @@ from __future__ import annotations
 
 import asyncio
 import logging
-import os
 import random
 import time
-from typing import Awaitable, Callable, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from fastdet_tpu import wire
 from fastdet_tpu.runtime.detector import Detector, DummyDetector

@@ -16,7 +16,6 @@ from typing import Any, Dict, List
 
 import numpy as np
 
-from fastdet_tpu.models import yolov3
 from fastdet_tpu.models.yolov3 import (
     Conv, MaxPool, ModelSpec, Route, Shortcut, Upsample, YoloHead,
 )
