@@ -120,10 +120,11 @@ struct BitReader {
 
   void consume(int n) { nbits -= n; }
 
-  int receive(int n) {            // read n raw bits
-    int v = 0;
-    for (int i = 0; i < n; ++i) v = (v << 1) | get_bit();
-    return v;
+  int receive(int n) {            // read n raw bits at once
+    if (n == 0) return 0;
+    if (nbits < n) fill();
+    nbits -= n;
+    return (int)((acc >> nbits) & ((1u << n) - 1));
   }
 
   void reset_at_restart() {
@@ -170,10 +171,17 @@ static const IdctTable kIdct;
 void idct8x8(const int32_t* in, const uint16_t* qt, uint8_t* out, int stride) {
   float blk[64], tmp[64];
   for (int i = 0; i < 64; ++i) blk[i] = (float)in[i] * (float)qt[i];
-  // rows: tmp[y][x] = sum_u blk[y][u] * T[u][x]
+  // rows: tmp[y][x] = sum_u blk[y][u] * T[u][x]. High-frequency rows are
+  // usually all-zero after quantization — skip them.
   for (int y = 0; y < 8; ++y) {
     const float* row = blk + y * 8;
     float* trow = tmp + y * 8;
+    bool zero = true;
+    for (int u = 0; u < 8; ++u) zero &= (row[u] == 0.0f);
+    if (zero) {
+      for (int x = 0; x < 8; ++x) trow[x] = 0.0f;
+      continue;
+    }
     for (int x = 0; x < 8; ++x) {
       float s = 0;
       for (int u = 0; u < 8; ++u) s += row[u] * kIdct.t[u][x];
@@ -190,6 +198,14 @@ void idct8x8(const int32_t* in, const uint16_t* qt, uint8_t* out, int stride) {
       out[y * stride + x] = (uint8_t)(iv < 0 ? 0 : (iv > 255 ? 255 : iv));
     }
   }
+}
+
+// DC-only block: the IDCT is a constant plane at DC*q[0]/8 + 128.
+inline void flat_block(int32_t dc, uint16_t q0, uint8_t* out, int stride) {
+  float val = (float)dc * (float)q0 * 0.125f + 128.0f;
+  int iv = (int)(val + 0.5f);
+  uint8_t v = (uint8_t)(iv < 0 ? 0 : (iv > 255 ? 255 : iv));
+  for (int r = 0; r < 8; ++r) memset(out + (long)r * stride, v, 8);
 }
 
 const int kZigzag[64] = {
@@ -305,7 +321,11 @@ struct Decoder {
     return scan_offset >= 0 ? 0 : ERR_TRUNCATED;
   }
 
-  int decode_block(BitReader& br, Component& c, int32_t* blk) {
+  // Returns 0 on error-free decode; *nonzero_ac reports whether any AC
+  // coefficient is set (enables the flat-block IDCT fast path — at
+  // typical web quality most chroma blocks are DC-only).
+  int decode_block(BitReader& br, Component& c, int32_t* blk,
+                   bool* nonzero_ac = nullptr) {
     memset(blk, 0, 64 * sizeof(int32_t));
     int t = decode_huff(br, hdc[c.td]);
     if (t < 0) return ERR_BAD_DATA;
@@ -313,6 +333,7 @@ struct Decoder {
     c.dc_pred += diff;
     blk[0] = c.dc_pred;
     int k = 1;
+    bool any_ac = false;
     const HuffTable& ac = hac[c.ta];
     while (k < 64) {
       int rs = decode_huff(br, ac);
@@ -325,8 +346,10 @@ struct Decoder {
       k += r;
       if (k > 63) return ERR_BAD_DATA;
       blk[kZigzag[k]] = extend(br.receive(s), s);
+      any_ac = true;
       ++k;
     }
+    if (nonzero_ac) *nonzero_ac = any_ac;
     return 0;
   }
 
@@ -369,12 +392,16 @@ struct Decoder {
           Component& c = comp[ci];
           for (int by = 0; by < c.vs; ++by) {
             for (int bx = 0; bx < c.hs; ++bx) {
-              int rc = decode_block(br, c, blk);
+              bool any_ac = false;
+              int rc = decode_block(br, c, blk, &any_ac);
               if (rc) return rc;
               int px = (mx * c.hs + bx) * 8;
               int py = (my * c.vs + by) * 8;
-              idct8x8(blk, qtab[c.tq],
-                      planes[ci].data() + (size_t)py * pw[ci] + px, pw[ci]);
+              uint8_t* dst = planes[ci].data() + (size_t)py * pw[ci] + px;
+              if (any_ac)
+                idct8x8(blk, qtab[c.tq], dst, pw[ci]);
+              else
+                flat_block(blk[0], qtab[c.tq][0], dst, pw[ci]);
             }
           }
         }
@@ -641,14 +668,19 @@ int fd_jpeg_planes420(const uint8_t* data, long n,
         Component& c = d.comp[ci];
         for (int by = 0; by < c.vs; ++by) {
           for (int bx = 0; bx < c.hs; ++bx) {
-            int rc2 = d.decode_block(br, c, blk);
+            bool any_ac = false;
+            int rc2 = d.decode_block(br, c, blk, &any_ac);
             if (rc2) return rc2;
-            idct8x8(blk, d.qtab[c.tq], pix, 8);
             long px = ((long)mx * c.hs + bx) * 8;
             long py = ((long)my * c.vs + by) * 8;
             uint8_t* dst = outs[ci] + py * strides[ci] + px;
-            for (int r = 0; r < 8; ++r)
-              memcpy(dst + r * strides[ci], pix + r * 8, 8);
+            if (any_ac) {
+              idct8x8(blk, d.qtab[c.tq], pix, 8);
+              for (int r = 0; r < 8; ++r)
+                memcpy(dst + r * strides[ci], pix + r * 8, 8);
+            } else {
+              flat_block(blk[0], d.qtab[c.tq][0], dst, strides[ci]);
+            }
           }
         }
       }
