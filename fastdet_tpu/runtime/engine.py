@@ -156,14 +156,30 @@ class DetectionEngine:
     # Ships 4:2:0 uint8 planes = 1.5 B/px, HALF the transfer of RGB888 —
     # the best bytes/frame of the three ingest paths.
     def _pipeline_planes(self, params, y, cb, cr, thresholds) -> jnp.ndarray:
+        import os
+
         from fastdet_tpu.ops import jpeg_device
 
-        def one(yp, cbp, crp):
-            cbu = jpeg_device.upsample2x_triangle(cbp.astype(jnp.float32))
-            cru = jpeg_device.upsample2x_triangle(crp.astype(jnp.float32))
-            return jpeg_device.ycbcr_to_rgb01(yp.astype(jnp.float32), cbu, cru)
+        # The fused Pallas ingest kernel (one VMEM pass, upsample as two
+        # banded MXU matmuls) is bit-identical to the XLA path and
+        # equal-or-faster on TPU; Mosaic doesn't target CPU, so CPU tests
+        # take the XLA path. FASTDET_PALLAS_INGEST=0/1 overrides.
+        flag = os.environ.get("FASTDET_PALLAS_INGEST", "auto")
+        use_pallas = (
+            flag == "1"
+            or (flag == "auto" and jax.default_backend() not in ("cpu",))
+        )
+        if use_pallas:
+            from fastdet_tpu.ops.pallas import plane_ingest
 
-        x = jax.vmap(one)(y, cb, cr)
+            x = plane_ingest.plane_ingest_batch(y, cb, cr)
+        else:
+            def one(yp, cbp, crp):
+                cbu = jpeg_device.upsample2x_triangle(cbp.astype(jnp.float32))
+                cru = jpeg_device.upsample2x_triangle(crp.astype(jnp.float32))
+                return jpeg_device.ycbcr_to_rgb01(yp.astype(jnp.float32), cbu, cru)
+
+            x = jax.vmap(one)(y, cb, cr)
         return self._postprocess_tail(params, x, thresholds)
 
     def detect_async_planes(
