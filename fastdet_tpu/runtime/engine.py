@@ -42,9 +42,27 @@ ResultTuple = Tuple[int, float, float, float, float, float]
 
 DEFAULT_BUCKETS = (1, 2, 4, 8)
 
+def _default_calibration_images(size: int, n: int = 8) -> np.ndarray:
+    """Smooth synthetic scenes for activation calibration when the caller
+    provides none (prefer real frames from the target camera)."""
+    rng = np.random.RandomState(0)
+    out = np.zeros((n, size, size, 3), np.uint8)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    for i in range(n):
+        img = np.stack([100 + 100 * yy, 90 + 110 * xx, 80 + 90 * (1 - yy) * xx], -1)
+        for _ in range(4):
+            x0, y0 = rng.randint(0, size * 3 // 4, 2)
+            w, h = rng.randint(size // 8, size // 3, 2)
+            img[y0:y0 + h, x0:x0 + w] = rng.randint(0, 255, 3)
+        img += rng.randn(size, size, 3) * 8
+        out[i] = np.clip(img, 0, 255).astype(np.uint8)
+    return out
+
+
 _COMPUTE_DTYPES = {
     "bf16": jnp.bfloat16,
     "f32": jnp.float32,
+    "int8": jnp.float32,   # inter-layer activations stay f32; convs are int8
     # Reference -m values map onto TPU execution modes (SURVEY.md §5 config
     # parity): the reference used them to pick ORT execution providers
     # (server/detector.py:110-118); we keep accepting them.
@@ -68,6 +86,7 @@ class DetectionEngine:
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         folded: bool = False,
         devices: Optional[Sequence[jax.Device]] = None,
+        calibration_images: Optional[np.ndarray] = None,
     ):
         from fastdet_tpu.utils.compile_cache import enable_compile_cache
 
@@ -78,6 +97,18 @@ class DetectionEngine:
         self.max_candidates = max_candidates
         self.max_det = max_det
         self.params = params if folded else yolov3.fold_params(spec, params)
+
+        if mode == "int8":
+            # Post-training quantization: per-channel int8 weights +
+            # statically calibrated activation scales -> ~1.5x conv
+            # throughput on the v5e int8 MXU (models/quantize.py).
+            from fastdet_tpu.models import quantize
+
+            calib = calibration_images
+            if calib is None:
+                calib = _default_calibration_images(spec.image_size)
+            scales = quantize.calibrate(spec, self.params, calib)
+            self.params = quantize.quantize_params(spec, self.params, scales)
 
         # Multi-chip serving: with >1 device, batches shard over a 'dp'
         # mesh (params replicated — the model is tiny next to HBM) and the
@@ -125,7 +156,12 @@ class DetectionEngine:
         return self._postprocess_tail(params, x, thresholds)
 
     def _postprocess_tail(self, params, x: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
-        heads = yolov3.apply(self.spec, params, x, compute_dtype=self.compute_dtype)
+        if self.mode == "int8":
+            from fastdet_tpu.models import quantize
+
+            heads = quantize.apply_int8(self.spec, params, x)
+        else:
+            heads = yolov3.apply(self.spec, params, x, compute_dtype=self.compute_dtype)
         fn = lambda t, *hs: postprocess.postprocess_image(
             hs, self.spec, t, self.max_candidates, self.max_det
         )

@@ -1,0 +1,88 @@
+"""int8 quantization: per-layer error bounds, calibration, engine mode."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fastdet_tpu.models import layers, quantize, weights, yolov3
+from fastdet_tpu.runtime.engine import DetectionEngine
+
+
+def test_single_conv_quantization_error_bound():
+    """One conv layer: int8 output within the analytic quantization bound
+    of the float output (realistic magnitudes)."""
+    rng = np.random.RandomState(0)
+    x = (rng.rand(2, 16, 16, 32).astype(np.float32) * 2 - 1) * 3.0
+    w = (rng.randn(3, 3, 32, 48).astype(np.float32)) * 0.1
+    b = rng.randn(48).astype(np.float32) * 0.1
+
+    ref = layers.conv_block({"w": jnp.asarray(w), "b": jnp.asarray(b)},
+                            jnp.asarray(x))
+
+    spec_like = yolov3.Conv(48, 3, 1, True, True, "conv0")
+    qp = {"conv0": {
+        "w_q": None, "w_scale": None, "b": jnp.asarray(b), "x_scale": None}}
+    w_scale = np.abs(w).max(axis=(0, 1, 2)) / 127.0
+    qp["conv0"]["w_q"] = jnp.asarray(
+        np.clip(np.round(w / w_scale), -127, 127).astype(np.int8))
+    qp["conv0"]["w_scale"] = jnp.asarray(w_scale)
+    qp["conv0"]["x_scale"] = jnp.float32(np.abs(x).max() / 127.0)
+
+    spec = yolov3.ModelSpec("t", 1, (spec_like, yolov3.YoloHead(0)),
+                            (((1, 1),) * 3,), image_size=16)
+    got = quantize.apply_int8(spec, qp, jnp.asarray(x))[0]
+
+    err = np.abs(np.asarray(got) - np.asarray(ref))
+    # quantization noise: ~ sqrt(K) * (dx*|w| + dw*|x|) per output; the
+    # empirical bound below is ~4x the observed error on this layer size
+    assert err.max() < 0.25, err.max()
+    rel = err.max() / (np.abs(np.asarray(ref)).max() + 1e-6)
+    assert rel < 0.02, rel
+
+
+def test_calibration_collects_every_bn_conv():
+    spec, params = weights.load_model("synthetic:tiny", num_classes=8)
+    folded = yolov3.fold_params(spec, params)
+    imgs = np.random.RandomState(1).randint(0, 255, (2, 416, 416, 3), np.uint8)
+    scales = quantize.calibrate(spec, folded, imgs)
+    bn_convs = [l.name for l in spec.layers
+                if isinstance(l, yolov3.Conv)]
+    assert set(scales) == set(bn_convs)
+    assert all(s > 0 for s in scales.values())
+
+
+def test_quantized_params_structure():
+    spec, params = weights.load_model("synthetic:tiny", num_classes=8)
+    folded = yolov3.fold_params(spec, params)
+    imgs = np.random.RandomState(1).randint(0, 255, (1, 416, 416, 3), np.uint8)
+    qp = quantize.quantize_params(spec, folded, quantize.calibrate(spec, folded, imgs))
+    head = [l.name for l in spec.layers
+            if isinstance(l, yolov3.Conv) and not l.bn]
+    for name, p in qp.items():
+        if name in head:
+            assert "w" in p and "w_q" not in p   # float head
+        else:
+            assert p["w_q"].dtype == jnp.int8
+            assert p["w_scale"].shape == (p["w_q"].shape[-1],)
+
+
+def test_int8_engine_end_to_end():
+    """int8 engine runs the full pipeline and produces sane results that
+    correlate with the float engine on the calibration distribution."""
+    spec, params = weights.load_model("synthetic:tiny", num_classes=80)
+    from fastdet_tpu.runtime.engine import _default_calibration_images
+
+    calib = _default_calibration_images(416)
+    f32 = DetectionEngine(spec, params, mode="f32", buckets=(1,))
+    q8 = DetectionEngine(spec, params, mode="int8", buckets=(1,),
+                         calibration_images=calib)
+    img = calib[0]
+    rf = f32.detect_one(img, 0.5)
+    rq = q8.detect_one(img, 0.5)
+    assert all(1 <= k <= 80 and c >= 0.5 for k, c, *_ in rq)
+    # random (untrained) weights amplify quantization noise chaotically, so
+    # exact agreement isn't expected — but the detection count must be in
+    # the same regime (trained-model accuracy is a benchmark, not a unit test)
+    assert abs(len(rq) - len(rf)) <= max(5, int(0.5 * len(rf)) + 2), (len(rq), len(rf))
