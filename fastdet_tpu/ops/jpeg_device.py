@@ -98,6 +98,47 @@ def upsample2x_triangle(c: jnp.ndarray) -> jnp.ndarray:
     return out.astype(jnp.float32)
 
 
+def upsample2x_h_triangle(c: jnp.ndarray) -> jnp.ndarray:
+    """libjpeg h2v1 'fancy' horizontal 2x upsample, integer-exact.
+
+    Input (h, w); output (h, 2w). Matches the native decoder's h2v1 path
+    (native/jpeg/fd_jpeg.cpp decode_rgb) bit-for-bit — this is the device
+    half of the 4:2:2 plane ingest.
+    """
+    ci = c.astype(jnp.int32)
+    t3 = 3 * ci
+    even = (t3 + _shift_left(ci) + 1) >> 2    # output col 2j
+    odd = (t3 + _shift_right(ci) + 2) >> 2    # output col 2j+1
+    h, w = c.shape
+    out = jnp.stack([even, odd], axis=2).reshape(h, 2 * w)
+    return out.astype(jnp.float32)
+
+
+def upsample2x_v_nearest(c: jnp.ndarray) -> jnp.ndarray:
+    """Vertical 2x nearest upsample (4:4:0 chroma), matching the native
+    RGB path which uses nearest for vertical-only factors."""
+    return jnp.repeat(c.astype(jnp.float32), 2, axis=0)
+
+
+def upsample_chroma(c: jnp.ndarray, hs: int, vs: int) -> jnp.ndarray:
+    """Upsample one chroma plane by the luma sampling factors (hs, vs).
+
+    (2,2)=4:2:0 fancy triangle, (2,1)=4:2:2 horizontal fancy,
+    (1,2)=4:4:0 vertical nearest, (1,1)=4:4:4 identity. Each variant is
+    bit-exact vs the native decoder's full-RGB path so plane ingest and
+    host decode agree within IDCT rounding only.
+    """
+    if (hs, vs) == (2, 2):
+        return upsample2x_triangle(c)
+    if (hs, vs) == (2, 1):
+        return upsample2x_h_triangle(c)
+    if (hs, vs) == (1, 2):
+        return upsample2x_v_nearest(c)
+    if (hs, vs) == (1, 1):
+        return c.astype(jnp.float32)
+    raise ValueError(f"unsupported chroma layout {(hs, vs)}")
+
+
 def ycbcr_to_rgb01(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> jnp.ndarray:
     """Per-plane f32 (H, W) -> (H, W, 3) RGB in [0,1], uint8-quantized."""
     cb = cb - 128.0

@@ -74,6 +74,18 @@ _COMPUTE_DTYPES = {
 }
 
 
+class PlanesDispatch:
+    """In-flight plane-path batch: one device result per subsampling
+    layout group, with the original batch indices to reassemble order.
+    Returned by detect_async_planes and consumed by fetch()."""
+
+    __slots__ = ("parts", "layouts")
+
+    def __init__(self, parts, layouts=()):
+        self.parts = parts      # [(device_result, [orig indices]), ...]
+        self.layouts = layouts  # e.g. ((2, 1), (2, 2)) — for observability
+
+
 class DetectionEngine:
     def __init__(
         self,
@@ -138,7 +150,7 @@ class DetectionEngine:
         self.buckets = tuple(sorted(buckets))
         self._jit = jax.jit(self._pipeline)
         self._jit_coeffs = jax.jit(self._pipeline_coeffs)
-        self._jit_planes = jax.jit(self._pipeline_planes)
+        self._jit_planes_cache: Dict[Tuple[int, int], Any] = {}
         self.max_batch = self.buckets[-1]
 
     def _place(self, arr: np.ndarray):
@@ -189,9 +201,12 @@ class DetectionEngine:
         return self._postprocess_tail(params, x, thresholds)
 
     # Plane path: host Huffman+IDCT (native), device upsample+color+net.
-    # Ships 4:2:0 uint8 planes = 1.5 B/px, HALF the transfer of RGB888 —
-    # the best bytes/frame of the three ingest paths.
-    def _pipeline_planes(self, params, y, cb, cr, thresholds) -> jnp.ndarray:
+    # Ships subsampled uint8 planes — 1.5 B/px for 4:2:0 (HALF the
+    # transfer of RGB888), 2 B/px for 4:2:2/4:4:0 — the best bytes/frame
+    # of the three ingest paths. `layout` = luma sampling factors (hs, vs)
+    # and is a static (compile-time) argument.
+    def _pipeline_planes(self, params, y, cb, cr, thresholds,
+                         layout=(2, 2)) -> jnp.ndarray:
         import os
 
         from fastdet_tpu.ops import jpeg_device
@@ -199,9 +214,10 @@ class DetectionEngine:
         # The fused Pallas ingest kernel (one VMEM pass, upsample as two
         # banded MXU matmuls) is bit-identical to the XLA path and
         # equal-or-faster on TPU; Mosaic doesn't target CPU, so CPU tests
+        # take the XLA path. It implements the 4:2:0 layout; other layouts
         # take the XLA path. FASTDET_PALLAS_INGEST=0/1 overrides.
         flag = os.environ.get("FASTDET_PALLAS_INGEST", "auto")
-        use_pallas = (
+        use_pallas = layout == (2, 2) and (
             flag == "1"
             or (flag == "auto" and jax.default_backend() not in ("cpu",))
         )
@@ -210,18 +226,59 @@ class DetectionEngine:
 
             x = plane_ingest.plane_ingest_batch(y, cb, cr)
         else:
+            hs, vs = layout
+
             def one(yp, cbp, crp):
-                cbu = jpeg_device.upsample2x_triangle(cbp.astype(jnp.float32))
-                cru = jpeg_device.upsample2x_triangle(crp.astype(jnp.float32))
+                cbu = jpeg_device.upsample_chroma(cbp.astype(jnp.float32), hs, vs)
+                cru = jpeg_device.upsample_chroma(crp.astype(jnp.float32), hs, vs)
                 return jpeg_device.ycbcr_to_rgb01(yp.astype(jnp.float32), cbu, cru)
 
             x = jax.vmap(one)(y, cb, cr)
         return self._postprocess_tail(params, x, thresholds)
 
+    def _planes_jit(self, layout: Tuple[int, int]):
+        fn = self._jit_planes_cache.get(layout)
+        if fn is None:
+            import functools
+
+            fn = jax.jit(functools.partial(self._pipeline_planes, layout=layout))
+            self._jit_planes_cache[layout] = fn
+        return fn
+
+    def _dispatch_planes_group(
+        self,
+        layout: Tuple[int, int],
+        frames: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+        thresholds: List[float],
+    ) -> jnp.ndarray:
+        size = self.spec.image_size
+        hs, vs = layout
+        n = len(frames)
+        b = self.bucket_for(n)
+        y = np.zeros((b, size, size), np.uint8)
+        cb = np.full((b, size // vs, size // hs), 128, np.uint8)
+        cr = np.full((b, size // vs, size // hs), 128, np.uint8)
+        for i, (yi, cbi, cri) in enumerate(frames):
+            y[i], cb[i], cr[i] = yi, cbi, cri
+        thr = np.full((b,), 2.0, np.float32)
+        thr[:n] = np.asarray(thresholds, np.float32)
+        return self._planes_jit(layout)(
+            self.params, self._place(y), self._place(cb), self._place(cr),
+            self._place(thr),
+        )
+
     def detect_async_planes(
         self, jpegs: Sequence[bytes], thresholds: Sequence[float]
-    ) -> Optional[jnp.ndarray]:
-        """Dispatch via the half-bandwidth 4:2:0 plane path; None if N/A."""
+    ) -> Optional["PlanesDispatch"]:
+        """Dispatch via the reduced-bandwidth plane path; None if N/A.
+
+        Accepts any mix of 4:2:0 / 4:2:2 / 4:4:0 / 4:4:4 frames (the
+        reference's own fixtures are 4:2:2 — /root/reference/testdata);
+        the batch is grouped by subsampling layout and each group runs as
+        one device program. All-or-nothing: if any frame is outside the
+        native decoder's subset, returns None and the caller decodes on
+        host via detect_async.
+        """
         from fastdet_tpu.runtime import native_jpeg
 
         n = len(jpegs)
@@ -229,24 +286,25 @@ class DetectionEngine:
         size = self.spec.image_size
         if size % 16 != 0 or not native_jpeg.available():
             return None
-        b = self.bucket_for(n)
-        y = np.zeros((b, size, size), np.uint8)
-        cb = np.full((b, size // 2, size // 2), 128, np.uint8)
-        cr = np.full((b, size // 2, size // 2), 128, np.uint8)
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        decoded: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         try:
             for i, d in enumerate(jpegs):
-                yi, cbi, cri = native_jpeg.decode_planes420(d)
-                if yi.shape != (size, size):
-                    return None
-                y[i], cb[i], cr[i] = yi, cbi, cri
+                yi, cbi, cri, layout = native_jpeg.decode_planes(
+                    d, expected_size=(size, size)
+                )
+                decoded.append((yi, cbi, cri))
+                groups.setdefault(layout, []).append(i)
         except (ValueError, native_jpeg.NativeJpegUnavailable):
             return None
-        thr = np.full((b,), 2.0, np.float32)
-        thr[:n] = np.asarray(thresholds, np.float32)
-        return self._jit_planes(
-            self.params, self._place(y), self._place(cb), self._place(cr),
-            self._place(thr),
-        )
+        thr = list(thresholds)
+        parts = []
+        for layout, idxs in groups.items():
+            res = self._dispatch_planes_group(
+                layout, [decoded[i] for i in idxs], [thr[i] for i in idxs]
+            )
+            parts.append((res, idxs))
+        return PlanesDispatch(parts, layouts=tuple(sorted(groups)))
 
     def bucket_for(self, n: int) -> int:
         for b in self.buckets:
@@ -261,6 +319,16 @@ class DetectionEngine:
         t0 = time.time()
         size = self.spec.image_size
         warm_planes = size % 16 == 0 and native_jpeg.available()
+        # Plane layouts to AOT-compile: 4:2:0 (mobile-client default) and
+        # 4:2:2 (the reference fixtures' layout); others compile on first
+        # use. Override with FASTDET_WARM_LAYOUTS="22,21,11".
+        import os
+
+        warm_layouts = []
+        for tok in os.environ.get("FASTDET_WARM_LAYOUTS", "22,21").split(","):
+            tok = tok.strip()
+            if len(tok) == 2 and tok.isdigit():
+                warm_layouts.append((int(tok[0]), int(tok[1])))
         for b in buckets or self.buckets:
             imgs = np.zeros((b, size, size, 3), np.uint8)
             thr = np.full((b,), 0.1, np.float32)
@@ -269,13 +337,15 @@ class DetectionEngine:
             # setup cost that must not land on the first real request
             self.fetch(self._jit(self.params, self._place(imgs), self._place(thr)), b)
             if warm_planes:
-                y = np.zeros((b, size, size), np.uint8)
-                c = np.full((b, size // 2, size // 2), 128, np.uint8)
-                self.fetch(
-                    self._jit_planes(self.params, self._place(y), self._place(c),
-                                     self._place(c), self._place(thr)),
-                    b,
-                )
+                for hs, vs in warm_layouts:
+                    y = np.zeros((b, size, size), np.uint8)
+                    c = np.full((b, size // vs, size // hs), 128, np.uint8)
+                    self.fetch(
+                        self._planes_jit((hs, vs))(
+                            self.params, self._place(y), self._place(c),
+                            self._place(c), self._place(thr)),
+                        b,
+                    )
         dt = time.time() - t0
         logger.info(
             "engine warmup: %s buckets=%s in %.1fs", self.spec.name, self.buckets, dt
@@ -337,7 +407,10 @@ class DetectionEngine:
         if size % 16 != 0 or not native_jpeg.available():
             return None
         try:
-            cis = [native_jpeg.decode_coefficients(d) for d in jpegs]
+            cis = [
+                native_jpeg.decode_coefficients(d, expected_size=(size, size))
+                for d in jpegs
+            ]
         except (ValueError, native_jpeg.NativeJpegUnavailable):
             return None
         for ci in cis:
@@ -364,11 +437,19 @@ class DetectionEngine:
             self._place(thr),
         )
 
-    def fetch(self, res: jnp.ndarray, n: int) -> List[List[ResultTuple]]:
+    def fetch(self, res, n: int) -> List[List[ResultTuple]]:
         """Block on device results and convert the first n images.
 
-        One d2h transfer for the whole packed batch result.
+        One d2h transfer for the whole packed batch result (one per
+        layout group for a PlanesDispatch).
         """
+        if isinstance(res, PlanesDispatch):
+            out: List[Optional[List[ResultTuple]]] = [None] * n
+            for dev_res, idxs in res.parts:
+                part = self.fetch(dev_res, len(idxs))
+                for j, i in enumerate(idxs):
+                    out[i] = part[j]
+            return [r if r is not None else [] for r in out]
         packed = np.asarray(res, dtype=np.float64)  # (B, max_det, 7)
         size = self.spec.image_size
         out: List[List[ResultTuple]] = []

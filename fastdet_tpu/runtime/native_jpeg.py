@@ -74,6 +74,14 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ]
+        lib.fd_jpeg_planes.restype = ctypes.c_int
+        lib.fd_jpeg_planes.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int),
+        ]
         lib.fd_jpeg_coefficients.restype = ctypes.c_int
         lib.fd_jpeg_coefficients.argtypes = [
             ctypes.c_char_p, ctypes.c_long,
@@ -133,14 +141,24 @@ class CoeffImage:
         return self.hmax == 2 and self.vmax == 2 and self.cbcoef is not None
 
 
-def decode_coefficients(data: bytes) -> CoeffImage:
-    """Entropy-decode only (the serial part); the rest runs on device."""
+def decode_coefficients(
+    data: bytes, expected_size: Optional[Tuple[int, int]] = None
+) -> CoeffImage:
+    """Entropy-decode only (the serial part); the rest runs on device.
+
+    ``expected_size`` (w, h), when given, is validated against the header
+    BEFORE any plane allocation — the serving path passes the model input
+    size so a crafted header claiming huge dimensions cannot trigger a
+    multi-GB allocation from one UDP request.
+    """
     lib = _load()
     info = (ctypes.c_int * 13)()
     rc = lib.fd_jpeg_scan_info(data, len(data), info)
     if rc != 0:
         raise ValueError(f"fd_jpeg_scan_info failed: rc={rc}")
     w, h, ncomp = info[0], info[1], info[2]
+    if expected_size is not None and (w, h) != tuple(expected_size):
+        raise ValueError(f"unexpected image size {w}x{h}")
     if ncomp != 3:
         raise ValueError("coefficient path supports 3-component JPEGs only")
     planes = []
@@ -164,28 +182,61 @@ def decode_coefficients(data: bytes) -> CoeffImage:
     )
 
 
-def decode_planes420(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode a 4:2:0 JPEG to raw planes: Y (H,W), Cb/Cr (H/2,W/2) uint8.
+#: Subsampling layouts the plane ingest supports, keyed by the luma
+#: sampling factors (hs, vs): (2,2)=4:2:0, (2,1)=4:2:2, (1,2)=4:4:0,
+#: (1,1)=4:4:4. Chroma planes come out at (H//vs, W//hs).
+PLANE_LAYOUTS = ((2, 2), (2, 1), (1, 2), (1, 1))
 
-    Host does Huffman+IDCT; upsample/color run on device. Shipping the
-    subsampled planes is 1.5 B/px vs 3 B/px for RGB888 — half the
-    host->device transfer. Raises ValueError for non-4:2:0/odd sizes.
+
+def decode_planes(
+    data: bytes, expected_size: Optional[Tuple[int, int]] = None
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[int, int]]:
+    """Decode a baseline JPEG to raw subsampled planes.
+
+    Returns (y, cb, cr, (hs, vs)): Y at (H, W) uint8, chroma at
+    (H//vs, W//hs). Host does Huffman+IDCT; upsample/color run on device.
+    Shipping subsampled planes cuts host->device bytes vs RGB888
+    (1.5 B/px for 4:2:0, 2 B/px for 4:2:2/4:4:0). Raises ValueError for
+    unsupported layouts (grayscale, 4:1:1, odd sizes) — caller falls back.
+
+    ``expected_size`` (w, h) is checked against the header before any
+    allocation (see decode_coefficients).
     """
     lib = _load()
     w, h, ncomp = info(data)
-    if ncomp != 3 or w % 16 or h % 16:
-        raise ValueError("planes420 path requires 3-component 4:2:0, size %16==0")
+    if expected_size is not None and (w, h) != tuple(expected_size):
+        raise ValueError(f"unexpected image size {w}x{h}")
+    if ncomp != 3:
+        raise ValueError("plane path requires a 3-component JPEG")
+    # Allocate for the worst case (4:4:4 chroma = full size); the library
+    # reports the actual layout and we slice chroma down to it.
     y = np.empty((h, w), np.uint8)
-    cb = np.empty((h // 2, w // 2), np.uint8)
-    cr = np.empty((h // 2, w // 2), np.uint8)
-    rc = lib.fd_jpeg_planes420(
+    cb = np.empty((h, w), np.uint8)
+    cr = np.empty((h, w), np.uint8)
+    layout = (ctypes.c_int * 4)()
+    rc = lib.fd_jpeg_planes(
         data, len(data),
         y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), y.size,
         cb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cb.size,
         cr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cr.size,
+        layout,
     )
     if rc != 0:
-        raise ValueError(f"fd_jpeg_planes420 failed: rc={rc}")
+        raise ValueError(f"fd_jpeg_planes failed: rc={rc}")
+    hs, vs = layout[2], layout[3]
+    ch, cw = h // vs, w // hs
+    cb = cb.reshape(-1)[: ch * cw].reshape(ch, cw)
+    cr = cr.reshape(-1)[: ch * cw].reshape(ch, cw)
+    return y, cb, cr, (hs, vs)
+
+
+def decode_planes420(
+    data: bytes, expected_size: Optional[Tuple[int, int]] = None
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """4:2:0-only plane decode: Y (H,W), Cb/Cr (H/2,W/2) uint8."""
+    y, cb, cr, (hs, vs) = decode_planes(data, expected_size)
+    if (hs, vs) != (2, 2):
+        raise ValueError("not a 4:2:0 JPEG")
     return y, cb, cr
 
 

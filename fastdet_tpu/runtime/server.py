@@ -56,6 +56,9 @@ class ModelService:
     moment the engine is free — batch size adapts to load automatically.
     """
 
+    # Emit a stage-timing summary to the log every this many batches.
+    STATS_EVERY = 500
+
     def __init__(self, engine, *, name: str = ""):
         self.engine = engine
         self.name = name
@@ -63,6 +66,12 @@ class ModelService:
         self._task: Optional[asyncio.Task] = None
         self.batches = 0
         self.frames = 0
+        # Ingest observability (per service): frames served via each path
+        # and why the fast path was skipped. The plane path silently
+        # degrading to pixel decode must be visible in logs and counters.
+        self.ingest: Dict[str, int] = {"planes": 0, "pixels": 0}
+        self.fallbacks = 0
+        self._fallback_logged = False
 
     def start(self) -> None:
         if self._task is None:
@@ -89,7 +98,7 @@ class ModelService:
                 except asyncio.QueueEmpty:
                     break
 
-            # Fast path: 4:2:0 plane ingest (half the h2d bytes; host does
+            # Fast path: subsampled-plane ingest (fewer h2d bytes; host does
             # only Huffman+IDCT in the native decoder). All-or-nothing per
             # batch; falls through to per-item pixel decode otherwise.
             t_try = time.perf_counter()
@@ -102,7 +111,20 @@ class ModelService:
                     [it[1] for it in batch],
                 )
             except Exception:
+                logger.exception(
+                    "plane ingest raised; falling back to pixel decode "
+                    "(service=%s)", self.name,
+                )
                 res = None
+            if res is None:
+                self.fallbacks += 1
+                if not self._fallback_logged:
+                    self._fallback_logged = True
+                    logger.info(
+                        "plane ingest unavailable for this traffic; using "
+                        "pixel decode (service=%s, batch=%d)",
+                        self.name, len(batch),
+                    )
             if res is not None:
                 try:
                     results = await loop.run_in_executor(
@@ -116,6 +138,8 @@ class ModelService:
                 STAGES.record("infer_batch", time.perf_counter() - t_try)
                 self.batches += 1
                 self.frames += len(batch)
+                self.ingest["planes"] += len(batch)
+                self._maybe_log_stats()
                 for fut, r in zip(futs_all, results):
                     if not fut.done():
                         fut.set_result(r)
@@ -165,9 +189,22 @@ class ModelService:
                     continue
                 self.batches += 1
                 self.frames += len(imgs)
+                self.ingest["pixels"] += len(imgs)
+                self._maybe_log_stats()
                 for fut, r in zip(futs, results):
                     if not fut.done():
                         fut.set_result(r)
+
+    def _maybe_log_stats(self) -> None:
+        if self.batches % self.STATS_EVERY:
+            return
+        logger.info(
+            "service %s: batches=%d frames=%d avg_batch=%.2f ingest=%s "
+            "fallbacks=%d infer[%s]",
+            self.name, self.batches, self.frames,
+            self.frames / max(self.batches, 1), self.ingest, self.fallbacks,
+            STAGES.summary_line("infer_batch"),
+        )
 
 
 class DetectorService:
@@ -200,6 +237,10 @@ class DetectSession(asyncio.DatagramProtocol):
         self.sender = wire.FrameSender(chunk_size=wire.SERVER_CHUNK_SIZE)
         self.last_seen = time.monotonic()
         self.closed = False
+        # Strong refs to in-flight request tasks: asyncio only weakly
+        # references tasks, so without this an in-flight _handle could be
+        # garbage-collected mid-request and its response silently dropped.
+        self.tasks: set = set()
 
     # -- DatagramProtocol hooks -----------------------------------------
     def connection_made(self, transport) -> None:
@@ -217,7 +258,9 @@ class DetectSession(asyncio.DatagramProtocol):
         self.last_seen = time.monotonic()
         before = self.reasm.drops
         for payload in self.reasm.feed(data):
-            asyncio.get_running_loop().create_task(self._handle(payload))
+            t = asyncio.get_running_loop().create_task(self._handle(payload))
+            self.tasks.add(t)
+            t.add_done_callback(self.tasks.discard)
         if self.reasm.drops != before:
             logger.info("recv: DROP (gap) session=%s", self.session_id.hex())
 
@@ -255,6 +298,8 @@ class DetectSession(asyncio.DatagramProtocol):
     def close(self) -> None:
         if not self.closed:
             self.closed = True
+            for t in list(self.tasks):
+                t.cancel()
             if self.transport is not None:
                 self.transport.close()
 

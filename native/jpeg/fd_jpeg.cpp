@@ -13,14 +13,22 @@
 // Not supported (falls back in python): progressive (SOF2), arithmetic
 // coding, 12-bit, CMYK.
 //
+// This decoder runs on UNTRUSTED bytes (UDP request payloads in the
+// serving fast path), so every header field is bounds-checked before it
+// is read, claimed dimensions are capped before any allocation, and the
+// entropy reader treats a truncated stream as an error instead of
+// re-exposing stale bits.
+//
 // C ABI (ctypes):
 //   int fd_jpeg_info(const uint8_t* data, long n, int* w, int* h, int* comps);
 //   int fd_jpeg_decode_rgb(const uint8_t* data, long n, uint8_t* out,
 //                          long out_capacity);   // out: H*W*3 RGB
+//   int fd_jpeg_planes(...)                      // raw subsampled planes
 // Returns 0 on success, negative error codes otherwise.
 
 #include <cstdint>
 #include <cstring>
+#include <new>
 #include <vector>
 
 namespace {
@@ -30,6 +38,11 @@ constexpr int ERR_BAD_MARKER = -2;
 constexpr int ERR_UNSUPPORTED = -3;
 constexpr int ERR_BAD_DATA = -4;
 constexpr int ERR_CAPACITY = -5;
+
+// Claimed-dimension cap: 64 megapixels (the serving path only ever sees
+// 416x416; this bounds allocations against crafted headers).
+constexpr long kMaxPixels = 64L * 1024 * 1024;
+constexpr int kMaxDim = 1 << 16;
 
 struct HuffTable {
   // Canonical Huffman decode via per-length first-code/offset tables.
@@ -82,22 +95,34 @@ struct BitReader {
   uint32_t acc = 0;
   int nbits = 0;
   bool hit_marker = false;
+  bool bad = false;        // set when reads continue past real data
+  int pad_bytes = 0;       // zero bytes fed after data/marker end
+  // The encoder pads the final byte with 1-bits, and our 25-bit lookahead
+  // can legitimately peek a few bytes past the last real bit; 8 pad bytes
+  // is far beyond any legitimate need, so past that the stream is
+  // truncated and decoding must fail instead of producing garbage.
+  static constexpr int kMaxPadBytes = 8;
 
   BitReader(const uint8_t* data, const uint8_t* e) : p(data), end(e) {}
 
   // JPEG entropy stream: 0xFF bytes are stuffed with 0x00.
   bool fill() {
     while (nbits <= 24) {
-      if (p >= end) { if (nbits == 0) return false; acc |= 0; nbits += 8; continue; }
+      if (hit_marker || p >= end) {
+        if (pad_bytes >= kMaxPadBytes) return false;
+        acc <<= 8;          // feed zeros past the end of real data
+        nbits += 8;
+        ++pad_bytes;
+        continue;
+      }
       uint8_t b = *p;
       if (b == 0xFF) {
-        if (p + 1 >= end) { hit_marker = true; acc = (acc << 8); nbits += 8; ++p; continue; }
+        if (p + 1 >= end) { hit_marker = true; continue; }
         uint8_t nxt = p[1];
         if (nxt == 0x00) { p += 2; acc = (acc << 8) | 0xFF; nbits += 8; continue; }
-        // real marker (RSTn handled by caller; EOI etc end the stream)
+        // real marker (RSTn handled by caller; EOI etc end the stream).
+        // p stays on the 0xFF so the restart scan can find the marker.
         hit_marker = true;
-        acc = (acc << 8);     // feed zeros past the marker
-        nbits += 8;
         continue;
       }
       ++p;
@@ -108,13 +133,17 @@ struct BitReader {
   }
 
   int get_bit() {
-    if (nbits < 1) fill();
+    if (nbits < 1) {
+      if (!fill() || nbits < 1) { bad = true; return 0; }
+    }
     nbits -= 1;
     return (acc >> nbits) & 1;
   }
 
   int peek8() {
-    if (nbits < 8) fill();
+    if (nbits < 8) {
+      if (!fill() || nbits < 8) { bad = true; return 0; }
+    }
     return (acc >> (nbits - 8)) & 0xFF;
   }
 
@@ -122,13 +151,15 @@ struct BitReader {
 
   int receive(int n) {            // read n raw bits at once
     if (n == 0) return 0;
-    if (nbits < n) fill();
+    if (nbits < n) {
+      if (!fill() || nbits < n) { bad = true; return 0; }
+    }
     nbits -= n;
     return (int)((acc >> nbits) & ((1u << n) - 1));
   }
 
   void reset_at_restart() {
-    acc = 0; nbits = 0; hit_marker = false;
+    acc = 0; nbits = 0; hit_marker = false; pad_bytes = 0;
   }
 };
 
@@ -138,12 +169,14 @@ inline int extend(int v, int n) {   // JPEG sign extension (F.2.2.1)
 
 int decode_huff(BitReader& br, const HuffTable& h) {
   int look = br.peek8();
+  if (br.bad) return -1;
   int l = h.fast_len[look];
   if (l) { br.consume(l); return h.fast_val[look]; }
   // slow path: lengths 9..16
   int code = 0;
   for (int len = 1; len <= 16; ++len) {
     code = (code << 1) | br.get_bit();
+    if (br.bad) return -1;
     if (len >= 1 && code <= h.maxcode[len] && h.bits[len] &&
         code >= h.mincode[len]) {
       if (len <= 8) continue;  // already covered; defensive
@@ -228,6 +261,9 @@ struct Decoder {
     return (data[off] << 8) | data[off + 1];
   }
 
+  // Every marker's payload fields are validated against seglen BEFORE
+  // they are read: crafted short segments must produce a clean error, not
+  // an out-of-bounds read (this parser runs on raw UDP request bytes).
   int parse_headers() {
     if (n < 4 || data[0] != 0xFF || data[1] != 0xD8) return ERR_BAD_MARKER;
     long off = 2;
@@ -239,15 +275,22 @@ struct Decoder {
       if (marker == 0xD9) break;  // EOI before scan: no image
       if (off + 2 > n) return ERR_TRUNCATED;
       int seglen = u16(off);
+      if (seglen < 2) return ERR_BAD_DATA;
       if (off + seglen > n) return ERR_TRUNCATED;
       long seg = off + 2;
+      long segend = off + seglen;
       switch (marker) {
         case 0xC0: {  // SOF0 baseline
+          if (seglen < 8) return ERR_TRUNCATED;
           height = u16(seg + 1);
           width = u16(seg + 3);
           ncomp = data[seg + 5];
           if (data[seg] != 8) return ERR_UNSUPPORTED;       // precision
           if (ncomp != 1 && ncomp != 3) return ERR_UNSUPPORTED;
+          if (seglen < 8 + 3 * ncomp) return ERR_TRUNCATED;
+          if (width <= 0 || height <= 0 || width > kMaxDim ||
+              height > kMaxDim || (long)width * height > kMaxPixels)
+            return ERR_UNSUPPORTED;
           for (int i = 0; i < ncomp; ++i) {
             comp[i].id = data[seg + 6 + i * 3];
             comp[i].hs = data[seg + 7 + i * 3] >> 4;
@@ -256,6 +299,7 @@ struct Decoder {
             if (comp[i].hs < 1 || comp[i].hs > 4 || comp[i].vs < 1 ||
                 comp[i].vs > 4)
               return ERR_UNSUPPORTED;
+            if (comp[i].tq > 3) return ERR_BAD_DATA;
           }
           break;
         }
@@ -264,16 +308,15 @@ struct Decoder {
           return ERR_UNSUPPORTED;  // non-baseline SOF
         case 0xC4: {  // DHT (may hold several tables)
           long p = seg;
-          while (p < off + seglen) {
+          while (p < segend) {
+            if (p + 17 > segend) return ERR_BAD_DATA;
             int tc = data[p] >> 4, th = data[p] & 15;
             if (th > 3 || tc > 1) return ERR_BAD_DATA;
             HuffTable& h = tc ? hac[th] : hdc[th];
             int total = 0;
-            for (int i = 1; i <= 16; ++i) {
-              h.bits[i] = data[p + i];
-              total += h.bits[i];
-            }
-            if (total > 256 || p + 17 + total > off + seglen) return ERR_BAD_DATA;
+            for (int i = 1; i <= 16; ++i) total += data[p + i];
+            if (total > 256 || p + 17 + total > segend) return ERR_BAD_DATA;
+            for (int i = 1; i <= 16; ++i) h.bits[i] = data[p + i];
             for (int i = 0; i < total; ++i) h.values[i] = data[p + 17 + i];
             h.build();
             p += 17 + total;
@@ -282,9 +325,10 @@ struct Decoder {
         }
         case 0xDB: {  // DQT
           long p = seg;
-          while (p < off + seglen) {
+          while (p < segend) {
             int pq = data[p] >> 4, tq = data[p] & 15;
-            if (tq > 3) return ERR_BAD_DATA;
+            if (pq > 1 || tq > 3) return ERR_BAD_DATA;
+            if (p + 1 + (pq ? 128 : 64) > segend) return ERR_BAD_DATA;
             ++p;
             for (int i = 0; i < 64; ++i) {
               int v = pq ? ((data[p] << 8) | data[p + 1]) : data[p];
@@ -295,11 +339,14 @@ struct Decoder {
           break;
         }
         case 0xDD:  // DRI
+          if (seglen < 4) return ERR_TRUNCATED;
           restart_interval = u16(seg);
           break;
         case 0xDA: {  // SOS
+          if (seglen < 3) return ERR_TRUNCATED;
           int ns = data[seg];
-          if (ns != ncomp) return ERR_UNSUPPORTED;
+          if (ncomp == 0 || ns != ncomp) return ERR_UNSUPPORTED;
+          if (seglen < 3 + 2 * ns) return ERR_TRUNCATED;
           for (int i = 0; i < ns; ++i) {
             int cid = data[seg + 1 + i * 2];
             int tables = data[seg + 2 + i * 2];
@@ -310,7 +357,12 @@ struct Decoder {
               }
             }
           }
-          scan_offset = off + seglen;
+          for (int k = 0; k < ncomp; ++k) {
+            if (comp[k].td > 3 || comp[k].ta > 3) return ERR_BAD_DATA;
+            if (!hdc[comp[k].td].present || !hac[comp[k].ta].present)
+              return ERR_BAD_DATA;  // scan references an undefined table
+          }
+          scan_offset = segend;
           return 0;
         }
         default:
@@ -328,7 +380,7 @@ struct Decoder {
                    bool* nonzero_ac = nullptr) {
     memset(blk, 0, 64 * sizeof(int32_t));
     int t = decode_huff(br, hdc[c.td]);
-    if (t < 0) return ERR_BAD_DATA;
+    if (t < 0 || t > 15) return br.bad ? ERR_TRUNCATED : ERR_BAD_DATA;
     int diff = t ? extend(br.receive(t), t) : 0;
     c.dc_pred += diff;
     blk[0] = c.dc_pred;
@@ -337,7 +389,7 @@ struct Decoder {
     const HuffTable& ac = hac[c.ta];
     while (k < 64) {
       int rs = decode_huff(br, ac);
-      if (rs < 0) return ERR_BAD_DATA;
+      if (rs < 0) return br.bad ? ERR_TRUNCATED : ERR_BAD_DATA;
       int r = rs >> 4, s = rs & 15;
       if (s == 0) {
         if (r == 15) { k += 16; continue; }  // ZRL
@@ -349,7 +401,57 @@ struct Decoder {
       any_ac = true;
       ++k;
     }
+    if (br.bad) return ERR_TRUNCATED;
     if (nonzero_ac) *nonzero_ac = any_ac;
+    return 0;
+  }
+
+  // Drive the MCU raster scan (restart markers included) and hand every
+  // entropy-decoded block to `emit(ci, bx, by, blk, any_ac)` where bx/by
+  // are absolute block coordinates in the component's block grid. Shared
+  // by the RGB, raw-plane, and coefficient outputs.
+  template <typename EmitFn>
+  int scan_mcus(EmitFn&& emit) {
+    int hmax = 1, vmax = 1;
+    for (int i = 0; i < ncomp; ++i) {
+      if (comp[i].hs > hmax) hmax = comp[i].hs;
+      if (comp[i].vs > vmax) vmax = comp[i].vs;
+    }
+    int mcux = (width + 8 * hmax - 1) / (8 * hmax);
+    int mcuy = (height + 8 * vmax - 1) / (8 * vmax);
+    for (int i = 0; i < ncomp; ++i) comp[i].dc_pred = 0;
+    BitReader br(data + scan_offset, data + n);
+    int32_t blk[64];
+    int mcu_count = 0;
+    for (int my = 0; my < mcuy; ++my) {
+      for (int mx = 0; mx < mcux; ++mx) {
+        if (restart_interval && mcu_count == restart_interval) {
+          // skip to the RSTn marker: align and consume it
+          br.reset_at_restart();
+          const uint8_t* p = br.p;
+          while (p + 1 < data + n &&
+                 !(p[0] == 0xFF && p[1] >= 0xD0 && p[1] <= 0xD7))
+            ++p;
+          if (p + 1 < data + n) br.p = p + 2;
+          for (int i = 0; i < ncomp; ++i) comp[i].dc_pred = 0;
+          mcu_count = 0;
+        }
+        for (int ci = 0; ci < ncomp; ++ci) {
+          Component& c = comp[ci];
+          for (int by = 0; by < c.vs; ++by) {
+            for (int bx = 0; bx < c.hs; ++bx) {
+              bool any_ac = false;
+              int rc = decode_block(br, c, blk, &any_ac);
+              if (rc) return rc;
+              rc = emit(ci, (long)mx * c.hs + bx, (long)my * c.vs + by,
+                        blk, any_ac);
+              if (rc) return rc;
+            }
+          }
+        }
+        ++mcu_count;
+      }
+    }
     return 0;
   }
 
@@ -372,42 +474,16 @@ struct Decoder {
       planes[i].assign((size_t)pw[i] * ph[i], 128);
     }
 
-    BitReader br(data + scan_offset, data + n);
-    int32_t blk[64];
-    int mcu_count = 0;
-
-    for (int my = 0; my < mcuy; ++my) {
-      for (int mx = 0; mx < mcux; ++mx) {
-        if (restart_interval && mcu_count == restart_interval) {
-          // skip to the RSTn marker: align and consume it
-          br.reset_at_restart();
-          const uint8_t* p = br.p;
-          while (p + 1 < data + n && !(p[0] == 0xFF && p[1] >= 0xD0 && p[1] <= 0xD7))
-            ++p;
-          if (p + 1 < data + n) br.p = p + 2;
-          for (int i = 0; i < ncomp; ++i) comp[i].dc_pred = 0;
-          mcu_count = 0;
-        }
-        for (int ci = 0; ci < ncomp; ++ci) {
-          Component& c = comp[ci];
-          for (int by = 0; by < c.vs; ++by) {
-            for (int bx = 0; bx < c.hs; ++bx) {
-              bool any_ac = false;
-              int rc = decode_block(br, c, blk, &any_ac);
-              if (rc) return rc;
-              int px = (mx * c.hs + bx) * 8;
-              int py = (my * c.vs + by) * 8;
-              uint8_t* dst = planes[ci].data() + (size_t)py * pw[ci] + px;
-              if (any_ac)
-                idct8x8(blk, qtab[c.tq], dst, pw[ci]);
-              else
-                flat_block(blk[0], qtab[c.tq][0], dst, pw[ci]);
-            }
-          }
-        }
-        ++mcu_count;
-      }
-    }
+    int rc = scan_mcus([&](int ci, long bx, long by, const int32_t* blk,
+                           bool any_ac) -> int {
+      uint8_t* dst = planes[ci].data() + (size_t)by * 8 * pw[ci] + bx * 8;
+      if (any_ac)
+        idct8x8(blk, qtab[comp[ci].tq], dst, pw[ci]);
+      else
+        flat_block(blk[0], qtab[comp[ci].tq][0], dst, pw[ci]);
+      return 0;
+    });
+    if (rc) return rc;
 
     // chroma upsample to full resolution. Factor-2 axes use libjpeg's
     // "fancy" triangle filter (3:1 weighting) for bit-parity with the
@@ -523,46 +599,60 @@ int decode_coefficients(Decoder& d, int16_t* out[3], const long cap[3]) {
   }
   int mcux = (d.width + 8 * hmax - 1) / (8 * hmax);
   int mcuy = (d.height + 8 * vmax - 1) / (8 * vmax);
-  long written[3] = {0, 0, 0};
-  long bw[3], bh[3];
+  long bw[3];
   for (int i = 0; i < d.ncomp; ++i) {
     bw[i] = (long)mcux * d.comp[i].hs;
-    bh[i] = (long)mcuy * d.comp[i].vs;
-    if (bw[i] * bh[i] * 64 > cap[i]) return ERR_CAPACITY;
+    long bh = (long)mcuy * d.comp[i].vs;
+    if (bw[i] * bh * 64 > cap[i]) return ERR_CAPACITY;
   }
-  BitReader br(d.data + d.scan_offset, d.data + d.n);
-  int32_t blk[64];
-  int mcu_count = 0;
-  for (int my = 0; my < mcuy; ++my) {
-    for (int mx = 0; mx < mcux; ++mx) {
-      if (d.restart_interval && mcu_count == d.restart_interval) {
-        br.reset_at_restart();
-        const uint8_t* p = br.p;
-        while (p + 1 < d.data + d.n &&
-               !(p[0] == 0xFF && p[1] >= 0xD0 && p[1] <= 0xD7))
-          ++p;
-        if (p + 1 < d.data + d.n) br.p = p + 2;
-        for (int i = 0; i < d.ncomp; ++i) d.comp[i].dc_pred = 0;
-        mcu_count = 0;
-      }
-      for (int ci = 0; ci < d.ncomp; ++ci) {
-        Component& c = d.comp[ci];
-        for (int by = 0; by < c.vs; ++by) {
-          for (int bx = 0; bx < c.hs; ++bx) {
-            int rc = d.decode_block(br, c, blk);
-            if (rc) return rc;
-            long bxx = (long)mx * c.hs + bx;
-            long byy = (long)my * c.vs + by;
-            int16_t* dst = out[ci] + (byy * bw[ci] + bxx) * 64;
-            for (int i = 0; i < 64; ++i) dst[i] = (int16_t)blk[i];
-            written[ci] += 64;
-          }
-        }
-      }
-      ++mcu_count;
-    }
+  return d.scan_mcus([&](int ci, long bx, long by, const int32_t* blk,
+                         bool) -> int {
+    int16_t* dst = out[ci] + (by * bw[ci] + bx) * 64;
+    for (int i = 0; i < 64; ++i) dst[i] = (int16_t)blk[i];
+    return 0;
+  });
+}
+
+// Decode to raw subsampled planes (no upsample, no color convert): Y at
+// full resolution, Cb/Cr at their native subsampled resolution. The
+// device does upsample+color+normalize (fastdet_tpu/ops/jpeg_device.py);
+// shipping subsampled planes cuts host->device bytes vs RGB888 (1.5 B/px
+// for 4:2:0, 2 B/px for 4:2:2/4:4:0, vs 3 B/px).
+//
+// Requires: 3 components, chroma sampling exactly (1,1), luma (hs,vs) in
+// {1,2}x{1,2}, and dimensions divisible by the 8*hs / 8*vs MCU size (true
+// for the protocol's 416x416 in every layout). layout_out (4 ints):
+// [width, height, luma_hs, luma_vs].
+int decode_planes(Decoder& d, uint8_t* outs[3], const long caps[3],
+                  int* layout_out) {
+  if (d.ncomp != 3) return ERR_UNSUPPORTED;
+  int hmax = d.comp[0].hs, vmax = d.comp[0].vs;
+  if (hmax < 1 || hmax > 2 || vmax < 1 || vmax > 2) return ERR_UNSUPPORTED;
+  if (d.comp[1].hs != 1 || d.comp[1].vs != 1 || d.comp[2].hs != 1 ||
+      d.comp[2].vs != 1)
+    return ERR_UNSUPPORTED;
+  if (d.width % (8 * hmax) || d.height % (8 * vmax)) return ERR_UNSUPPORTED;
+  long w = d.width, h = d.height;
+  long cw = w / hmax, ch = h / vmax;
+  if (w * h > caps[0] || cw * ch > caps[1] || cw * ch > caps[2])
+    return ERR_CAPACITY;
+  const long strides[3] = {w, cw, cw};
+  int rc = d.scan_mcus([&](int ci, long bx, long by, const int32_t* blk,
+                           bool any_ac) -> int {
+    uint8_t* dst = outs[ci] + by * 8 * strides[ci] + bx * 8;
+    if (any_ac)
+      idct8x8(blk, d.qtab[d.comp[ci].tq], dst, (int)strides[ci]);
+    else
+      flat_block(blk[0], d.qtab[d.comp[ci].tq][0], dst, (int)strides[ci]);
+    return 0;
+  });
+  if (rc) return rc;
+  if (layout_out) {
+    layout_out[0] = (int)w;
+    layout_out[1] = (int)h;
+    layout_out[2] = hmax;
+    layout_out[3] = vmax;
   }
-  (void)written;
   return 0;
 }
 
@@ -624,12 +714,24 @@ int fd_jpeg_coefficients(const uint8_t* data, long n,
   return 0;
 }
 
-// Decode to raw 4:2:0 planes (no upsample, no color convert): Y at full
-// resolution, Cb/Cr at half. The device does upsample+color+normalize
-// (fastdet_tpu/ops/jpeg_device.py), and shipping subsampled planes halves
-// the host->device bytes vs RGB888 (1.5 B/px vs 3 B/px).
-// Requires a 3-component image with 2x2 subsampling on both chroma
-// components and dimensions divisible by 16.
+// Decode to raw subsampled planes: Y full resolution, Cb/Cr at their
+// native resolution (see decode_planes above for requirements). layout
+// out: [w, h, luma_hs, luma_vs] — (2,2)=4:2:0, (2,1)=4:2:2,
+// (1,2)=4:4:0, (1,1)=4:4:4.
+int fd_jpeg_planes(const uint8_t* data, long n,
+                   uint8_t* yout, long ycap,
+                   uint8_t* cbout, long cbcap,
+                   uint8_t* crout, long crcap,
+                   int* layout) {
+  Decoder d{data, n};
+  int rc = d.parse_headers();
+  if (rc) return rc;
+  uint8_t* outs[3] = {yout, cbout, crout};
+  const long caps[3] = {ycap, cbcap, crcap};
+  return decode_planes(d, outs, caps, layout);
+}
+
+// Back-compat shim: 4:2:0-only plane decode (dims divisible by 16).
 int fd_jpeg_planes420(const uint8_t* data, long n,
                       uint8_t* yout, long ycap,
                       uint8_t* cbout, long cbcap,
@@ -638,56 +740,10 @@ int fd_jpeg_planes420(const uint8_t* data, long n,
   int rc = d.parse_headers();
   if (rc) return rc;
   if (d.ncomp != 3 || d.width % 16 || d.height % 16) return ERR_UNSUPPORTED;
-  if (d.comp[0].hs != 2 || d.comp[0].vs != 2 || d.comp[1].hs != 1 ||
-      d.comp[1].vs != 1 || d.comp[2].hs != 1 || d.comp[2].vs != 1)
-    return ERR_UNSUPPORTED;
-  long w = d.width, h = d.height;
-  if (w * h > ycap || (w / 2) * (h / 2) > cbcap || (w / 2) * (h / 2) > crcap)
-    return ERR_CAPACITY;
-
-  int mcux = (int)(w / 16), mcuy = (int)(h / 16);
-  BitReader br(d.data + d.scan_offset, d.data + d.n);
-  int32_t blk[64];
-  uint8_t pix[64];
-  int mcu_count = 0;
+  if (d.comp[0].hs != 2 || d.comp[0].vs != 2) return ERR_UNSUPPORTED;
   uint8_t* outs[3] = {yout, cbout, crout};
-  long strides[3] = {w, w / 2, w / 2};
-  for (int my = 0; my < mcuy; ++my) {
-    for (int mx = 0; mx < mcux; ++mx) {
-      if (d.restart_interval && mcu_count == d.restart_interval) {
-        br.reset_at_restart();
-        const uint8_t* p = br.p;
-        while (p + 1 < d.data + d.n &&
-               !(p[0] == 0xFF && p[1] >= 0xD0 && p[1] <= 0xD7))
-          ++p;
-        if (p + 1 < d.data + d.n) br.p = p + 2;
-        for (int i = 0; i < 3; ++i) d.comp[i].dc_pred = 0;
-        mcu_count = 0;
-      }
-      for (int ci = 0; ci < 3; ++ci) {
-        Component& c = d.comp[ci];
-        for (int by = 0; by < c.vs; ++by) {
-          for (int bx = 0; bx < c.hs; ++bx) {
-            bool any_ac = false;
-            int rc2 = d.decode_block(br, c, blk, &any_ac);
-            if (rc2) return rc2;
-            long px = ((long)mx * c.hs + bx) * 8;
-            long py = ((long)my * c.vs + by) * 8;
-            uint8_t* dst = outs[ci] + py * strides[ci] + px;
-            if (any_ac) {
-              idct8x8(blk, d.qtab[c.tq], pix, 8);
-              for (int r = 0; r < 8; ++r)
-                memcpy(dst + r * strides[ci], pix + r * 8, 8);
-            } else {
-              flat_block(blk[0], d.qtab[c.tq][0], dst, strides[ci]);
-            }
-          }
-        }
-      }
-      ++mcu_count;
-    }
-  }
-  return 0;
+  const long caps[3] = {ycap, cbcap, crcap};
+  return decode_planes(d, outs, caps, nullptr);
 }
 
 int fd_jpeg_info(const uint8_t* data, long n, int* w, int* h, int* comps) {
@@ -705,9 +761,13 @@ int fd_jpeg_decode_rgb(const uint8_t* data, long n, uint8_t* out, long cap) {
   int rc = d.parse_headers();
   if (rc) return rc;
   if (d.width <= 0 || d.height <= 0) return ERR_BAD_DATA;
-  return d.decode_rgb(out, cap);
+  try {
+    return d.decode_rgb(out, cap);
+  } catch (const std::bad_alloc&) {
+    return ERR_CAPACITY;  // never unwind through the ctypes boundary
+  }
 }
 
-const char* fd_jpeg_version() { return "fd_jpeg 0.1 (baseline sequential)"; }
+const char* fd_jpeg_version() { return "fd_jpeg 0.2 (baseline sequential)"; }
 
 }  // extern "C"

@@ -51,6 +51,104 @@ def test_planes_match_native_full_decode(native_ready):
     assert np.abs(dev - ref).max() <= 1
 
 
+@pytest.mark.parametrize("subsampling", [0, 1, 2])
+def test_planes_all_layouts_match_native_full_decode(native_ready, subsampling):
+    """4:4:4 / 4:2:2 / 4:2:0 plane ingest: device upsample+color on host
+    planes matches the native full RGB decode (VERDICT round-1 #2 — the
+    fast path must cover reference-shaped 4:2:2 traffic)."""
+    import io
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from fastdet_tpu.ops import jpeg_device
+
+    rng = np.random.RandomState(11)
+    img = np.kron(rng.randint(0, 255, (52, 52, 3), np.uint8),
+                  np.ones((8, 8, 1), np.uint8))
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90,
+                              subsampling=subsampling)
+    data = buf.getvalue()
+    y, cb, cr, (hs, vs) = native_ready.decode_planes(data)
+    cbu = jpeg_device.upsample_chroma(jnp.asarray(cb, jnp.float32), hs, vs)
+    cru = jpeg_device.upsample_chroma(jnp.asarray(cr, jnp.float32), hs, vs)
+    rgb01 = jpeg_device.ycbcr_to_rgb01(jnp.asarray(y, jnp.float32), cbu, cru)
+    dev = np.asarray(rgb01 * 255).round().astype(int)
+    ref = native_ready.decode_rgb(data).astype(int)
+    # <=1: only round-half convention differs (jnp half-even vs C++ +0.5)
+    assert np.abs(dev - ref).max() <= 1
+
+
+def test_reference_fixture_planes_match_rgb_path(native_ready):
+    """dog.jpg (real 4:2:2 reference fixture) through the plane ingest
+    reconstructs within +-2 levels of the RGB decode path."""
+    import pathlib
+
+    import jax.numpy as jnp
+
+    from fastdet_tpu.ops import jpeg_device
+
+    p = pathlib.Path("/root/reference/testdata/dog.jpg")
+    if not p.exists():
+        pytest.skip("reference fixtures not present")
+    data = p.read_bytes()
+    y, cb, cr, (hs, vs) = native_ready.decode_planes(data, expected_size=(416, 416))
+    assert (hs, vs) == (2, 1)
+    cbu = jpeg_device.upsample_chroma(jnp.asarray(cb, jnp.float32), hs, vs)
+    cru = jpeg_device.upsample_chroma(jnp.asarray(cr, jnp.float32), hs, vs)
+    rgb01 = jpeg_device.ycbcr_to_rgb01(jnp.asarray(y, jnp.float32), cbu, cru)
+    dev = np.asarray(rgb01 * 255).round().astype(int)
+    ref = native_ready.decode_rgb(data).astype(int)
+    assert np.abs(dev - ref).max() <= 2
+
+
+def test_engine_planes_path_on_reference_fixture(engine, native_ready):
+    """detect_async_planes(dog.jpg) returns non-None (round-1 it degraded
+    to the pixel path at 2x the transfer) and agrees with the pixel path."""
+    import pathlib
+
+    p = pathlib.Path("/root/reference/testdata/dog.jpg")
+    if not p.exists():
+        pytest.skip("reference fixtures not present")
+    data = p.read_bytes()
+    res = engine.detect_async_planes([data], [0.3])
+    assert res is not None
+    got = engine.fetch(res, 1)[0]
+    ref = engine.detect([native_ready.decode_rgb(data)], [0.3])[0]
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        assert g[0] == r[0]
+        assert abs(g[1] - r[1]) < 0.05
+        assert all(abs(a - b) < 4 for a, b in zip(g[2:], r[2:]))
+
+
+def test_engine_mixed_layout_batch(engine, native_ready):
+    """A batch mixing 4:2:0 and 4:2:2 frames dispatches one program per
+    layout group and reassembles results in request order."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.RandomState(21)
+    img = np.kron(rng.randint(0, 255, (52, 52, 3), np.uint8),
+                  np.ones((8, 8, 1), np.uint8))
+    datas = []
+    for sub in (2, 1):  # 4:2:0 then 4:2:2
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=90, subsampling=sub)
+        datas.append(buf.getvalue())
+    res = engine.detect_async_planes(datas, [0.5, 0.5])
+    assert res is not None
+    assert res.layouts == ((2, 1), (2, 2))
+    got = engine.fetch(res, 2)
+    singles = [
+        engine.fetch(engine.detect_async_planes([d], [0.5]), 1)[0] for d in datas
+    ]
+    for g, s in zip(got, singles):
+        assert g == s
+
+
 def test_engine_planes_path(engine, native_ready):
     datas = [_jpeg(1), _jpeg(2)]
     res = engine.detect_async_planes(datas, [0.5, 0.5])
