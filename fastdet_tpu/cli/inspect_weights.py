@@ -8,6 +8,9 @@ tool you reach for when reverse-engineering or validating a weight blob.
 Usage:
     python -m fastdet_tpu.cli.inspect_weights [-a arch] [-c classes] [weights]
     python -m fastdet_tpu.cli.inspect_weights -g tiny        # graph only
+    python -m fastdet_tpu.cli.inspect_weights -r model.onnx  # raw ONNX dump
+        (node list + initializer stats for ANY onnx file, like the
+        reference's models/inspect_onnx.py:7-25 — no onnx package needed)
 """
 
 from __future__ import annotations
@@ -70,13 +73,40 @@ def _leaves(p):
             yield k, v
 
 
+def print_onnx_raw(path: str) -> None:
+    """Dump an arbitrary ONNX file's graph + initializers (the reference
+    inspect_onnx.py's printable_graph / numpy_helper dump equivalent)."""
+    from fastdet_tpu.models import onnx_io
+
+    g = onnx_io.load_graph(path)
+    print(f"# graph {g.name!r}: inputs={g.inputs} outputs={g.outputs}")
+    for i, node in enumerate(g.nodes):
+        attrs = ", ".join(
+            f"{k}={v if not isinstance(v, np.ndarray) else f'tensor{v.shape}'}"
+            for k, v in node.attrs.items()
+        )
+        print(f"{i:4d}  {node.op_type:<22s} {node.inputs} -> {node.outputs}"
+              + (f"  [{attrs}]" if attrs else ""))
+    print()
+    total = 0
+    for name, a in g.initializers.items():
+        total += a.size
+        if a.size:
+            print(f"{name:40s} {str(a.dtype):8s} {str(a.shape):>20s}  "
+                  f"min={a.min():+.4f} max={a.max():+.4f}")
+        else:
+            print(f"{name:40s} {str(a.dtype):8s} {str(a.shape):>20s}  (empty)")
+    print(f"# total initializer elements: {total:,}")
+
+
 def main(argv):
     def usage():
-        print(f"usage: {argv[0]} [-a arch] [-c num_classes] [-g arch] [weights]")
+        print(f"usage: {argv[0]} [-a arch] [-c num_classes] [-g arch] "
+              f"[-r model.onnx] [weights]")
         return 100
 
     try:
-        (opts, args) = getopt.getopt(argv[1:], "a:c:g:")
+        (opts, args) = getopt.getopt(argv[1:], "a:c:g:r:")
     except getopt.GetoptError:
         return usage()
     arch = None
@@ -89,6 +119,9 @@ def main(argv):
             num_classes = int(v)
         elif k == "-g":
             graph_only = v
+        elif k == "-r":
+            print_onnx_raw(v)
+            return 0
 
     from fastdet_tpu.models import weights as weights_io
     from fastdet_tpu.models import yolov3

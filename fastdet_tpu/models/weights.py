@@ -238,8 +238,10 @@ def load_model(
                 last_err = e
         raise ValueError(f"could not match {path} to an architecture: {last_err}")
     if path.endswith(".onnx"):
-        raise ValueError(
-            "ONNX import is not supported in this environment (no onnx "
-            "package); convert to darknet .weights or fastdet_tpu .npz"
-        )
+        # Hand-rolled protobuf walker — the onnx package is not required
+        # (reference registry contract: name:num_classes:path.onnx,
+        # server/server.py:354-358).
+        from fastdet_tpu.models import onnx_io
+
+        return onnx_io.load_onnx(path, arch=arch, num_classes=num_classes)
     raise ValueError(f"unrecognized weights path: {path!r}")

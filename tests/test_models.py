@@ -99,8 +99,12 @@ def test_npz_roundtrip(tmp_path):
 def test_load_model_dispatch(tmp_path):
     spec, params = weights.load_model("synthetic:tiny", num_classes=9)
     assert spec.name == "yolov3-tiny" and spec.num_classes == 9
-    with pytest.raises(ValueError):
+    # .onnx is now a supported format (tests/test_onnx_io.py); a missing
+    # file surfaces as FileNotFoundError, not "unsupported"
+    with pytest.raises(FileNotFoundError):
         weights.load_model("model.onnx")
+    with pytest.raises(ValueError):
+        weights.load_model("model.tflite")
     # auto-arch darknet load
     p = str(tmp_path / "auto.weights")
     weights.save_darknet(p, yolov3.yolov3_tiny_spec(80), weights.synthetic_params(yolov3.yolov3_tiny_spec(80)))

@@ -1,0 +1,119 @@
+"""ONNX import/export via the hand-rolled protobuf walker.
+
+Restores the reference's registry contract ``name:num_classes:path.onnx``
+(reference server/server.py:354-358) without the onnx package
+(VERDICT round-1 Missing #3).
+"""
+
+import io
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fastdet_tpu.models import onnx_io, weights, yolov3
+
+
+def _params_equal(a, b):
+    for name, e in a.items():
+        e2 = b[name]
+        assert np.array_equal(np.asarray(e["w"]), np.asarray(e2["w"])), name
+        if "bn" in e:
+            for k in e["bn"]:
+                assert np.array_equal(
+                    np.asarray(e["bn"][k]), np.asarray(e2["bn"][k])
+                ), (name, k)
+        else:
+            assert np.array_equal(np.asarray(e["b"]), np.asarray(e2["b"])), name
+
+
+@pytest.mark.parametrize("num_classes", [80, 9])
+def test_roundtrip_tiny(tmp_path, num_classes):
+    spec = yolov3.get_spec("tiny", num_classes)
+    params = weights.synthetic_params(spec, seed=5)
+    p = str(tmp_path / "m.onnx")
+    onnx_io.save_onnx(p, spec, params)
+    spec2, params2 = weights.load_model(p, num_classes=num_classes)
+    assert (spec2.name, spec2.num_classes) == (spec.name, num_classes)
+    _params_equal(params, params2)
+
+
+def test_roundtrip_full(tmp_path):
+    spec = yolov3.get_spec("full", 80)
+    params = weights.synthetic_params(spec, seed=6)
+    p = str(tmp_path / "m.onnx")
+    onnx_io.save_onnx(p, spec, params)
+    spec2, params2 = weights.load_model(p)  # arch + classes inferred
+    assert (spec2.name, spec2.num_classes) == ("yolov3", 80)
+    _params_equal(params, params2)
+
+
+def test_darknet_to_onnx_conversion(tmp_path):
+    """save_darknet -> load -> save_onnx -> load_onnx is the identity
+    (VERDICT round-1 #3 done criterion)."""
+    spec = yolov3.get_spec("tiny", 80)
+    params = weights.synthetic_params(spec, seed=7)
+    dk = str(tmp_path / "m.weights")
+    weights.save_darknet(dk, spec, params)
+    spec1, params1 = weights.load_model(dk, num_classes=80)
+    ox = str(tmp_path / "m.onnx")
+    onnx_io.save_onnx(ox, spec1, params1)
+    spec2, params2 = weights.load_model(ox, num_classes=80)
+    _params_equal(params, params2)
+
+
+def test_class_count_mismatch_rejected(tmp_path):
+    spec = yolov3.get_spec("tiny", 9)
+    params = weights.synthetic_params(spec)
+    p = str(tmp_path / "m.onnx")
+    onnx_io.save_onnx(p, spec, params)
+    with pytest.raises(ValueError, match="classes"):
+        weights.load_model(p, num_classes=80)
+
+
+def test_garbage_rejected(tmp_path):
+    p = str(tmp_path / "bad.onnx")
+    with open(p, "wb") as fp:
+        fp.write(b"\x00\x01not a protobuf model")
+    with pytest.raises(ValueError):
+        weights.load_model(p, num_classes=80)
+
+
+def test_loaded_onnx_forward_matches(tmp_path):
+    """The imported pytree drives the same forward as the original."""
+    import jax.numpy as jnp
+
+    spec = yolov3.get_spec("tiny", 80)
+    params = weights.synthetic_params(spec, seed=8)
+    p = str(tmp_path / "m.onnx")
+    onnx_io.save_onnx(p, spec, params)
+    _, params2 = weights.load_model(p, num_classes=80)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 416, 416, 3), jnp.float32)
+    h1 = yolov3.apply(spec, yolov3.fold_params(spec, params), x,
+                      compute_dtype=jnp.float32)
+    h2 = yolov3.apply(spec, yolov3.fold_params(spec, params2), x,
+                      compute_dtype=jnp.float32)
+    for a, b in zip(h1, h2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_inspect_cli_raw_dump(tmp_path):
+    spec = yolov3.get_spec("tiny", 80)
+    params = weights.synthetic_params(spec)
+    p = str(tmp_path / "m.onnx")
+    onnx_io.save_onnx(p, spec, params)
+    out = subprocess.run(
+        [sys.executable, "-m", "fastdet_tpu.cli.inspect_weights", "-r", p],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "Conv" in out.stdout and "BatchNormalization" in out.stdout
+    assert "conv0.weight" in out.stdout
+    # and the yolo-aware path also reads it
+    out2 = subprocess.run(
+        [sys.executable, "-m", "fastdet_tpu.cli.inspect_weights", p],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out2.returncode == 0, out2.stderr
+    assert "total parameters" in out2.stdout
