@@ -42,6 +42,21 @@ ResultTuple = Tuple[int, float, float, float, float, float]
 
 DEFAULT_BUCKETS = (1, 2, 4, 8)
 
+_DECODE_POOL = None
+
+
+def _decode_pool():
+    """Shared thread pool for parallel batch JPEG decode (the native
+    decoder releases the GIL). None on single-core hosts."""
+    global _DECODE_POOL
+    if _DECODE_POOL is None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(8, os.cpu_count() or 1)
+        _DECODE_POOL = ThreadPoolExecutor(workers) if workers > 1 else False
+    return _DECODE_POOL or None
+
 def _default_calibration_images(size: int, n: int = 8) -> np.ndarray:
     """Smooth synthetic scenes for activation calibration when the caller
     provides none (prefer real frames from the target camera)."""
@@ -245,28 +260,6 @@ class DetectionEngine:
             self._jit_planes_cache[layout] = fn
         return fn
 
-    def _dispatch_planes_group(
-        self,
-        layout: Tuple[int, int],
-        frames: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
-        thresholds: List[float],
-    ) -> jnp.ndarray:
-        size = self.spec.image_size
-        hs, vs = layout
-        n = len(frames)
-        b = self.bucket_for(n)
-        y = np.zeros((b, size, size), np.uint8)
-        cb = np.full((b, size // vs, size // hs), 128, np.uint8)
-        cr = np.full((b, size // vs, size // hs), 128, np.uint8)
-        for i, (yi, cbi, cri) in enumerate(frames):
-            y[i], cb[i], cr[i] = yi, cbi, cri
-        thr = np.full((b,), 2.0, np.float32)
-        thr[:n] = np.asarray(thresholds, np.float32)
-        return self._planes_jit(layout)(
-            self.params, self._place(y), self._place(cb), self._place(cr),
-            self._place(thr),
-        )
-
     def detect_async_planes(
         self, jpegs: Sequence[bytes], thresholds: Sequence[float]
     ) -> Optional["PlanesDispatch"]:
@@ -275,9 +268,12 @@ class DetectionEngine:
         Accepts any mix of 4:2:0 / 4:2:2 / 4:4:0 / 4:4:4 frames (the
         reference's own fixtures are 4:2:2 — /root/reference/testdata);
         the batch is grouped by subsampling layout and each group runs as
-        one device program. All-or-nothing: if any frame is outside the
-        native decoder's subset, returns None and the caller decodes on
-        host via detect_async.
+        one device program. Layouts are probed from the headers (~4us)
+        before anything is allocated; frames then entropy-decode straight
+        into the padded batch arrays, in parallel across decode threads
+        on multi-core hosts (the native call releases the GIL).
+        All-or-nothing: if any frame is outside the native decoder's
+        subset, returns None and the caller decodes on host.
         """
         from fastdet_tpu.runtime import native_jpeg
 
@@ -287,21 +283,45 @@ class DetectionEngine:
         if size % 16 != 0 or not native_jpeg.available():
             return None
         groups: Dict[Tuple[int, int], List[int]] = {}
-        decoded: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         try:
             for i, d in enumerate(jpegs):
-                yi, cbi, cri, layout = native_jpeg.decode_planes(
+                _, _, hs, vs = native_jpeg.scan_layout(
                     d, expected_size=(size, size)
                 )
-                decoded.append((yi, cbi, cri))
-                groups.setdefault(layout, []).append(i)
+                groups.setdefault((hs, vs), []).append(i)
         except (ValueError, native_jpeg.NativeJpegUnavailable):
             return None
-        thr = list(thresholds)
-        parts = []
+
+        thr_all = np.asarray(list(thresholds), np.float32)
+        staged = []
+        jobs = []
         for layout, idxs in groups.items():
-            res = self._dispatch_planes_group(
-                layout, [decoded[i] for i in idxs], [thr[i] for i in idxs]
+            hs, vs = layout
+            b = self.bucket_for(len(idxs))
+            y = np.zeros((b, size, size), np.uint8)
+            cb = np.full((b, size // vs, size // hs), 128, np.uint8)
+            cr = np.full((b, size // vs, size // hs), 128, np.uint8)
+            thr = np.full((b,), 2.0, np.float32)
+            thr[: len(idxs)] = thr_all[idxs]
+            staged.append((layout, idxs, y, cb, cr, thr))
+            for j, i in enumerate(idxs):
+                jobs.append((jpegs[i], y[j], cb[j], cr[j]))
+        try:
+            if len(jobs) > 1 and _decode_pool() is not None:
+                list(_decode_pool().map(
+                    lambda a: native_jpeg.decode_planes_into(*a), jobs
+                ))
+            else:
+                for a in jobs:
+                    native_jpeg.decode_planes_into(*a)
+        except (ValueError, native_jpeg.NativeJpegUnavailable):
+            return None
+
+        parts = []
+        for layout, idxs, y, cb, cr, thr in staged:
+            res = self._planes_jit(layout)(
+                self.params, self._place(y), self._place(cb),
+                self._place(cr), self._place(thr),
             )
             parts.append((res, idxs))
         return PlanesDispatch(parts, layouts=tuple(sorted(groups)))

@@ -188,6 +188,58 @@ def decode_coefficients(
 PLANE_LAYOUTS = ((2, 2), (2, 1), (1, 2), (1, 1))
 
 
+def scan_layout(
+    data: bytes, expected_size: Optional[Tuple[int, int]] = None
+) -> Tuple[int, int, int, int]:
+    """Header-only probe: (w, h, hs, vs) for the plane path.
+
+    ~4us (no entropy decode) — used to group a batch by subsampling
+    layout and validate dimensions BEFORE allocating anything. Raises
+    ValueError for non-3-component files, unexpected sizes, or layouts
+    outside PLANE_LAYOUTS.
+    """
+    lib = _load()
+    info = (ctypes.c_int * 13)()
+    rc = lib.fd_jpeg_scan_info(data, len(data), info)
+    if rc != 0:
+        raise ValueError(f"fd_jpeg_scan_info failed: rc={rc}")
+    w, h, ncomp, hs, vs = info[0], info[1], info[2], info[3], info[4]
+    if expected_size is not None and (w, h) != tuple(expected_size):
+        raise ValueError(f"unexpected image size {w}x{h}")
+    if ncomp != 3 or (hs, vs) not in PLANE_LAYOUTS:
+        raise ValueError(f"unsupported plane layout ncomp={ncomp} {(hs, vs)}")
+    return w, h, hs, vs
+
+
+def decode_planes_into(
+    data: bytes, y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+) -> None:
+    """Decode directly into caller-provided C-contiguous uint8 views
+    (e.g. slices of a batch array) — no per-frame allocation or copy.
+    Shapes must match the layout from scan_layout: y (H, W), chroma
+    (H//vs, W//hs). Releases the GIL during the native call, so a batch
+    can be decoded in parallel across threads.
+    """
+    lib = _load()
+    layout = (ctypes.c_int * 4)()
+    for a in (y, cb, cr):
+        assert a.dtype == np.uint8 and a.flags.c_contiguous
+    rc = lib.fd_jpeg_planes(
+        data, len(data),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), y.size,
+        cb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cb.size,
+        cr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cr.size,
+        layout,
+    )
+    if rc != 0:
+        raise ValueError(f"fd_jpeg_planes failed: rc={rc}")
+    hs, vs = layout[2], layout[3]
+    if y.shape != (layout[1], layout[0]) or cb.shape != (
+        layout[1] // vs, layout[0] // hs
+    ):
+        raise ValueError("plane buffer shape does not match the JPEG layout")
+
+
 def decode_planes(
     data: bytes, expected_size: Optional[Tuple[int, int]] = None
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[int, int]]:
@@ -202,31 +254,11 @@ def decode_planes(
     ``expected_size`` (w, h) is checked against the header before any
     allocation (see decode_coefficients).
     """
-    lib = _load()
-    w, h, ncomp = info(data)
-    if expected_size is not None and (w, h) != tuple(expected_size):
-        raise ValueError(f"unexpected image size {w}x{h}")
-    if ncomp != 3:
-        raise ValueError("plane path requires a 3-component JPEG")
-    # Allocate for the worst case (4:4:4 chroma = full size); the library
-    # reports the actual layout and we slice chroma down to it.
+    w, h, hs, vs = scan_layout(data, expected_size)
     y = np.empty((h, w), np.uint8)
-    cb = np.empty((h, w), np.uint8)
-    cr = np.empty((h, w), np.uint8)
-    layout = (ctypes.c_int * 4)()
-    rc = lib.fd_jpeg_planes(
-        data, len(data),
-        y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), y.size,
-        cb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cb.size,
-        cr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cr.size,
-        layout,
-    )
-    if rc != 0:
-        raise ValueError(f"fd_jpeg_planes failed: rc={rc}")
-    hs, vs = layout[2], layout[3]
-    ch, cw = h // vs, w // hs
-    cb = cb.reshape(-1)[: ch * cw].reshape(ch, cw)
-    cr = cr.reshape(-1)[: ch * cw].reshape(ch, cw)
+    cb = np.empty((h // vs, w // hs), np.uint8)
+    cr = np.empty((h // vs, w // hs), np.uint8)
+    decode_planes_into(data, y, cb, cr)
     return y, cb, cr, (hs, vs)
 
 

@@ -51,9 +51,9 @@ struct HuffTable {
   int32_t mincode[17] = {0};
   int32_t maxcode[18] = {0};   // maxcode[17] sentinel
   int32_t valptr[17] = {0};
-  // fast path: direct lookup for codes <= 8 bits
-  int16_t fast_val[256];
-  int8_t fast_len[256];
+  // fast path: one-load lookup for codes <= 8 bits
+  // entry = (code_length << 8) | symbol_value; 0 = slow path
+  uint16_t fast[256];
   bool present = false;
 
   void build() {
@@ -67,16 +67,14 @@ struct HuffTable {
       code <<= 1;
     }
     maxcode[17] = 0x7fffffff;
-    for (int i = 0; i < 256; ++i) { fast_len[i] = 0; fast_val[i] = 0; }
+    for (int i = 0; i < 256; ++i) fast[i] = 0;
     // populate fast table
     code = 0; k = 0;
     for (int l = 1; l <= 8; ++l) {
       for (int i = 0; i < bits[l]; ++i, ++k, ++code) {
         int prefix = code << (8 - l);
-        for (int fill = 0; fill < (1 << (8 - l)); ++fill) {
-          fast_len[prefix | fill] = (int8_t)l;
-          fast_val[prefix | fill] = values[k];
-        }
+        for (int fill = 0; fill < (1 << (8 - l)); ++fill)
+          fast[prefix | fill] = (uint16_t)((l << 8) | values[k]);
       }
       code <<= 1;
     }
@@ -89,77 +87,99 @@ struct Component {
   int dc_pred = 0;
 };
 
+// The entropy stream is destuffed ONCE into a contiguous buffer (0xFF00
+// -> 0xFF, RSTn markers recorded as segment boundaries) so the hot bit
+// reader never branches on stuffing: it runs on clean bytes with a
+// 64-bit accumulator refilled in bulk, libjpeg-turbo style.
+struct DestuffedScan {
+  std::vector<uint8_t> bytes;
+  std::vector<size_t> seg_start;   // one entry per restart segment
+
+  size_t seg_end(size_t i) const {
+    return i + 1 < seg_start.size() ? seg_start[i + 1] : bytes.size();
+  }
+};
+
+void destuff_scan(const uint8_t* p, const uint8_t* end, DestuffedScan& out) {
+  out.bytes.reserve((size_t)(end - p));
+  out.seg_start.push_back(0);
+  while (p < end) {
+    const uint8_t* ff =
+        (const uint8_t*)memchr(p, 0xFF, (size_t)(end - p));
+    if (!ff) {
+      out.bytes.insert(out.bytes.end(), p, end);
+      break;
+    }
+    out.bytes.insert(out.bytes.end(), p, ff);
+    if (ff + 1 >= end) break;
+    uint8_t nxt = ff[1];
+    if (nxt == 0x00) {               // stuffed data byte
+      out.bytes.push_back(0xFF);
+      p = ff + 2;
+    } else if (nxt >= 0xD0 && nxt <= 0xD7) {  // restart marker
+      out.seg_start.push_back(out.bytes.size());
+      p = ff + 2;
+    } else {
+      break;                         // real marker: end of scan data
+    }
+  }
+}
+
 struct BitReader {
   const uint8_t* p;
   const uint8_t* end;
-  uint32_t acc = 0;
+  uint64_t acc = 0;
   int nbits = 0;
-  bool hit_marker = false;
   bool bad = false;        // set when reads continue past real data
-  int pad_bytes = 0;       // zero bytes fed after data/marker end
-  // The encoder pads the final byte with 1-bits, and our 25-bit lookahead
-  // can legitimately peek a few bytes past the last real bit; 8 pad bytes
-  // is far beyond any legitimate need, so past that the stream is
-  // truncated and decoding must fail instead of producing garbage.
+  int pad_bytes = 0;       // zero bytes fed after data end
+  // The encoder pads the final byte with 1-bits and our lookahead can
+  // legitimately peek a few bytes past the last real bit; 8 pad bytes is
+  // far beyond any legitimate need, so past that the stream is truncated
+  // and decoding must fail instead of producing garbage.
   static constexpr int kMaxPadBytes = 8;
 
   BitReader(const uint8_t* data, const uint8_t* e) : p(data), end(e) {}
 
-  // JPEG entropy stream: 0xFF bytes are stuffed with 0x00.
-  bool fill() {
-    while (nbits <= 24) {
-      if (hit_marker || p >= end) {
-        if (pad_bytes >= kMaxPadBytes) return false;
+  // Top up to >56 bits; afterwards a full (huffman code + value bits)
+  // pair (16+15 worst case) can be consumed without any checks.
+  void refill() {
+    int want = (63 - nbits) & ~7;    // whole bytes of headroom
+    if (want == 0) return;
+    if (p + 8 <= end) {
+      // bulk path: one unaligned 8-byte load, byte-swapped to big-endian
+      uint64_t chunk;
+      memcpy(&chunk, p, 8);
+      chunk = __builtin_bswap64(chunk);
+      acc = (acc << want) | (chunk >> (64 - want));
+      p += want >> 3;
+      nbits += want;
+      return;
+    }
+    while (nbits <= 56) {
+      if (p < end) {
+        acc = (acc << 8) | *p++;
+      } else {
+        if (pad_bytes >= kMaxPadBytes) bad = true;
         acc <<= 8;          // feed zeros past the end of real data
-        nbits += 8;
         ++pad_bytes;
-        continue;
       }
-      uint8_t b = *p;
-      if (b == 0xFF) {
-        if (p + 1 >= end) { hit_marker = true; continue; }
-        uint8_t nxt = p[1];
-        if (nxt == 0x00) { p += 2; acc = (acc << 8) | 0xFF; nbits += 8; continue; }
-        // real marker (RSTn handled by caller; EOI etc end the stream).
-        // p stays on the 0xFF so the restart scan can find the marker.
-        hit_marker = true;
-        continue;
-      }
-      ++p;
-      acc = (acc << 8) | b;
       nbits += 8;
     }
-    return true;
   }
 
-  int get_bit() {
-    if (nbits < 1) {
-      if (!fill() || nbits < 1) { bad = true; return 0; }
-    }
+  int get_bit() {           // caller guarantees nbits >= 1 (post-refill)
     nbits -= 1;
-    return (acc >> nbits) & 1;
+    return (int)(acc >> nbits) & 1;
   }
 
-  int peek8() {
-    if (nbits < 8) {
-      if (!fill() || nbits < 8) { bad = true; return 0; }
-    }
-    return (acc >> (nbits - 8)) & 0xFF;
-  }
+  int peek8() { return (int)(acc >> (nbits - 8)) & 0xFF; }
 
   void consume(int n) { nbits -= n; }
 
-  int receive(int n) {            // read n raw bits at once
+  int receive(int n) {      // caller guarantees nbits >= n (post-refill)
     if (n == 0) return 0;
-    if (nbits < n) {
-      if (!fill() || nbits < n) { bad = true; return 0; }
-    }
     nbits -= n;
     return (int)((acc >> nbits) & ((1u << n) - 1));
-  }
-
-  void reset_at_restart() {
-    acc = 0; nbits = 0; hit_marker = false; pad_bytes = 0;
   }
 };
 
@@ -167,75 +187,127 @@ inline int extend(int v, int n) {   // JPEG sign extension (F.2.2.1)
   return (n && v < (1 << (n - 1))) ? v - (1 << n) + 1 : v;
 }
 
+// Caller must br.refill() first: one decode consumes <= 16 bits and the
+// following receive() <= 15 more, both covered by the >56-bit refill.
 int decode_huff(BitReader& br, const HuffTable& h) {
   int look = br.peek8();
-  if (br.bad) return -1;
-  int l = h.fast_len[look];
-  if (l) { br.consume(l); return h.fast_val[look]; }
-  // slow path: lengths 9..16
+  unsigned e = h.fast[look];
+  if (__builtin_expect(e != 0, 1)) { br.consume((int)(e >> 8)); return (int)(e & 0xFF); }
+  // slow path: lengths 9..16 (all codes <= 8 bits hit the fast table)
   int code = 0;
   for (int len = 1; len <= 16; ++len) {
     code = (code << 1) | br.get_bit();
-    if (br.bad) return -1;
-    if (len >= 1 && code <= h.maxcode[len] && h.bits[len] &&
-        code >= h.mincode[len]) {
-      if (len <= 8) continue;  // already covered; defensive
+    if (len > 8 && code <= h.maxcode[len] && h.bits[len] &&
+        code >= h.mincode[len])
       return h.values[h.valptr[len] + code - h.mincode[len]];
-    }
   }
   return -1;
 }
 
-// Separable float IDCT with a precomputed basis table:
-//   T[u][x] = c(u)/2 * cos((2x+1)u*pi/16)
-// Two 8x8 matrix passes per block; the compiler auto-vectorizes the inner
-// loops. Exact enough (max ~1 LSB vs libjpeg's islow).
-struct IdctTable {
-  float t[8][8];
-  IdctTable() {
-    for (int u = 0; u < 8; ++u)
-      for (int x = 0; x < 8; ++x)
-        t[u][x] = (u == 0 ? 0.35355339059f : 0.5f) *
-                  __builtin_cosf((2 * x + 1) * u * 3.14159265358979f / 16);
+// AAN (Arai-Agui-Nakajima) scaled float IDCT: 1-D on 8 points costs 5
+// multiplies; the remaining per-coefficient scale c(u)c(v)/8 is folded
+// into the dequantization table once per image (see Decoder::fold_qtab).
+// ~4x fewer multiplies than the naive basis-table matmul, same accuracy
+// class as libjpeg's floating IDCT (max ~1 LSB).
+struct AanScale {
+  float s[64];
+  AanScale() {
+    static const double aan[8] = {
+        1.0, 1.387039845, 1.306562965, 1.175875602,
+        1.0, 0.785694958, 0.541196100, 0.275899379};
+    for (int v = 0; v < 8; ++v)
+      for (int u = 0; u < 8; ++u)
+        s[v * 8 + u] = (float)(aan[v] * aan[u] / 8.0);
   }
 };
-static const IdctTable kIdct;
+static const AanScale kAan;
 
-void idct8x8(const int32_t* in, const uint16_t* qt, uint8_t* out, int stride) {
-  float blk[64], tmp[64];
-  for (int i = 0; i < 64; ++i) blk[i] = (float)in[i] * (float)qt[i];
-  // rows: tmp[y][x] = sum_u blk[y][u] * T[u][x]. High-frequency rows are
-  // usually all-zero after quantization — skip them.
-  for (int y = 0; y < 8; ++y) {
-    const float* row = blk + y * 8;
-    float* trow = tmp + y * 8;
-    bool zero = true;
-    for (int u = 0; u < 8; ++u) zero &= (row[u] == 0.0f);
-    if (zero) {
-      for (int x = 0; x < 8; ++x) trow[x] = 0.0f;
-      continue;
-    }
+// fq = quant table pre-multiplied by the AAN scale grid (natural order).
+// Column pass runs all 8 columns at once on 8-wide arrays (the compiler
+// vectorizes each butterfly line into one SIMD op); row pass is scalar
+// per row. Dense blocks cost ~30 vector ops + 8*30 scalar flops.
+void idct8x8(const int16_t* in, const float* fq, uint8_t* out, int stride) {
+  float d[8][8];
+  for (int r = 0; r < 8; ++r)
+    for (int x = 0; x < 8; ++x)
+      d[r][x] = (float)in[r * 8 + x] * fq[r * 8 + x];
+
+  float ws[8][8];
+  {
+    float tmp10[8], tmp11[8], tmp13[8], tmp12[8];
+    float t0[8], t1[8], t2[8], t3[8];
+    float z13[8], z10[8], z11[8], z12[8], z5[8];
+    float t7[8], tmp11o[8], tmp10o[8], tmp12o[8], t6[8], t5[8], t4[8];
     for (int x = 0; x < 8; ++x) {
-      float s = 0;
-      for (int u = 0; u < 8; ++u) s += row[u] * kIdct.t[u][x];
-      trow[x] = s;
+      // even part
+      tmp10[x] = d[0][x] + d[4][x];
+      tmp11[x] = d[0][x] - d[4][x];
+      tmp13[x] = d[2][x] + d[6][x];
+      tmp12[x] = (d[2][x] - d[6][x]) * 1.414213562f - tmp13[x];
+      t0[x] = tmp10[x] + tmp13[x];
+      t3[x] = tmp10[x] - tmp13[x];
+      t1[x] = tmp11[x] + tmp12[x];
+      t2[x] = tmp11[x] - tmp12[x];
+      // odd part
+      z13[x] = d[5][x] + d[3][x];
+      z10[x] = d[5][x] - d[3][x];
+      z11[x] = d[1][x] + d[7][x];
+      z12[x] = d[1][x] - d[7][x];
+      t7[x] = z11[x] + z13[x];
+      tmp11o[x] = (z11[x] - z13[x]) * 1.414213562f;
+      z5[x] = (z10[x] + z12[x]) * 1.847759065f;
+      tmp10o[x] = 1.082392200f * z12[x] - z5[x];
+      tmp12o[x] = -2.613125930f * z10[x] + z5[x];
+      t6[x] = tmp12o[x] - t7[x];
+      t5[x] = tmp11o[x] - t6[x];
+      t4[x] = tmp10o[x] + t5[x];
+      ws[0][x] = t0[x] + t7[x];
+      ws[7][x] = t0[x] - t7[x];
+      ws[1][x] = t1[x] + t6[x];
+      ws[6][x] = t1[x] - t6[x];
+      ws[2][x] = t2[x] + t5[x];
+      ws[5][x] = t2[x] - t5[x];
+      ws[4][x] = t3[x] + t4[x];
+      ws[3][x] = t3[x] - t4[x];
     }
   }
-  // cols: out[y][x] = sum_v tmp[v][x] * T[v][y]
-  for (int x = 0; x < 8; ++x) {
-    for (int y = 0; y < 8; ++y) {
-      float s = 0;
-      for (int v = 0; v < 8; ++v) s += tmp[v * 8 + x] * kIdct.t[v][y];
-      float val = s + 128.0f;
-      int iv = (int)(val + 0.5f);
-      out[y * stride + x] = (uint8_t)(iv < 0 ? 0 : (iv > 255 ? 255 : iv));
+  // row pass (frequency u -> spatial x) + level shift + clamp
+  for (int y = 0; y < 8; ++y) {
+    const float* r = ws[y];
+    float tmp10 = r[0] + r[4];
+    float tmp11 = r[0] - r[4];
+    float tmp13 = r[2] + r[6];
+    float tmp12 = (r[2] - r[6]) * 1.414213562f - tmp13;
+    float t0 = tmp10 + tmp13;
+    float t3 = tmp10 - tmp13;
+    float t1 = tmp11 + tmp12;
+    float t2 = tmp11 - tmp12;
+    float z13 = r[5] + r[3];
+    float z10 = r[5] - r[3];
+    float z11 = r[1] + r[7];
+    float z12 = r[1] - r[7];
+    float t7 = z11 + z13;
+    float tmp11o = (z11 - z13) * 1.414213562f;
+    float z5 = (z10 + z12) * 1.847759065f;
+    float tmp10o = 1.082392200f * z12 - z5;
+    float tmp12o = -2.613125930f * z10 + z5;
+    float t6 = tmp12o - t7;
+    float t5 = tmp11o - t6;
+    float t4 = tmp10o + t5;
+    float vals[8] = {t0 + t7, t1 + t6, t2 + t5, t3 - t4,
+                     t3 + t4, t2 - t5, t1 - t6, t0 - t7};
+    uint8_t* orow = out + (long)y * stride;
+    for (int xx = 0; xx < 8; ++xx) {
+      int iv = (int)(vals[xx] + 128.5f);
+      orow[xx] = (uint8_t)(iv < 0 ? 0 : (iv > 255 ? 255 : iv));
     }
   }
 }
 
-// DC-only block: the IDCT is a constant plane at DC*q[0]/8 + 128.
-inline void flat_block(int32_t dc, uint16_t q0, uint8_t* out, int stride) {
-  float val = (float)dc * (float)q0 * 0.125f + 128.0f;
+// DC-only block: the IDCT is a constant plane at DC*fq[0] + 128
+// (fq[0] already carries the 1/8 AAN scale).
+inline void flat_block(int dc, float fq0, uint8_t* out, int stride) {
+  float val = (float)dc * fq0 + 128.0f;
   int iv = (int)(val + 0.5f);
   uint8_t v = (uint8_t)(iv < 0 ? 0 : (iv > 255 ? 255 : iv));
   for (int r = 0; r < 8; ++r) memset(out + (long)r * stride, v, 8);
@@ -256,6 +328,18 @@ struct Decoder {
   Component comp[3];
   int restart_interval = 0;
   long scan_offset = -1;
+
+  float fqtab[4][64];                 // quant * AAN scale, per table
+  bool fq_ready[4] = {false, false, false, false};
+
+  const float* fold_qtab(int tq) {
+    if (!fq_ready[tq]) {
+      for (int i = 0; i < 64; ++i)
+        fqtab[tq][i] = (float)qtab[tq][i] * kAan.s[i];
+      fq_ready[tq] = true;
+    }
+    return fqtab[tq];
+  }
 
   int u16(long off) const {
     return (data[off] << 8) | data[off + 1];
@@ -376,18 +460,22 @@ struct Decoder {
   // Returns 0 on error-free decode; *nonzero_ac reports whether any AC
   // coefficient is set (enables the flat-block IDCT fast path — at
   // typical web quality most chroma blocks are DC-only).
-  int decode_block(BitReader& br, Component& c, int32_t* blk,
+  int decode_block(BitReader& br, Component& c, int16_t* blk,
                    bool* nonzero_ac = nullptr) {
-    memset(blk, 0, 64 * sizeof(int32_t));
+    memset(blk, 0, 64 * sizeof(int16_t));
+    br.refill();
     int t = decode_huff(br, hdc[c.td]);
     if (t < 0 || t > 15) return br.bad ? ERR_TRUNCATED : ERR_BAD_DATA;
     int diff = t ? extend(br.receive(t), t) : 0;
     c.dc_pred += diff;
-    blk[0] = c.dc_pred;
+    blk[0] = (int16_t)c.dc_pred;
     int k = 1;
     bool any_ac = false;
     const HuffTable& ac = hac[c.ta];
     while (k < 64) {
+      // a worst-case (code + value) pair consumes 31 bits; refill only
+      // when the accumulator could run dry
+      if (br.nbits < 32) br.refill();
       int rs = decode_huff(br, ac);
       if (rs < 0) return br.bad ? ERR_TRUNCATED : ERR_BAD_DATA;
       int r = rs >> 4, s = rs & 15;
@@ -397,7 +485,7 @@ struct Decoder {
       }
       k += r;
       if (k > 63) return ERR_BAD_DATA;
-      blk[kZigzag[k]] = extend(br.receive(s), s);
+      blk[kZigzag[k]] = (int16_t)extend(br.receive(s), s);
       any_ac = true;
       ++k;
     }
@@ -420,19 +508,20 @@ struct Decoder {
     int mcux = (width + 8 * hmax - 1) / (8 * hmax);
     int mcuy = (height + 8 * vmax - 1) / (8 * vmax);
     for (int i = 0; i < ncomp; ++i) comp[i].dc_pred = 0;
-    BitReader br(data + scan_offset, data + n);
-    int32_t blk[64];
+    DestuffedScan ds;
+    destuff_scan(data + scan_offset, data + n, ds);
+    size_t seg = 0;
+    BitReader br(ds.bytes.data() + ds.seg_start[0],
+                 ds.bytes.data() + ds.seg_end(0));
+    int16_t blk[64];
     int mcu_count = 0;
     for (int my = 0; my < mcuy; ++my) {
       for (int mx = 0; mx < mcux; ++mx) {
         if (restart_interval && mcu_count == restart_interval) {
-          // skip to the RSTn marker: align and consume it
-          br.reset_at_restart();
-          const uint8_t* p = br.p;
-          while (p + 1 < data + n &&
-                 !(p[0] == 0xFF && p[1] >= 0xD0 && p[1] <= 0xD7))
-            ++p;
-          if (p + 1 < data + n) br.p = p + 2;
+          ++seg;
+          if (seg >= ds.seg_start.size()) return ERR_TRUNCATED;
+          br = BitReader(ds.bytes.data() + ds.seg_start[seg],
+                         ds.bytes.data() + ds.seg_end(seg));
           for (int i = 0; i < ncomp; ++i) comp[i].dc_pred = 0;
           mcu_count = 0;
         }
@@ -474,13 +563,14 @@ struct Decoder {
       planes[i].assign((size_t)pw[i] * ph[i], 128);
     }
 
-    int rc = scan_mcus([&](int ci, long bx, long by, const int32_t* blk,
+    int rc = scan_mcus([&](int ci, long bx, long by, const int16_t* blk,
                            bool any_ac) -> int {
       uint8_t* dst = planes[ci].data() + (size_t)by * 8 * pw[ci] + bx * 8;
+      const float* fq = fold_qtab(comp[ci].tq);
       if (any_ac)
-        idct8x8(blk, qtab[comp[ci].tq], dst, pw[ci]);
+        idct8x8(blk, fq, dst, pw[ci]);
       else
-        flat_block(blk[0], qtab[comp[ci].tq][0], dst, pw[ci]);
+        flat_block(blk[0], fq[0], dst, pw[ci]);
       return 0;
     });
     if (rc) return rc;
@@ -605,10 +695,9 @@ int decode_coefficients(Decoder& d, int16_t* out[3], const long cap[3]) {
     long bh = (long)mcuy * d.comp[i].vs;
     if (bw[i] * bh * 64 > cap[i]) return ERR_CAPACITY;
   }
-  return d.scan_mcus([&](int ci, long bx, long by, const int32_t* blk,
+  return d.scan_mcus([&](int ci, long bx, long by, const int16_t* blk,
                          bool) -> int {
-    int16_t* dst = out[ci] + (by * bw[ci] + bx) * 64;
-    for (int i = 0; i < 64; ++i) dst[i] = (int16_t)blk[i];
+    memcpy(out[ci] + (by * bw[ci] + bx) * 64, blk, 64 * sizeof(int16_t));
     return 0;
   });
 }
@@ -637,13 +726,14 @@ int decode_planes(Decoder& d, uint8_t* outs[3], const long caps[3],
   if (w * h > caps[0] || cw * ch > caps[1] || cw * ch > caps[2])
     return ERR_CAPACITY;
   const long strides[3] = {w, cw, cw};
-  int rc = d.scan_mcus([&](int ci, long bx, long by, const int32_t* blk,
+  int rc = d.scan_mcus([&](int ci, long bx, long by, const int16_t* blk,
                            bool any_ac) -> int {
     uint8_t* dst = outs[ci] + by * 8 * strides[ci] + bx * 8;
+    const float* fq = d.fold_qtab(d.comp[ci].tq);
     if (any_ac)
-      idct8x8(blk, d.qtab[d.comp[ci].tq], dst, (int)strides[ci]);
+      idct8x8(blk, fq, dst, (int)strides[ci]);
     else
-      flat_block(blk[0], d.qtab[d.comp[ci].tq][0], dst, (int)strides[ci]);
+      flat_block(blk[0], fq[0], dst, (int)strides[ci]);
     return 0;
   });
   if (rc) return rc;

@@ -1,0 +1,154 @@
+"""Gated integration tests on REAL pretrained YOLOv3 weights.
+
+These run only when public Darknet weights are present (fetch with
+``python tools/fetch_weights.py``; offline boxes can drop the files into
+``weights/`` by hand). They convert "compiles and self-consistent" into
+"is a working detector": the reference's own smoke test is exactly this
+run (reference README.md:36-39 — yolov3 on testdata/dog.jpg expecting
+dog/bicycle/truck; reference server/detector.py:126-146).
+
+Acceptance here mirrors the north star (BASELINE.json): box outputs of
+the full TPU pipeline within 1e-3 IoU-equivalence of an independent
+reference implementation (torch-CPU forward + float64 oracle
+postprocess) on real images through EVERY ingest path.
+"""
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import REPO_ROOT
+
+sys.path.insert(0, str(REPO_ROOT / "tools"))
+import fetch_weights  # noqa: E402
+
+from fastdet_tpu.models import weights as weights_io  # noqa: E402
+from fastdet_tpu.models import yolov3  # noqa: E402
+from fastdet_tpu.runtime import jpeg  # noqa: E402
+from fastdet_tpu.runtime.engine import DetectionEngine  # noqa: E402
+from fastdet_tpu.utils.labels import COCO_NAMES, name_of  # noqa: E402
+
+DOG = pathlib.Path("/root/reference/testdata/dog.jpg")
+
+TINY = fetch_weights.find_weights("tiny")
+FULL = fetch_weights.find_weights("full")
+
+pytestmark = pytest.mark.skipif(
+    (TINY is None and FULL is None) or not DOG.exists(),
+    reason="pretrained weights not fetched (run tools/fetch_weights.py)",
+)
+
+_CASES = [p for p in [("tiny", TINY), ("full", FULL)] if p[1]]
+
+
+@pytest.fixture(scope="module", params=_CASES, ids=[c[0] for c in _CASES])
+def real_engine(request):
+    arch, path = request.param
+    spec, params = weights_io.load_model(path, arch=arch, num_classes=80)
+    engine = DetectionEngine(spec, params, mode="f32", buckets=(1,))
+    return arch, spec, params, engine
+
+
+def _labels(results):
+    return {name_of(COCO_NAMES, k) for (k, *_rest) in results}
+
+
+def _iou(a, b):
+    ax0, ay0, aw, ah = a
+    bx0, by0, bw, bh = b
+    x0, y0 = max(ax0, bx0), max(ay0, by0)
+    x1, y1 = min(ax0 + aw, bx0 + bw), min(ay0 + ah, by0 + bh)
+    inter = max(0.0, x1 - x0) * max(0.0, y1 - y0)
+    union = aw * ah + bw * bh - inter
+    return inter / union if union > 0 else 0.0
+
+
+def test_detects_dog_scene(real_engine):
+    """The canonical smoke test: dog.jpg must contain a dog and a bicycle
+    (and the truck/car in the background) at threshold 0.3."""
+    arch, spec, params, engine = real_engine
+    img = jpeg.decode_rgb(DOG.read_bytes())
+    results = engine.detect_one(img, 0.3)
+    labels = _labels(results)
+    assert "dog" in labels, results
+    assert "bicycle" in labels, results
+    if arch == "full":
+        assert labels & {"truck", "car"}, results
+
+
+@pytest.mark.parametrize("path_name", ["pixels", "planes", "coeffs"])
+def test_ingest_paths_agree_on_real_weights(real_engine, path_name):
+    """All three ingest paths yield the same detections on real weights."""
+    arch, spec, params, engine = real_engine
+    data = DOG.read_bytes()
+    base = engine.detect_one(jpeg.decode_rgb(data), 0.3)
+    if path_name == "pixels":
+        got = base
+    elif path_name == "planes":
+        res = engine.detect_async_planes([data], [0.3])
+        assert res is not None, "plane path must take 4:2:2 reference traffic"
+        got = engine.fetch(res, 1)[0]
+    else:
+        res = engine.detect_async_jpeg([data], [0.3])
+        assert res is not None
+        got = engine.fetch(res, 1)[0]
+    assert _labels(got) == _labels(base)
+    for g, b in zip(got, base):
+        assert g[0] == b[0]
+        assert _iou(g[2:], b[2:]) > 0.95
+
+
+def test_matches_independent_reference_within_1e3_iou(real_engine):
+    """TPU pipeline vs torch-CPU forward + float64 oracle postprocess:
+    every confident box matches with IoU >= 0.999 (north-star tolerance)."""
+    from fastdet_tpu.ops import reference_oracle
+    from fastdet_tpu.utils.torch_ref import torch_forward
+
+    arch, spec, params, engine = real_engine
+    img = jpeg.decode_rgb(DOG.read_bytes())
+    ours = engine.detect_one(img, 0.3)
+
+    folded = yolov3.fold_params(spec, params)
+    x = img[None].astype(np.float32) / 255.0
+    heads = torch_forward(spec, folded, x)
+    ref = reference_oracle.detect_oracle(
+        [h[0] for h in heads], spec.anchors, 80, 0.3, spec.image_size
+    )
+
+    # Compare boxes clear of the threshold boundary (f32-vs-f64 score
+    # jitter can flip sub-threshold candidates either way). The engine
+    # caps output at max_det (static shapes); the oracle is unbounded.
+    ours_hi = [r for r in ours if r[1] >= 0.35]
+    ref_hi = [r for r in ref if r[1] >= 0.35][: engine.max_det]
+    assert len(ours_hi) == len(ref_hi), (ours, ref)
+    for rk, rconf, *rbox in ref_hi:
+        best = max(
+            (o for o in ours_hi if o[0] == rk),
+            key=lambda o: _iou(o[2:], rbox),
+            default=None,
+        )
+        assert best is not None, (rk, ref_hi, ours_hi)
+        assert _iou(best[2:], rbox) >= 0.999, (rk, best, rbox)
+        assert abs(best[1] - rconf) < 5e-3
+
+
+def test_detector_cli_on_real_weights(real_engine, tmp_path):
+    """The detector CLI prints the reference's (dt, results) format and
+    finds the dog (reference detector.py:191-194 output contract)."""
+    import subprocess
+
+    arch, spec, params, engine = real_engine
+    path = dict(_CASES)[arch]
+    out = subprocess.run(
+        [sys.executable, "-m", "fastdet_tpu.cli.detector",
+         "-c", "80", "-t", "0.3", path, str(DOG)],
+        capture_output=True, text=True, timeout=600, cwd=str(REPO_ROOT),
+    )
+    import re
+
+    assert out.returncode == 0, out.stderr
+    assert "(" in out.stdout  # (dt, [(klass, conf, x, y, w, h), ...])
+    dog_klass = COCO_NAMES.index("dog") + 1  # runtime ids are 1-indexed
+    assert re.search(rf"\({dog_klass}, ", out.stdout), out.stdout
