@@ -69,6 +69,25 @@ def calibrated_params(spec):
     return params
 
 
+def load_bench_model(arch: str = "full", num_classes: int = 80):
+    """Real pretrained weights when fetched (tools/fetch_weights.py),
+    else calibrated synthetic. Returns (spec, params, "real"|"synthetic")
+    — the flavor is recorded in the bench output so numbers are never
+    silently mixed across weight regimes."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import fetch_weights
+
+    from fastdet_tpu.models import weights
+
+    if arch in ("tiny", "full") and num_classes == 80:
+        path = fetch_weights.find_weights(arch)
+        if path:
+            spec, params = weights.load_model(path, arch=arch, num_classes=80)
+            return spec, params, "real"
+    spec, _ = weights.load_model(f"synthetic:{arch}", num_classes=num_classes)
+    return spec, calibrated_params(spec), "synthetic"
+
+
 def make_jpegs(n: int, quality: int = 90):
     """Benchmark frames: the committed synthetic scenes (realistic entropy
     ~39 KB each, like camera frames), cycled to n. Block-noise frames
@@ -95,8 +114,7 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 32):
     from fastdet_tpu.runtime import jpeg
     from fastdet_tpu.runtime.engine import DetectionEngine
 
-    spec, _ = weights.load_model("synthetic:full", num_classes=80)
-    params = calibrated_params(spec)
+    spec, params, weight_kind = load_bench_model("full", 80)
     engine = DetectionEngine(spec, params, mode="bf16", buckets=(1, batch))
     t0 = time.time()
     engine.warmup()
@@ -147,22 +165,21 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 32):
         engine.fetch(res, 1)
         lat.append((time.time() - t0) * 1000)
     p50 = float(np.percentile(lat, 50))
-    return fps, p50, compile_s, ingest["path"]
+    return fps, p50, compile_s, ingest["path"], weight_kind
 
 
 def bench_baseline_cpu(frames: int = 8):
     """Measure the torch-CPU reference-equivalent anchor on this host."""
     import torch
 
-    from fastdet_tpu.models import weights, yolov3
+    from fastdet_tpu.models import yolov3
     from fastdet_tpu.ops import reference_oracle
     from fastdet_tpu.runtime import jpeg
 
     torch.set_num_threads(os.cpu_count() or 4)
     from fastdet_tpu.utils.torch_ref import torch_forward
 
-    spec, _ = weights.load_model("synthetic:full", num_classes=80)
-    params = calibrated_params(spec)
+    spec, params, _kind = load_bench_model("full", 80)
     folded_np = {
         name: {k: np.asarray(v, np.float32) for k, v in p.items()}
         for name, p in yolov3.fold_params(spec, params).items()
@@ -201,7 +218,6 @@ def bench_all(frames: int = 128):
     """
     import threading
 
-    from fastdet_tpu.models import weights, yolov3
     from fastdet_tpu.runtime import jpeg
     from fastdet_tpu.runtime.client import DetectClient
     from fastdet_tpu.runtime.engine import DetectionEngine
@@ -212,8 +228,9 @@ def bench_all(frames: int = 128):
                 for i in (1, 2, 3)]
 
     def mk_engine(arch, classes, buckets):
-        spec = yolov3.get_spec(arch, classes)
-        eng = DetectionEngine(spec, calibrated_params(spec), buckets=buckets)
+        spec, params, kind = load_bench_model(arch, classes)
+        detail.setdefault("weights", {})[f"{arch}{classes}"] = kind
+        eng = DetectionEngine(spec, params, buckets=buckets)
         eng.warmup()
         return eng
 
@@ -380,7 +397,8 @@ def main():
         print(json.dumps(payload))
         return
 
-    fps, p50, compile_s, ingest = bench_tpu(args.frames, args.batch, args.inflight)
+    fps, p50, compile_s, ingest, weight_kind = bench_tpu(
+        args.frames, args.batch, args.inflight)
     vs = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as fp:
@@ -394,6 +412,7 @@ def main():
         "batch": args.batch,
         "inflight": args.inflight,
         "ingest": ingest,
+        "weights": weight_kind,
         "compile_s": round(compile_s, 1),
     }))
 
