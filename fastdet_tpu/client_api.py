@@ -182,6 +182,71 @@ class ObjectDetector:
             self.on_result(result)
 
 
+@dataclass
+class TrackedBox:
+    label: Optional[str]
+    klass: int
+    conf: float
+    bbox: Tuple[float, float, float, float]  # UV, like DetectedObject
+    deadline: float                          # absolute expiry time
+
+
+class BoxTracker:
+    """The app layer's box retention (reference DetectionTest.cs:177-203).
+
+    Each displayed box lives ``retain`` seconds (scene default 0.5 s).
+    When a result arrives — and only if it is NEWER than the last one by
+    sent time (DetectionTest.cs:179) — each object REPLACES an existing
+    box of the same label whose overlap exceeds 0.5, else is appended.
+    Overlap uses the app's asymmetric measure intersection/area(existing)
+    (DetectionTest.cs getIOU:205-211), reproduced exactly.
+    """
+
+    def __init__(self, retain: float = 0.5):
+        self.retain = retain
+        self.boxes: List[TrackedBox] = []
+        self._last_sent: float = -1.0
+
+    @staticmethod
+    def _overlap(b0, b1) -> float:
+        x = max(b0[0], b1[0])
+        y = max(b0[1], b1[1])
+        w = min(b0[0] + b0[2], b1[0] + b1[2]) - x
+        h = min(b0[1] + b0[3], b1[1] + b1[3]) - y
+        area0 = b0[2] * b0[3]
+        if area0 <= 0:
+            return 0.0
+        # NOTE: the app does not clamp negative w/h — a disjoint pair can
+        # yield a positive product; kept bit-faithful (DetectionTest.cs:210)
+        return (w * h) / area0
+
+    def add_result(self, result: DetectionResult,
+                   now: Optional[float] = None) -> None:
+        if result.sent_time <= self._last_sent:
+            return  # stale result: out-of-order responses are ignored
+        self._last_sent = result.sent_time
+        now = time.time() if now is None else now
+        deadline = now + self.retain
+        for obj in result.objects:
+            found = -1
+            for i, box in enumerate(self.boxes):
+                if box.label == obj.label and self._overlap(box.bbox, obj.bbox) > 0.5:
+                    found = i
+                    break
+            newbox = TrackedBox(obj.label, obj.klass, obj.conf, obj.bbox, deadline)
+            if found >= 0:
+                self.boxes[found] = newbox
+            else:
+                self.boxes.append(newbox)
+
+    def active(self, now: Optional[float] = None) -> List[TrackedBox]:
+        """Live boxes; expired ones are pruned (the app skips them at
+        render time)."""
+        now = time.time() if now is None else now
+        self.boxes = [b for b in self.boxes if b.deadline > now]
+        return list(self.boxes)
+
+
 class DummyDetector(ObjectDetector):
     """Constant cat box at the center, conf 1.0 (DummyDetector.cs:41-55)."""
 

@@ -106,3 +106,109 @@ def test_remote_detector_against_server():
 def test_remote_detector_bad_url():
     with pytest.raises(ValueError):
         RemoteDetector("http://nope")
+
+
+# ---------------------------------------------------------------------------
+# App-layer box retention (DetectionTest.cs:177-203)
+# ---------------------------------------------------------------------------
+
+def _result(sent, objs):
+    from fastdet_tpu.client_api import DetectedObject, DetectionResult
+
+    return DetectionResult(
+        request_id=int(sent * 1000), sent_time=sent, recv_time=sent + 0.05,
+        inference_time=0.01,
+        objects=tuple(
+            DetectedObject(label=lbl, klass=1, conf=0.9, bbox=bb)
+            for lbl, bb in objs
+        ),
+    )
+
+
+def test_box_tracker_retention_and_replacement():
+    from fastdet_tpu.client_api import BoxTracker
+
+    t = BoxTracker(retain=0.5)
+    # frame 1: one dog box
+    t.add_result(_result(10.0, [("dog", (0.1, 0.1, 0.2, 0.2))]), now=10.0)
+    assert len(t.active(now=10.1)) == 1
+    # frame 2: overlapping same-label box REPLACES (IoU>0.5 same label)
+    t.add_result(_result(10.2, [("dog", (0.12, 0.11, 0.2, 0.2))]), now=10.2)
+    boxes = t.active(now=10.25)
+    assert len(boxes) == 1 and boxes[0].bbox[0] == 0.12
+    # different label at same spot: appended, not replaced
+    t.add_result(_result(10.3, [("cat", (0.12, 0.11, 0.2, 0.2))]), now=10.3)
+    assert len(t.active(now=10.35)) == 2
+    # same label, disjoint in ONE axis: appended (overlap product < 0)
+    t.add_result(_result(10.4, [("dog", (0.7, 0.11, 0.1, 0.2))]), now=10.4)
+    assert len(t.active(now=10.45)) == 3
+    # boxes persist 0.5 s then expire
+    assert len(t.active(now=10.85)) == 1   # only the 10.4 dog remains
+    assert len(t.active(now=10.95)) == 0
+
+
+def test_box_tracker_reproduces_unclamped_iou_quirk():
+    """The app's getIOU does not clamp negative intersection extents
+    (DetectionTest.cs:205-211): a same-label box disjoint in BOTH axes
+    yields negative*negative > 0 and can replace. Reproduced bug-for-bug
+    like the other reference quirks."""
+    from fastdet_tpu.client_api import BoxTracker
+
+    t = BoxTracker(retain=0.5)
+    t.add_result(_result(40.0, [("dog", (0.1, 0.1, 0.2, 0.2))]), now=40.0)
+    t.add_result(_result(40.1, [("dog", (0.7, 0.7, 0.1, 0.1))]), now=40.1)
+    boxes = t.active(now=40.2)
+    assert len(boxes) == 1 and boxes[0].bbox[0] == 0.7
+
+
+def test_box_tracker_ignores_stale_results():
+    from fastdet_tpu.client_api import BoxTracker
+
+    t = BoxTracker(retain=0.5)
+    t.add_result(_result(20.0, [("dog", (0.1, 0.1, 0.2, 0.2))]), now=20.0)
+    # an older result (out-of-order response) is ignored entirely
+    t.add_result(_result(19.5, [("cat", (0.5, 0.5, 0.2, 0.2))]), now=20.1)
+    boxes = t.active(now=20.2)
+    assert len(boxes) == 1 and boxes[0].label == "dog"
+
+
+def test_box_tracker_asymmetric_overlap():
+    """Overlap is intersection/area(existing) — a small new box fully
+    inside a big existing one replaces it (ratio vs existing area can
+    still exceed 0.5 only if the intersection is big enough)."""
+    from fastdet_tpu.client_api import BoxTracker
+
+    t = BoxTracker(retain=0.5)
+    t.add_result(_result(30.0, [("dog", (0.0, 0.0, 0.1, 0.1))]), now=30.0)
+    # big new box covering the whole existing box: intersection = full
+    # existing area -> ratio 1.0 > 0.5 -> replace
+    t.add_result(_result(30.1, [("dog", (0.0, 0.0, 0.9, 0.9))]), now=30.1)
+    boxes = t.active(now=30.2)
+    assert len(boxes) == 1 and boxes[0].bbox[2] == 0.9
+
+
+def test_demo_stream_mode(tmp_path):
+    """The continuous-capture demo: dummy backend, frames rendered with
+    retained boxes, per-mode threshold defaults applied."""
+    import subprocess
+    import sys as _sys
+
+    from fastdet_tpu.runtime import jpeg
+
+    img = np.zeros((200, 320, 3), np.uint8)
+    img[:] = (40, 80, 120)
+    src = tmp_path / "cam.jpg"
+    src.write_bytes(jpeg.encode_rgb(img))
+    outdir = tmp_path / "out"
+    r = subprocess.run(
+        [_sys.executable, "-m", "fastdet_tpu.cli.demo", "--dummy", "--stream",
+         "-n", "6", "--interval", "0.05", "-o", str(outdir), str(src)],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    frames = sorted(outdir.glob("frame_*.jpg"))
+    assert len(frames) == 6
+    # the dummy cat box must appear on later frames (retention + results)
+    last = jpeg.decode_rgb(frames[-1].read_bytes())
+    assert (np.abs(last.astype(int) - img.astype(int)).sum(axis=2) > 30).any()
+    assert "Total" in r.stderr and "Inference" in r.stderr
