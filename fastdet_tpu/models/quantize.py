@@ -1,36 +1,38 @@
 """Post-training int8 quantization for the YOLOv3 family.
 
 The v5e MXU runs int8 at ~1.5x the measured bf16 conv throughput in
-isolation (chained 3x3x256x256 convs: 177 TOP/s vs 119 TFLOP/s), so
-serving offers an ``int8`` engine mode. **Measured caveat**: with this
-implementation's float inter-layer activations, the per-conv f32->int8
-requantization traffic cancels the MXU gain on the full model (0.95 vs
-0.99 ms/img) — end-to-end int8 is currently accuracy-neutral-cost-
-neutral, kept as the foundation for the real win: propagating int8
-activations *through* consecutive convs (requant folded into the int32
-epilogue, float only at routes/shortcuts), tracked as follow-up work.
+isolation (chained 3x3x256x256 convs: 177 TOP/s vs 119 TFLOP/s).
+
+**int8-through activations** (round-2): activations stay int8 ACROSS
+consecutive conv/pool layers — each quantized conv requantizes its own
+output into a statically calibrated per-tensor scale inside the int32
+epilogue (one fused multiply+round), and the next conv consumes the
+int8 tensor directly. Round 1 kept float activations between layers, so
+every conv paid an f32 write + f32 read + int8 write + int8 read of
+inter-layer traffic; through-mode pays int8 write + int8 read — 4x less
+HBM traffic on the layer boundary — which is what cancelled the MXU
+gain end-to-end (measured 0.95 vs 0.99 ms/img, round-1 note).
+
+Float remains exactly where the graph shape demands it: routes
+(concat of tensors with different scales), shortcuts (adds), and the
+detection heads (bn=False convs feeding sigmoid/argmax, negligible
+FLOPs). MaxPool/Upsample are order/value-preserving and run on int8
+directly. A bn-conv emits int8 only when its chain successor can
+consume it (Conv(bn) or MaxPool); otherwise it emits f32 and skips the
+output requantization entirely.
 
 - **weights**: symmetric per-output-channel int8
   (w_scale[o] = max|w[..,o]| / 127) — the standard scheme that keeps CNN
   detector accuracy within ~1% mAP of float when paired with
 - **activations**: symmetric per-tensor int8 with *static* calibration:
   one instrumented forward pass over representative frames records each
-  conv input's absolute maximum. Static scales keep the whole network a
-  single AOT-compiled program (dynamic ranges would insert data-dependent
-  rescales).
-- the detection-head 1x1 convs (bn=False) stay in the float path: their
-  logits feed sigmoid/argmax directly and they are a negligible FLOP
-  share.
-
-The quantized forward keeps float activations *between* layers (requant
-happens at each conv input, fused by XLA into the preceding elementwise
-work), so routes/shortcuts/pools are untouched and the decode tail is
-identical to the float path.
+  conv input's (and bn-conv output's) absolute maximum. Static scales
+  keep the whole network a single AOT-compiled program.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -63,40 +65,73 @@ def _walk(spec: ModelSpec, params, x, conv_fn):
     return heads
 
 
+def emits_int8(spec: ModelSpec) -> Dict[str, bool]:
+    """Per bn-conv: does its output stay int8 (chain successor consumes
+    int8 directly)? Routes/shortcuts/heads force a float boundary."""
+    out: Dict[str, bool] = {}
+    ls = spec.layers
+    for i, l in enumerate(ls):
+        if isinstance(l, Conv) and l.bn:
+            nxt = ls[i + 1] if i + 1 < len(ls) else None
+            out[l.name] = isinstance(nxt, MaxPool) or (
+                isinstance(nxt, Conv) and nxt.bn
+            )
+    return out
+
+
 def collect_act_absmax(
     spec: ModelSpec, folded_params: Dict[str, Any], images: jnp.ndarray
-) -> Dict[str, jnp.ndarray]:
-    """One calibration forward: per-conv input absolute maxima (f32)."""
-    stats: Dict[str, jnp.ndarray] = {}
+):
+    """One calibration forward: per-conv input absmax + bn-conv output
+    absmax (post-activation), both f32 scalars."""
+    stats_in: Dict[str, jnp.ndarray] = {}
+    stats_out: Dict[str, jnp.ndarray] = {}
 
     def conv_fn(l: Conv, p, x):
-        stats[l.name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
-        return layers.conv_block(p, x, l.stride, l.act)
+        stats_in[l.name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        y = layers.conv_block(p, x, l.stride, l.act)
+        if l.bn:
+            stats_out[l.name] = jnp.max(jnp.abs(y.astype(jnp.float32)))
+        return y
 
     _walk(spec, folded_params, images.astype(jnp.float32), conv_fn)
-    return stats
+    return stats_in, stats_out
 
 
 def calibrate(
     spec: ModelSpec,
     folded_params: Dict[str, Any],
     calib_images: np.ndarray,        # (N, H, W, 3) uint8 or f32 [0,1]
-) -> Dict[str, float]:
-    """Static per-layer activation scales from representative frames."""
+) -> Dict[str, Dict[str, float]]:
+    """Static per-layer activation scales from representative frames.
+
+    Returns {conv_name: {"x": input_scale, "y": output_scale}} ("y" only
+    for bn convs).
+    """
     imgs = np.asarray(calib_images)
     if imgs.dtype == np.uint8:
         imgs = imgs.astype(np.float32) / 255.0
     fn = jax.jit(lambda ims: collect_act_absmax(spec, folded_params, ims))
-    stats = jax.device_get(fn(jnp.asarray(imgs)))
-    return {name: float(max(v, 1e-6)) / 127.0 for name, v in stats.items()}
+    sin, sout = jax.device_get(fn(jnp.asarray(imgs)))
+    scales: Dict[str, Dict[str, float]] = {}
+    for name, v in sin.items():
+        scales[name] = {"x": float(max(v, 1e-6)) / 127.0}
+        if name in sout:
+            scales[name]["y"] = float(max(sout[name], 1e-6)) / 127.0
+    return scales
 
 
 def quantize_params(
     spec: ModelSpec,
     folded_params: Dict[str, Any],
-    act_scales: Dict[str, float],
+    act_scales: Dict[str, Dict[str, float]],
 ) -> Dict[str, Any]:
-    """int8 weights + scales; head (bn=False) convs pass through float."""
+    """int8 weights + scales; head (bn=False) convs pass through float.
+
+    ``y_scale`` is attached only where the conv's output stays int8
+    (see emits_int8); elsewhere the epilogue emits f32 directly.
+    """
+    emit = emits_int8(spec)
     out: Dict[str, Any] = {}
     for l in spec.layers:
         if not isinstance(l, Conv):
@@ -108,33 +143,105 @@ def quantize_params(
         w = np.asarray(p["w"], np.float32)
         w_scale = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-8) / 127.0
         w_q = np.clip(np.round(w / w_scale[None, None, None, :]), -127, 127)
-        out[l.name] = {
+        entry = {
             "w_q": jnp.asarray(w_q.astype(np.int8)),
             "w_scale": jnp.asarray(w_scale),
             "b": p["b"],
-            "x_scale": jnp.float32(act_scales[l.name]),
+            "x_scale": jnp.float32(act_scales[l.name]["x"]),
         }
+        if emit.get(l.name) and "y" in act_scales[l.name]:
+            entry["y_scale"] = jnp.float32(act_scales[l.name]["y"])
+        out[l.name] = entry
     return out
+
+
+def _maxpool_q(x: jnp.ndarray, size: int, stride: int) -> jnp.ndarray:
+    """Max pooling that also accepts int8 (padding with the dtype min —
+    max is order-preserving, so pooled int8 keeps its scale)."""
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return layers.maxpool2d(x, size, stride)
+    if stride == size and x.shape[1] % size == 0:
+        padding = [(0, 0)] * 4
+    else:
+        total = size - 1
+        lo = total // 2
+        padding = [(0, 0), (lo, total - lo), (lo, total - lo), (0, 0)]
+    init = np.asarray(np.iinfo(x.dtype).min, dtype=x.dtype)[()]
+    return jax.lax.reduce_window(
+        x,
+        init,
+        jax.lax.max,
+        window_dimensions=(1, size, size, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=padding,
+    )
 
 
 def apply_int8(
     spec: ModelSpec, qparams: Dict[str, Any], x: jnp.ndarray
 ) -> List[jnp.ndarray]:
-    """Quantized forward; same output contract as yolov3.apply (f32 heads)."""
+    """int8-through quantized forward; same output contract as
+    yolov3.apply (f32 heads).
+
+    The walk carries (tensor, scale): scale None means the tensor is
+    plain f32; otherwise the tensor is int8 and ``tensor * scale``
+    recovers the float value.
+    """
     dn = ("NHWC", "HWIO", "NHWC")
 
-    def conv_fn(l: Conv, p, xx):
-        if "w_q" not in p:  # float head conv
-            return layers.conv_block(p, xx, l.stride, l.act)
-        inv = 1.0 / p["x_scale"]
-        xq = jnp.clip(jnp.round(xx.astype(jnp.float32) * inv), -127, 127).astype(jnp.int8)
-        pad = (l.ksize - 1) // 2
-        y = jax.lax.conv_general_dilated(
-            xq, p["w_q"], (l.stride, l.stride), [(pad, pad), (pad, pad)],
-            dimension_numbers=dn, preferred_element_type=jnp.int32,
-        )
-        scale = (p["x_scale"] * p["w_scale"]).astype(jnp.float32)
-        y = y.astype(jnp.float32) * scale[None, None, None, :] + p["b"]
-        return layers.leaky_relu(y) if l.act else y
+    def deq(t, s):
+        return t if s is None else t.astype(jnp.float32) * s
 
-    return _walk(spec, qparams, x.astype(jnp.float32), conv_fn)
+    outputs: List[Any] = []   # (tensor, scale)
+    heads: List[jnp.ndarray] = []
+    cur, cs = x.astype(jnp.float32), None
+    for l in spec.layers:
+        if isinstance(l, Conv):
+            p = qparams[l.name]
+            if "w_q" not in p:  # float head conv
+                cur, cs = layers.conv_block(p, deq(cur, cs), l.stride, l.act), None
+            else:
+                if cs is None:
+                    s_in = p["x_scale"]
+                    xq = jnp.clip(
+                        jnp.round(cur.astype(jnp.float32) * (1.0 / s_in)),
+                        -127, 127,
+                    ).astype(jnp.int8)
+                else:
+                    # int8-through: consume the producer's tensor directly
+                    s_in, xq = cs, cur
+                pad = (l.ksize - 1) // 2
+                y = jax.lax.conv_general_dilated(
+                    xq, p["w_q"], (l.stride, l.stride), [(pad, pad), (pad, pad)],
+                    dimension_numbers=dn, preferred_element_type=jnp.int32,
+                )
+                scale = (s_in * p["w_scale"]).astype(jnp.float32)
+                yf = y.astype(jnp.float32) * scale[None, None, None, :] + p["b"]
+                if l.act:
+                    yf = layers.leaky_relu(yf)
+                if "y_scale" in p:
+                    # requant in the epilogue: the next layer reads int8
+                    cur = jnp.clip(
+                        jnp.round(yf * (1.0 / p["y_scale"])), -127, 127
+                    ).astype(jnp.int8)
+                    cs = p["y_scale"]
+                else:
+                    cur, cs = yf, None
+        elif isinstance(l, MaxPool):
+            cur = _maxpool_q(cur, l.size, l.stride)
+        elif isinstance(l, Upsample):
+            cur = layers.upsample2x(cur)
+        elif isinstance(l, Route):
+            srcs = [outputs[i] for i in l.sources]
+            if len(srcs) == 1:
+                cur, cs = srcs[0]
+            else:
+                cur, cs = jnp.concatenate(
+                    [deq(t, s) for t, s in srcs], axis=-1), None
+        elif isinstance(l, Shortcut):
+            t2, s2 = outputs[l.source]
+            cur, cs = deq(cur, cs) + deq(t2, s2), None
+        elif isinstance(l, YoloHead):
+            heads.append(deq(cur, cs).astype(jnp.float32))
+        outputs.append((cur, cs))
+    return heads

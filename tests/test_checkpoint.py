@@ -26,6 +26,7 @@ def _one_batch(spec, b=2, seed=0):
     return images, targets
 
 
+@pytest.mark.slow
 def test_bn_running_stats_updated_by_training():
     spec = _small_spec()
     params = weights.synthetic_params(spec, seed=1)
@@ -53,6 +54,7 @@ def test_weight_decay_excludes_bn_and_bias():
     assert mask[head]["b"] is False
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     spec = _small_spec()
     params = weights.synthetic_params(spec, seed=3)

@@ -6,6 +6,7 @@ a crash since one exception in a datagram handler would kill sessions).
 """
 
 import socket
+import time
 import struct
 
 import numpy as np
@@ -32,12 +33,22 @@ def test_udp_fuzz_then_valid_request(dummy_server):
         n = rng.randint(0, 2000)
         c.sock_udp.sendto(rng.bytes(n), dest)
     # resync: reassembler may be mid-garbage; send a marker frame to flush,
-    # then a clean request (payload cancel semantics guarantee recovery)
-    c.sender.seqno = 50000
-    flush = wire.pack_frame(49999, b"", marker=True)
-    c.sock_udp.sendto(flush, dest)
-    c.request(7, 0.1, b"anything")
-    msec, records = c.wait_response(7, timeout=5)
+    # then a clean request (payload cancel semantics guarantee recovery).
+    # Retried because the garbage burst can overflow the server's UDP
+    # receive buffer under load, and the kernel then drops OUR datagrams
+    # too — resync-and-retry is exactly what a real client does on loss.
+    records = None
+    for attempt in range(3):
+        time.sleep(0.2)  # let the event loop drain the garbage backlog
+        c.sender.seqno = 50000 + 10 * attempt
+        flush = wire.pack_frame(c.sender.seqno - 1, b"", marker=True)
+        c.sock_udp.sendto(flush, dest)
+        c.request(7 + attempt, 0.1, b"anything")
+        try:
+            msec, records = c.wait_response(7 + attempt, timeout=3)
+            break
+        except TimeoutError:
+            continue
     assert records == [(16, 255, 208, 208, 166, 166)]
     c.close()
 

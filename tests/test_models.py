@@ -54,6 +54,7 @@ def test_forward_shapes(arch, n_heads):
         assert h.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_forward_bf16_close_to_f32():
     spec = yolov3.get_spec("tiny", 80)
     params = yolov3.fold_params(spec, weights.synthetic_params(spec))

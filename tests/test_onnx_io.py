@@ -39,6 +39,7 @@ def test_roundtrip_tiny(tmp_path, num_classes):
     _params_equal(params, params2)
 
 
+@pytest.mark.slow
 def test_roundtrip_full(tmp_path):
     spec = yolov3.get_spec("full", 80)
     params = weights.synthetic_params(spec, seed=6)

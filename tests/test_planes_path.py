@@ -164,6 +164,7 @@ def test_engine_planes_rejects_wrong_size(engine, native_ready):
     assert engine.detect_async_planes([data], [0.5]) is None
 
 
+@pytest.mark.slow
 def test_server_uses_planes_path(native_ready):
     """End-to-end through the serving runtime: batcher takes the plane
     fast path and the response still matches the engine's direct output."""

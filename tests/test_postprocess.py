@@ -113,6 +113,7 @@ def test_candidate_budget_truncates_lowest():
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_batch_vmap_consistency():
     rng = np.random.RandomState(11)
     spec = yolov3.get_spec("tiny", num_classes=8)

@@ -47,10 +47,58 @@ def test_calibration_collects_every_bn_conv():
     folded = yolov3.fold_params(spec, params)
     imgs = np.random.RandomState(1).randint(0, 255, (2, 416, 416, 3), np.uint8)
     scales = quantize.calibrate(spec, folded, imgs)
+    all_convs = [l.name for l in spec.layers if isinstance(l, yolov3.Conv)]
     bn_convs = [l.name for l in spec.layers
-                if isinstance(l, yolov3.Conv)]
-    assert set(scales) == set(bn_convs)
-    assert all(s > 0 for s in scales.values())
+                if isinstance(l, yolov3.Conv) and l.bn]
+    assert set(scales) == set(all_convs)
+    assert all(s["x"] > 0 for s in scales.values())
+    for name in bn_convs:
+        assert scales[name]["y"] > 0
+
+
+def test_emits_int8_boundaries():
+    """int8-through stops exactly at the float boundaries: heads, routes,
+    upsamples-into-routes, and shortcut adds."""
+    emit = quantize.emits_int8(yolov3.get_spec("tiny", 80))
+    # backbone conv->pool->conv chain stays int8 (conv0..conv5 feed
+    # pools; conv6/conv7 chain into bn convs)
+    for name in ("conv0", "conv3", "conv5", "conv6", "conv7"):
+        assert emit[name], name
+    # conv8 feeds the float head, conv10 feeds Upsample->Route,
+    # conv11 feeds the second head: all emit f32
+    for name in ("conv8", "conv10", "conv11"):
+        assert not emit[name], name
+    emit_f = quantize.emits_int8(yolov3.get_spec("full", 80))
+    # res-block squeeze (1x1) chains into the expand conv (int8-through);
+    # the expand conv feeds the shortcut add (float boundary)
+    assert emit_f["conv1"] and emit_f["conv2"]
+    assert not emit_f["conv3"]
+
+
+def test_int8_through_matches_per_layer_requant():
+    """The through-mode forward stays close to an all-float-boundary
+    quantized forward (y_scale stripped): int8-through only moves WHERE
+    the requantization happens, so outputs must track closely."""
+    import jax.numpy as jnp
+
+    spec, params = weights.load_model("synthetic:tiny", num_classes=8)
+    folded = yolov3.fold_params(spec, params)
+    from fastdet_tpu.runtime.engine import _default_calibration_images
+
+    calib = _default_calibration_images(416, n=2)
+    scales = quantize.calibrate(spec, folded, calib)
+    qp = quantize.quantize_params(spec, folded, scales)
+    qp_flat = {
+        name: {k: v for k, v in p.items() if k != "y_scale"}
+        for name, p in qp.items()
+    }
+    x = jnp.asarray(calib[:1].astype(np.float32) / 255.0)
+    h_through = quantize.apply_int8(spec, qp, x)
+    h_flat = quantize.apply_int8(spec, qp_flat, x)
+    for a, b in zip(h_through, h_flat):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(b).max() + 1e-6
+        assert np.abs(a - b).max() / denom < 0.08
 
 
 def test_quantized_params_structure():
@@ -68,6 +116,7 @@ def test_quantized_params_structure():
             assert p["w_scale"].shape == (p["w_q"].shape[-1],)
 
 
+@pytest.mark.slow
 def test_int8_engine_end_to_end():
     """int8 engine runs the full pipeline and produces sane results that
     correlate with the float engine on the calibration distribution."""

@@ -40,6 +40,7 @@ def test_build_targets_places_box_in_right_cell():
     assert g1[..., 4].sum() == 1
 
 
+@pytest.mark.slow
 def test_loss_decreases_under_training():
     spec = _small_spec()
     params = weights.synthetic_params(spec, seed=1)
@@ -61,6 +62,7 @@ def test_loss_decreases_under_training():
     assert losses[-1] < losses[0] * 0.9, losses
 
 
+@pytest.mark.slow
 def test_loss_gradients_flow_to_all_params():
     spec = _small_spec()
     params = weights.synthetic_params(spec, seed=2)
@@ -83,6 +85,7 @@ def test_loss_gradients_flow_to_all_params():
     assert zero_layers == [], f"dead layers: {zero_layers}"
 
 
+@pytest.mark.slow
 def test_sharded_train_step_8dev(cpu_devices):
     mesh = mesh_lib.make_mesh(cpu_devices)  # (dp=4, tp=2)
     assert mesh.shape == {"dp": 4, "tp": 2}
@@ -119,6 +122,7 @@ def test_sharded_train_step_8dev(cpu_devices):
     )
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__
 
