@@ -1,48 +1,68 @@
-"""Connectivity-diagnostic HTTP echo stub.
+"""Connectivity-diagnostic HTTP stub.
 
-Equivalent of the reference's standalone httpserver.py (SURVEY.md §2.14):
-an HTTP server that echoes the request line and headers back, used to
-verify that a mobile client can reach the serving host at all before
-debugging the detection protocol. Not wired into the main path.
+Equivalent of the reference's standalone httpserver.py (SURVEY.md §2.14,
+reference server/httpserver.py): an HTTP server used to verify that a
+mobile client can reach the serving host at all before debugging the
+detection protocol. Behavior matches the reference: ``GET /`` echoes
+``repr((requestline, headers))``, any other path is 404, ``HEAD``
+returns 200; flags are ``[-d] [-s port]`` with default port 10000 and
+the same logging format. Not wired into the main path.
 
-Usage: python -m fastdet_tpu.cli.httpserver [-s port]
+Usage: python -m fastdet_tpu.cli.httpserver [-d] [-s port]
 """
 
 from __future__ import annotations
 
 import getopt
+import logging
 import sys
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
 
-class EchoHandler(BaseHTTPRequestHandler):
-    def do_GET(self):
-        body = [f"{self.requestline}\n"]
-        for k, v in self.headers.items():
-            body.append(f"{k}: {v}\n")
-        data = "".join(body).encode("utf-8")
-        self.send_response(200)
-        self.send_header("Content-Type", "text/plain; charset=utf-8")
-        self.send_header("Content-Length", str(len(data)))
-        self.end_headers()
-        self.wfile.write(data)
+class DiagHandler(BaseHTTPRequestHandler):
+    def __init__(self, *args, **kwargs):
+        self.logger = logging.getLogger()
+        super().__init__(*args, **kwargs)
 
-    do_POST = do_GET
+    def do_HEAD(self):
+        self.send_response(200)
+
+    def do_GET(self):
+        self.logger.info(f"{self.command}: path={self.path}")
+        if self.path != "/":
+            self.send_response(404)
+            self.send_header("Content-Type", "text/plain")
+            self.end_headers()
+            self.wfile.write(b"not found")
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "text/plain")
+        self.end_headers()
+        data = (self.requestline, dict(self.headers))
+        self.wfile.write(repr(data).encode("utf-8"))
 
 
 def main(argv):
-    port = 8080
-    try:
-        (opts, _args) = getopt.getopt(argv[1:], "s:")
-    except getopt.GetoptError:
-        print(f"usage: {argv[0]} [-s port]")
+    def usage():
+        print(f"usage: {argv[0]} [-d] [-s port]")
         return 100
+
+    try:
+        (opts, _args) = getopt.getopt(argv[1:], "ds:")
+    except getopt.GetoptError:
+        return usage()
+    level = logging.INFO
+    port = 10000
     for (k, v) in opts:
-        if k == "-s":
+        if k == "-d":
+            level = logging.DEBUG
+        elif k == "-s":
             port = int(v)
-    server = HTTPServer(("", port), EchoHandler)
-    print(f"echo server listening on :{port}")
-    server.serve_forever()
+    logging.basicConfig(format="%(asctime)s %(levelname)s %(message)s",
+                        level=level)
+    logging.info(f"listening: port={port}...")
+    with HTTPServer(("", port), DiagHandler) as httpd:
+        httpd.serve_forever()
     return 0
 
 
