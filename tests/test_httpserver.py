@@ -40,8 +40,16 @@ def test_other_paths_404_and_head_200():
         except urllib.error.HTTPError as e:
             assert e.code == 404
             assert e.read() == b"not found"
-        req = urllib.request.Request(base + "/", method="HEAD")
-        assert urllib.request.urlopen(req, timeout=5).status == 200
+        # HEAD: the reference's do_HEAD sends the status line without
+        # end_headers() (server/httpserver.py:13-14) — reproduced
+        # bug-for-bug, so read the raw status line off a socket.
+        import socket
+
+        s = socket.create_connection(httpd.server_address, timeout=5)
+        s.sendall(b"HEAD / HTTP/1.1\r\nHost: x\r\n\r\n")
+        line = s.recv(1024).split(b"\r\n")[0]
+        assert line == b"HTTP/1.0 200 OK", line
+        s.close()
     finally:
         httpd.shutdown()
         t.join(timeout=5)
