@@ -40,16 +40,19 @@ def test_other_paths_404_and_head_200():
         except urllib.error.HTTPError as e:
             assert e.code == 404
             assert e.read() == b"not found"
-        # HEAD: the reference's do_HEAD sends the status line without
-        # end_headers() (server/httpserver.py:13-14) — reproduced
-        # bug-for-bug, so read the raw status line off a socket.
+        # HEAD: the reference's do_HEAD calls send_response without
+        # end_headers (server/httpserver.py:13-14); BaseHTTPRequestHandler
+        # only BUFFERS headers until end_headers, so the reference
+        # actually answers HEAD with zero bytes and a clean close.
+        # Reproduced bug-for-bug: the socket must close empty, and the
+        # server must stay healthy for the next request.
         import socket
 
         s = socket.create_connection(httpd.server_address, timeout=5)
         s.sendall(b"HEAD / HTTP/1.1\r\nHost: x\r\n\r\n")
-        line = s.recv(1024).split(b"\r\n")[0]
-        assert line == b"HTTP/1.0 200 OK", line
+        assert s.recv(1024) == b""
         s.close()
+        assert urllib.request.urlopen(base + "/", timeout=5).status == 200
     finally:
         httpd.shutdown()
         t.join(timeout=5)
