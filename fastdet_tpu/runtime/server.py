@@ -58,12 +58,17 @@ class ModelService:
 
     # Emit a stage-timing summary to the log every this many batches.
     STATS_EVERY = 500
+    # Device batches in flight at once: while one batch's results travel
+    # host-ward, the next batches are already decoded and dispatched —
+    # without this the device idles for a full transfer between batches.
+    MAX_INFLIGHT = 4
 
     def __init__(self, engine, *, name: str = ""):
         self.engine = engine
         self.name = name
         self.queue: asyncio.Queue = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
+        self._fetches: set = set()
         self.batches = 0
         self.frames = 0
         # Ingest observability (per service): frames served via each path
@@ -81,6 +86,8 @@ class ModelService:
         if self._task is not None:
             self._task.cancel()
             self._task = None
+        for t in list(self._fetches):
+            t.cancel()
 
     async def submit(self, jpeg: bytes, threshold: float) -> List[ResultTuple]:
         fut = asyncio.get_running_loop().create_future()
@@ -89,6 +96,7 @@ class ModelService:
 
     async def _worker(self) -> None:
         loop = asyncio.get_running_loop()
+        sem = asyncio.Semaphore(self.MAX_INFLIGHT)
         while True:
             first = await self.queue.get()
             batch = [first]
@@ -97,6 +105,10 @@ class ModelService:
                     batch.append(self.queue.get_nowait())
                 except asyncio.QueueEmpty:
                     break
+            # Bounded pipeline: block only when MAX_INFLIGHT batches are
+            # already on the device; their results are fetched by
+            # concurrent _finish tasks while we decode+dispatch the next.
+            await sem.acquire()
 
             # Fast path: subsampled-plane ingest (fewer h2d bytes; host does
             # only Huffman+IDCT in the native decoder). All-or-nothing per
@@ -116,34 +128,19 @@ class ModelService:
                     "(service=%s)", self.name,
                 )
                 res = None
-            if res is None:
-                self.fallbacks += 1
-                if not self._fallback_logged:
-                    self._fallback_logged = True
-                    logger.info(
-                        "plane ingest unavailable for this traffic; using "
-                        "pixel decode (service=%s, batch=%d)",
-                        self.name, len(batch),
-                    )
             if res is not None:
-                try:
-                    results = await loop.run_in_executor(
-                        None, self.engine.fetch, res, len(batch)
-                    )
-                except Exception as e:
-                    for fut in futs_all:
-                        if not fut.done():
-                            fut.set_exception(e)
-                    continue
-                STAGES.record("infer_batch", time.perf_counter() - t_try)
-                self.batches += 1
-                self.frames += len(batch)
                 self.ingest["planes"] += len(batch)
-                self._maybe_log_stats()
-                for fut, r in zip(futs_all, results):
-                    if not fut.done():
-                        fut.set_result(r)
+                self._spawn_finish(res, futs_all, len(batch), t_try, sem)
                 continue
+
+            self.fallbacks += 1
+            if not self._fallback_logged:
+                self._fallback_logged = True
+                logger.info(
+                    "plane ingest unavailable for this traffic; using "
+                    "pixel decode (service=%s, batch=%d)",
+                    self.name, len(batch),
+                )
 
             # Host JPEG decode on the executor (libjpeg releases the GIL).
             def _decode(item):
@@ -173,27 +170,47 @@ class ModelService:
                 if not fut.done():
                     fut.set_exception(err if isinstance(err, Exception) else Exception(str(err)))
 
-            if imgs:
-                try:
-                    t_inf = time.perf_counter()
-                    res = self.engine.detect_async(imgs, thrs)
-                    results = await loop.run_in_executor(
-                        None, self.engine.fetch, res, len(imgs)
-                    )
-                    STAGES.record("infer_batch", time.perf_counter() - t_inf)
-                    # avg batch size is frames/batches on the service itself
-                except Exception as e:  # device-side failure: fail the batch
-                    for fut in futs:
-                        if not fut.done():
-                            fut.set_exception(e)
-                    continue
-                self.batches += 1
-                self.frames += len(imgs)
-                self.ingest["pixels"] += len(imgs)
-                self._maybe_log_stats()
-                for fut, r in zip(futs, results):
+            if not imgs:
+                sem.release()
+                continue
+            try:
+                t_inf = time.perf_counter()
+                res = self.engine.detect_async(imgs, thrs)
+            except Exception as e:  # device-side failure: fail the batch
+                sem.release()
+                for fut in futs:
                     if not fut.done():
-                        fut.set_result(r)
+                        fut.set_exception(e)
+                continue
+            self.ingest["pixels"] += len(imgs)
+            self._spawn_finish(res, futs, len(imgs), t_inf, sem)
+
+    def _spawn_finish(self, res, futs, n, t0, sem) -> None:
+        t = asyncio.get_running_loop().create_task(
+            self._finish(res, futs, n, t0, sem))
+        self._fetches.add(t)
+        t.add_done_callback(self._fetches.discard)
+
+    async def _finish(self, res, futs, n, t0, sem) -> None:
+        """Fetch one in-flight batch's results and resolve its futures.
+        Runs concurrently with the worker dispatching later batches."""
+        loop = asyncio.get_running_loop()
+        try:
+            results = await loop.run_in_executor(None, self.engine.fetch, res, n)
+        except Exception as e:
+            for fut in futs:
+                if not fut.done():
+                    fut.set_exception(e)
+            return
+        finally:
+            sem.release()
+        STAGES.record("infer_batch", time.perf_counter() - t0)
+        self.batches += 1
+        self.frames += n
+        self._maybe_log_stats()
+        for fut, r in zip(futs, results):
+            if not fut.done():
+                fut.set_result(r)
 
     def _maybe_log_stats(self) -> None:
         if self.batches % self.STATS_EVERY:
