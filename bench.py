@@ -123,13 +123,14 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 32):
     jpegs = make_jpegs(64)
     thresholds = [BENCH_THRESHOLD] * batch
 
-    # Ingest path: 4:2:0 planes when the native decoder applies (half the
-    # host->device bytes — the bottleneck on bandwidth-limited links),
-    # else host pixel decode.
+    # Ingest path: subsampled planes when the native decoder applies
+    # (fewest host->device bytes — the bottleneck on bandwidth-limited
+    # links), else host pixel decode. Records which path/layouts served.
     def dispatch(batch_jpegs, thrs):
         res = engine.detect_async_planes(batch_jpegs, thrs)
         if res is not None:
-            return res, "planes420"
+            # e.g. "planes:22" (4:2:0) or "planes:21,22" (mixed batch)
+            return res, "planes:" + ",".join(f"{h}{v}" for h, v in res.layouts)
         imgs = [jpeg.decode_rgb(d) for d in batch_jpegs]
         return engine.detect_async(imgs, thrs), "pixels"
 
@@ -226,6 +227,14 @@ def bench_all(frames: int = 128):
     detail = {}
     fixtures = [open(os.path.join(REPO, "testdata", f"scene{i}.jpg"), "rb").read()
                 for i in (1, 2, 3)]
+    # the reference's own photos (416x416, 4:2:2 baseline JPEGs) — used
+    # for the rsu endpoint (its real fixtures) and the 4:2:2 ingest metric
+    ref_dir = "/root/reference/testdata"
+    ref_fixtures = {}
+    for name in ("dog.jpg", "rsu1.jpg", "rsu2.jpg"):
+        p = os.path.join(ref_dir, name)
+        if os.path.exists(p):
+            ref_fixtures[name] = open(p, "rb").read()
 
     def mk_engine(arch, classes, buckets):
         spec, params, kind = load_bench_model(arch, classes)
@@ -234,27 +243,46 @@ def bench_all(frames: int = 128):
         eng.warmup()
         return eng
 
-    def p50_fps(eng, n=40):
+    def p50_fps(eng, frames_list, n=40):
         lat = []
         for i in range(n):
             t0 = time.time()
-            res = eng.detect_async_planes([fixtures[i % 3]], [BENCH_THRESHOLD])
+            data = frames_list[i % len(frames_list)]
+            res = eng.detect_async_planes([data], [BENCH_THRESHOLD])
             if res is None:
-                img = jpeg.decode_rgb(fixtures[i % 3])
+                img = jpeg.decode_rgb(data)
                 res = eng.detect_async([img], [BENCH_THRESHOLD])
             eng.fetch(res, 1)
             lat.append(time.time() - t0)
         return float(np.percentile(lat, 50) * 1000), 1.0 / float(np.mean(lat))
 
-    # 1-3: per-model single-image configs
+    # 1-3: per-model single-image configs. The rsu endpoint runs on the
+    # reference's own rsu photos when present (BASELINE.md config 3).
+    rsu_frames = [ref_fixtures[k] for k in ("rsu1.jpg", "rsu2.jpg")
+                  if k in ref_fixtures] or fixtures
     engines = {}
-    for key, arch, classes in (("tiny80", "tiny", 80), ("full80", "full", 80),
-                               ("rsu9", "full", 9)):
+    for key, arch, classes, frames_list in (
+            ("tiny80", "tiny", 80, fixtures),
+            ("full80", "full", 80, fixtures),
+            ("rsu9", "full", 9, rsu_frames)):
         eng = mk_engine(arch, classes, (1, 8))
         engines[key] = eng
-        p50, fps1 = p50_fps(eng)
+        p50, fps1 = p50_fps(eng, frames_list)
         detail[key + "_single"] = {"p50_ms": round(p50, 1),
                                    "fps_single_stream": round(fps1, 1)}
+
+    # 2c: reference-shaped 4:2:2 traffic through the plane ingest
+    # (round-1 this fell back to full-RGB transfer at 2x the bytes)
+    if "dog.jpg" in ref_fixtures:
+        p50, fps1 = p50_fps(engines["full80"], [ref_fixtures["dog.jpg"]], n=30)
+        res = engines["full80"].detect_async_planes(
+            [ref_fixtures["dog.jpg"]], [BENCH_THRESHOLD])
+        detail["full80_ref422_single"] = {
+            "p50_ms": round(p50, 1), "fps_single_stream": round(fps1, 1),
+            "ingest": "planes:21" if res is not None else "pixels",
+        }
+        if res is not None:
+            engines["full80"].fetch(res, 1)
 
     # 2b: full batched throughput (same methodology as the headline)
     eng = engines["full80"]
@@ -358,13 +386,14 @@ def main():
                     help="measure the torch-CPU anchor and write bench_baseline.json")
     ap.add_argument("--all", action="store_true",
                     help="run the full BASELINE config matrix -> BENCH_DETAIL.json")
-    # defaults: best measured tradeoff on the tunneled v5e-1. Throughput of
-    # b8/if6 and b16/if8 are within tunnel-weather noise of each other
-    # (60-102 f/s across runs; link bandwidth fluctuates) but b8 keeps p50
-    # at ~45 ms vs ~69 ms. Plane ingest roughly doubled fps over pixels.
+    # defaults: best measured tradeoff on the tunneled v5e-1 (round-2
+    # sweep: inflight 1/2/3/6 -> 72/91/98/85 f/s at batch 8 — deeper
+    # queues oversaturate the tunnel and add latency without throughput).
+    # b8 keeps p50 at ~45-65 ms. Plane ingest roughly doubles fps over
+    # pixel ingest at the measured ~25-36 MB/s link bandwidth.
     ap.add_argument("--frames", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--inflight", type=int, default=6)
+    ap.add_argument("--inflight", type=int, default=3)
     args = ap.parse_args()
 
     if args.all:

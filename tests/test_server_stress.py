@@ -242,3 +242,39 @@ def test_70k_packet_stream_through_real_server():
         assert answered > total * 0.98, f"only {answered}/{total} answered"
         assert len(st.server.sessions) == 1
         c.close()
+
+
+# ---------------------------------------------------------------------------
+# Ingest observability (VERDICT round-1 #6 / weak #2)
+# ---------------------------------------------------------------------------
+
+def test_forced_plane_failure_is_visible(caplog):
+    """A plane-ingest failure must fall back to pixel decode AND be
+    visible: exception logged, fallback counter bumped, ingest counters
+    showing the pixel path served the frames (round-1 swallowed this
+    with a bare except and no signal)."""
+    import logging
+
+    from fastdet_tpu.runtime.engine import DetectionEngine
+
+    spec, params = weights.load_model("synthetic:tiny", num_classes=80)
+    engine = DetectionEngine(spec, params, mode="f32", buckets=(1, 2))
+
+    def boom(jpegs, thresholds):
+        raise RuntimeError("forced plane ingest failure")
+
+    engine.detect_async_planes = boom
+    svc = ModelService(engine, name="tiny")
+    data = _jpegs(1)[0]
+    with caplog.at_level(logging.INFO, logger="fastdet_tpu.runtime.server"):
+        with ServerThread({"tiny": svc}) as st:
+            c = DetectClient("127.0.0.1", st.port, "tiny")
+            c.open()
+            c.request(1, 0.5, data)
+            _, recs = c.wait_response(1, timeout=60)
+            c.close()
+    assert recs is not None
+    assert svc.fallbacks == 1
+    assert svc.ingest == {"planes": 0, "pixels": 1}
+    assert any("plane ingest raised" in r.message for r in caplog.records)
+    assert any("using pixel decode" in r.message for r in caplog.records)
