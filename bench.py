@@ -236,9 +236,9 @@ def bench_all(frames: int = 128):
         if os.path.exists(p):
             ref_fixtures[name] = open(p, "rb").read()
 
-    def mk_engine(arch, classes, buckets):
+    def mk_engine(key, arch, classes, buckets):
         spec, params, kind = load_bench_model(arch, classes)
-        detail.setdefault("weights", {})[f"{arch}{classes}"] = kind
+        detail.setdefault("weights", {})[key] = kind
         eng = DetectionEngine(spec, params, buckets=buckets)
         eng.warmup()
         return eng
@@ -265,7 +265,7 @@ def bench_all(frames: int = 128):
             ("tiny80", "tiny", 80, fixtures),
             ("full80", "full", 80, fixtures),
             ("rsu9", "full", 9, rsu_frames)):
-        eng = mk_engine(arch, classes, (1, 8))
+        eng = mk_engine(key, arch, classes, (1, 8))
         engines[key] = eng
         p50, fps1 = p50_fps(eng, frames_list)
         detail[key + "_single"] = {"p50_ms": round(p50, 1),
