@@ -24,6 +24,7 @@ Engine properties:
 from __future__ import annotations
 
 import logging
+import threading
 import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -43,6 +44,7 @@ ResultTuple = Tuple[int, float, float, float, float, float]
 DEFAULT_BUCKETS = (1, 2, 4, 8)
 
 _DECODE_POOL = None
+_DECODE_POOL_LOCK = threading.Lock()
 
 
 def _decode_pool():
@@ -53,8 +55,12 @@ def _decode_pool():
         import os
         from concurrent.futures import ThreadPoolExecutor
 
-        workers = min(8, os.cpu_count() or 1)
-        _DECODE_POOL = ThreadPoolExecutor(workers) if workers > 1 else False
+        with _DECODE_POOL_LOCK:
+            if _DECODE_POOL is None:
+                workers = min(8, os.cpu_count() or 1)
+                _DECODE_POOL = (
+                    ThreadPoolExecutor(workers) if workers > 1 else False
+                )
     return _DECODE_POOL or None
 
 def _default_calibration_images(size: int, n: int = 8) -> np.ndarray:
@@ -347,8 +353,13 @@ class DetectionEngine:
         warm_layouts = []
         for tok in os.environ.get("FASTDET_WARM_LAYOUTS", "22,21").split(","):
             tok = tok.strip()
-            if len(tok) == 2 and tok.isdigit():
-                warm_layouts.append((int(tok[0]), int(tok[1])))
+            if len(tok) != 2 or not tok.isdigit():
+                continue
+            layout = (int(tok[0]), int(tok[1]))
+            if layout not in native_jpeg.PLANE_LAYOUTS:
+                logger.warning("FASTDET_WARM_LAYOUTS: ignoring %r", tok)
+                continue
+            warm_layouts.append(layout)
         for b in buckets or self.buckets:
             imgs = np.zeros((b, size, size, 3), np.uint8)
             thr = np.full((b,), 0.1, np.float32)

@@ -45,53 +45,66 @@ def _try_build() -> None:
 def _load() -> ctypes.CDLL:
     global _lib
     if _lib is None:
-        if not os.path.exists(_LIB_PATH):
-            _try_build()
+        # make is a cheap no-op when the .so is fresh, and rebuilds a
+        # STALE one (e.g. built from older sources that lack newer
+        # symbols — the .so is gitignored, sources aren't).
+        _try_build()
         if not os.path.exists(_LIB_PATH):
             raise NativeJpegUnavailable(
                 f"{_LIB_PATH} not built (run: make -C native/jpeg)"
             )
-        lib = ctypes.CDLL(_LIB_PATH)
-        lib.fd_jpeg_info.restype = ctypes.c_int
-        lib.fd_jpeg_info.argtypes = [
-            ctypes.c_char_p, ctypes.c_long,
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int),
-        ]
-        lib.fd_jpeg_decode_rgb.restype = ctypes.c_int
-        lib.fd_jpeg_decode_rgb.argtypes = [
-            ctypes.c_char_p, ctypes.c_long,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
-        ]
-        lib.fd_jpeg_scan_info.restype = ctypes.c_int
-        lib.fd_jpeg_scan_info.argtypes = [
-            ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_int),
-        ]
-        lib.fd_jpeg_planes420.restype = ctypes.c_int
-        lib.fd_jpeg_planes420.argtypes = [
-            ctypes.c_char_p, ctypes.c_long,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
-        ]
-        lib.fd_jpeg_planes.restype = ctypes.c_int
-        lib.fd_jpeg_planes.argtypes = [
-            ctypes.c_char_p, ctypes.c_long,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
-            ctypes.POINTER(ctypes.c_int),
-        ]
-        lib.fd_jpeg_coefficients.restype = ctypes.c_int
-        lib.fd_jpeg_coefficients.argtypes = [
-            ctypes.c_char_p, ctypes.c_long,
-            ctypes.POINTER(ctypes.c_int16), ctypes.c_long,
-            ctypes.POINTER(ctypes.c_int16), ctypes.c_long,
-            ctypes.POINTER(ctypes.c_int16), ctypes.c_long,
-            ctypes.POINTER(ctypes.c_uint16),
-        ]
+        try:
+            lib = _bind(ctypes.CDLL(_LIB_PATH))
+        except (OSError, AttributeError) as e:
+            # missing symbol / unloadable library must degrade to the
+            # fallback decoders, never crash engine startup
+            raise NativeJpegUnavailable(f"{_LIB_PATH}: {e}") from e
         _lib = lib
     return _lib
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    """Declare every symbol's signature; raises AttributeError on a
+    library built from older sources (handled by _load)."""
+    lib.fd_jpeg_info.restype = ctypes.c_int
+    lib.fd_jpeg_info.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.fd_jpeg_decode_rgb.restype = ctypes.c_int
+    lib.fd_jpeg_decode_rgb.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+    ]
+    lib.fd_jpeg_scan_info.restype = ctypes.c_int
+    lib.fd_jpeg_scan_info.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.fd_jpeg_planes420.restype = ctypes.c_int
+    lib.fd_jpeg_planes420.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+    ]
+    lib.fd_jpeg_planes.restype = ctypes.c_int
+    lib.fd_jpeg_planes.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.fd_jpeg_coefficients.restype = ctypes.c_int
+    lib.fd_jpeg_coefficients.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint16),
+    ]
+    return lib
 
 
 def available() -> bool:
@@ -208,6 +221,18 @@ def scan_layout(
         raise ValueError(f"unexpected image size {w}x{h}")
     if ncomp != 3 or (hs, vs) not in PLANE_LAYOUTS:
         raise ValueError(f"unsupported plane layout ncomp={ncomp} {(hs, vs)}")
+    # info[3]/info[4] are the maxima over ALL components; the plane path
+    # additionally requires luma to carry them and chroma to be exactly
+    # (1,1) — verify via the per-component block dims so a legal-but-odd
+    # file (e.g. chroma sampled above luma) is rejected here, before any
+    # batch buffers are allocated for the wrong shapes.
+    mcux = -(-w // (8 * hs))
+    mcuy = -(-h // (8 * vs))
+    if (info[5], info[6]) != (mcux * hs, mcuy * vs):
+        raise ValueError("luma does not carry the max sampling factors")
+    for i in (1, 2):
+        if (info[5 + 2 * i], info[6 + 2 * i]) != (mcux, mcuy):
+            raise ValueError("chroma sampling factors are not (1,1)")
     return w, h, hs, vs
 
 
@@ -221,9 +246,19 @@ def decode_planes_into(
     can be decoded in parallel across threads.
     """
     lib = _load()
+    # Validate BEFORE the native call: the C side only checks capacity,
+    # so wrong dtype/strides/shape would silently scramble caller memory.
+    w, h, hs, vs = scan_layout(data)
+    expect = {"y": (h, w), "cb": (h // vs, w // hs), "cr": (h // vs, w // hs)}
+    for name, a in (("y", y), ("cb", cb), ("cr", cr)):
+        if a.dtype != np.uint8 or not a.flags.c_contiguous:
+            raise ValueError(f"{name} plane buffer must be contiguous uint8")
+        if a.shape != expect[name]:
+            raise ValueError(
+                f"{name} plane buffer shape {a.shape} != {expect[name]} "
+                f"for this JPEG's layout {(hs, vs)}"
+            )
     layout = (ctypes.c_int * 4)()
-    for a in (y, cb, cr):
-        assert a.dtype == np.uint8 and a.flags.c_contiguous
     rc = lib.fd_jpeg_planes(
         data, len(data),
         y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), y.size,
@@ -233,11 +268,6 @@ def decode_planes_into(
     )
     if rc != 0:
         raise ValueError(f"fd_jpeg_planes failed: rc={rc}")
-    hs, vs = layout[2], layout[3]
-    if y.shape != (layout[1], layout[0]) or cb.shape != (
-        layout[1] // vs, layout[0] // hs
-    ):
-        raise ValueError("plane buffer shape does not match the JPEG layout")
 
 
 def decode_planes(
