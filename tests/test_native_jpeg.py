@@ -200,3 +200,73 @@ def test_progressive_rejected_cleanly(native):
 
     out = jpeg.decode_rgb(buf.getvalue())
     assert out.shape == (416, 416, 3)
+
+
+def test_stale_library_degrades_not_crashes(native, monkeypatch):
+    """A libfd_jpeg.so built from older sources (missing new symbols)
+    must surface as NativeJpegUnavailable — engines fall back to cv2/PIL
+    — never as an AttributeError crashing warmup."""
+    from fastdet_tpu.runtime import native_jpeg
+
+    class StaleLib:
+        def __getattr__(self, name):
+            raise AttributeError(f"undefined symbol: {name}")
+
+    monkeypatch.setattr(native_jpeg, "_lib", None)
+    monkeypatch.setattr(native_jpeg.ctypes, "CDLL", lambda path: StaleLib())
+    monkeypatch.setattr(native_jpeg, "_try_build", lambda: None)
+    with pytest.raises(native_jpeg.NativeJpegUnavailable):
+        native_jpeg._load()
+    assert native_jpeg.available() is False
+
+
+def _minimal_jpeg_headers(comps):
+    """SOI + DQT + DHT(dc0,ac0) + SOF0(comps) + SOS — header-only JPEG
+    sufficient for fd_jpeg_scan_info. comps: [(id, hs, vs), ...]."""
+    out = bytearray(b"\xff\xd8")
+    # DQT: table 0, all ones
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + b"\x01" * 64
+    # DHT dc0: one 2-bit code -> value 0; DHT ac0: one 2-bit code -> 0x00 (EOB)
+    for tc in (0x00, 0x10):
+        counts = bytes([0, 1] + [0] * 14)
+        out += b"\xff\xc4" + (2 + 1 + 16 + 1).to_bytes(2, "big")
+        out += bytes([tc]) + counts + b"\x00"
+    # SOF0
+    body = b"\x08" + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+    body += bytes([len(comps)])
+    for cid, hs, vs in comps:
+        body += bytes([cid, (hs << 4) | vs, 0])
+    out += b"\xff\xc0" + (2 + len(body)).to_bytes(2, "big") + body
+    # SOS
+    body = bytes([len(comps)])
+    for cid, _, _ in comps:
+        body += bytes([cid, 0x00])
+    body += b"\x00\x3f\x00"
+    out += b"\xff\xda" + (2 + len(body)).to_bytes(2, "big") + body
+    return bytes(out)
+
+
+def test_scan_layout_rejects_chroma_above_luma(native):
+    """A legal JPEG whose chroma factors exceed luma must be rejected at
+    the header probe (it cannot take the plane path), not poison a
+    batch's buffer shapes."""
+    data = _minimal_jpeg_headers([(1, 1, 1), (2, 2, 2), (3, 2, 2)])
+    with pytest.raises(ValueError, match="luma|chroma"):
+        native.scan_layout(data)
+    # and a normal 4:2:0 layout through the same crafted-header path works
+    ok = _minimal_jpeg_headers([(1, 2, 2), (2, 1, 1), (3, 1, 1)])
+    assert native.scan_layout(ok) == (16, 16, 2, 2)
+
+
+def test_decode_planes_into_validates_buffers(native):
+    """Buffer dtype/contiguity/shape are checked BEFORE the native call
+    writes anything (silent corruption guard)."""
+    data = open("/root/reference/testdata/dog.jpg", "rb").read()
+    y = np.empty((416, 416), np.uint8)
+    cb = np.empty((416, 208), np.uint8)
+    with pytest.raises(ValueError, match="cr plane buffer shape"):
+        native.decode_planes_into(data, y, cb, np.empty((208, 416), np.uint8))
+    with pytest.raises(ValueError, match="contiguous"):
+        native.decode_planes_into(data, y.T, cb, cb.copy())
+    with pytest.raises(ValueError, match="uint8"):
+        native.decode_planes_into(data, y.astype(np.int16), cb, cb.copy())
