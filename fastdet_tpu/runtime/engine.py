@@ -224,13 +224,25 @@ class DetectionEngine:
     # Plane path: host Huffman+IDCT (native), device upsample+color+net.
     # Ships subsampled uint8 planes — 1.5 B/px for 4:2:0 (HALF the
     # transfer of RGB888), 2 B/px for 4:2:2/4:4:0 — the best bytes/frame
-    # of the three ingest paths. `layout` = luma sampling factors (hs, vs)
-    # and is a static (compile-time) argument.
-    def _pipeline_planes(self, params, y, cb, cr, thresholds,
+    # of the three ingest paths. The three planes travel as ONE packed
+    # (B, y_bytes + 2*chroma_bytes) uint8 buffer: a single host->device
+    # transfer per batch instead of three (per-transfer latency rivals
+    # the data time on high-RTT links); the device slices it apart for
+    # free. `layout` = luma sampling factors (hs, vs), static.
+    def _pipeline_planes(self, params, packed, thresholds,
                          layout=(2, 2)) -> jnp.ndarray:
         import os
 
         from fastdet_tpu.ops import jpeg_device
+
+        hs, vs = layout
+        size = self.spec.image_size
+        yb = size * size
+        cw = (size // vs) * (size // hs)
+        b = packed.shape[0]
+        y = packed[:, :yb].reshape(b, size, size)
+        cb = packed[:, yb:yb + cw].reshape(b, size // vs, size // hs)
+        cr = packed[:, yb + cw:].reshape(b, size // vs, size // hs)
 
         # The fused Pallas ingest kernel (one VMEM pass, upsample as two
         # banded MXU matmuls) is bit-identical to the XLA path and
@@ -247,8 +259,6 @@ class DetectionEngine:
 
             x = plane_ingest.plane_ingest_batch(y, cb, cr)
         else:
-            hs, vs = layout
-
             def one(yp, cbp, crp):
                 cbu = jpeg_device.upsample_chroma(cbp.astype(jnp.float32), hs, vs)
                 cru = jpeg_device.upsample_chroma(crp.astype(jnp.float32), hs, vs)
@@ -304,14 +314,24 @@ class DetectionEngine:
         for layout, idxs in groups.items():
             hs, vs = layout
             b = self.bucket_for(len(idxs))
-            y = np.zeros((b, size, size), np.uint8)
-            cb = np.full((b, size // vs, size // hs), 128, np.uint8)
-            cr = np.full((b, size // vs, size // hs), 128, np.uint8)
+            yb = size * size
+            cw = (size // vs) * (size // hs)
+            # one contiguous buffer per group: [Y | Cb | Cr] per row, so
+            # the whole batch ships as a SINGLE host->device transfer;
+            # frames decode straight into row views (no copies)
+            packed = np.empty((b, yb + 2 * cw), np.uint8)
+            packed[len(idxs):, :yb] = 0      # padded slots: black...
+            packed[len(idxs):, yb:] = 128    # ...neutral chroma
             thr = np.full((b,), 2.0, np.float32)
             thr[: len(idxs)] = thr_all[idxs]
-            staged.append((layout, idxs, y, cb, cr, thr))
+            staged.append((layout, idxs, packed, thr))
             for j, i in enumerate(idxs):
-                jobs.append((jpegs[i], y[j], cb[j], cr[j]))
+                jobs.append((
+                    jpegs[i],
+                    packed[j, :yb].reshape(size, size),
+                    packed[j, yb:yb + cw].reshape(size // vs, size // hs),
+                    packed[j, yb + cw:].reshape(size // vs, size // hs),
+                ))
         try:
             if len(jobs) > 1 and _decode_pool() is not None:
                 list(_decode_pool().map(
@@ -324,10 +344,9 @@ class DetectionEngine:
             return None
 
         parts = []
-        for layout, idxs, y, cb, cr, thr in staged:
+        for layout, idxs, packed, thr in staged:
             res = self._planes_jit(layout)(
-                self.params, self._place(y), self._place(cb),
-                self._place(cr), self._place(thr),
+                self.params, self._place(packed), self._place(thr),
             )
             parts.append((res, idxs))
         return PlanesDispatch(parts, layouts=tuple(sorted(groups)))
@@ -369,12 +388,11 @@ class DetectionEngine:
             self.fetch(self._jit(self.params, self._place(imgs), self._place(thr)), b)
             if warm_planes:
                 for hs, vs in warm_layouts:
-                    y = np.zeros((b, size, size), np.uint8)
-                    c = np.full((b, size // vs, size // hs), 128, np.uint8)
+                    n = size * size + 2 * (size // vs) * (size // hs)
+                    packed = np.full((b, n), 128, np.uint8)
                     self.fetch(
                         self._planes_jit((hs, vs))(
-                            self.params, self._place(y), self._place(c),
-                            self._place(c), self._place(thr)),
+                            self.params, self._place(packed), self._place(thr)),
                         b,
                     )
         dt = time.time() - t0
