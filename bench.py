@@ -155,7 +155,11 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 32):
         return n_frames / (time.time() - t0)
 
     run(warm_frames)             # steady-state warm
-    fps = run(frames)
+    # median of 3 passes: the dev tunnel's bandwidth fluctuates
+    # minute-to-minute (measured 25-36 MB/s), so a single pass is noisy
+    # in both directions; the median is the honest point estimate
+    passes = sorted(run(frames) for _ in range(3))
+    fps = passes[1]
 
     # ---- p50 single-request end-to-end latency ----
     lat = []
@@ -166,7 +170,7 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 32):
         engine.fetch(res, 1)
         lat.append((time.time() - t0) * 1000)
     p50 = float(np.percentile(lat, 50))
-    return fps, p50, compile_s, ingest["path"], weight_kind
+    return fps, passes, p50, compile_s, ingest["path"], weight_kind
 
 
 def bench_baseline_cpu(frames: int = 8):
@@ -426,7 +430,7 @@ def main():
         print(json.dumps(payload))
         return
 
-    fps, p50, compile_s, ingest, weight_kind = bench_tpu(
+    fps, passes, p50, compile_s, ingest, weight_kind = bench_tpu(
         args.frames, args.batch, args.inflight)
     vs = None
     if os.path.exists(BASELINE_FILE):
@@ -438,6 +442,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": vs,
         "p50_ms": round(p50, 1),
+        "passes_fps": [round(p, 1) for p in passes],
         "batch": args.batch,
         "inflight": args.inflight,
         "ingest": ingest,
