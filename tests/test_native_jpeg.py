@@ -270,3 +270,28 @@ def test_decode_planes_into_validates_buffers(native):
         native.decode_planes_into(data, y.T, cb, cb.copy())
     with pytest.raises(ValueError, match="uint8"):
         native.decode_planes_into(data, y.astype(np.int16), cb, cb.copy())
+
+
+@pytest.mark.slow
+def test_sanitizer_fuzz_harness(native):
+    """Build the ASAN+UBSAN fuzz harness and run a mutation sweep over
+    the fixtures through every decode entry point: any out-of-bounds
+    access or UB aborts the process (the decoder parses untrusted UDP
+    bytes — this is the proof behind the bounds-checking claims)."""
+    import pathlib
+
+    jpeg_dir = REPO_ROOT / "native" / "jpeg"
+    r = subprocess.run(["make", "-C", str(jpeg_dir), "fuzz"],
+                       capture_output=True, text=True, timeout=300)
+    if r.returncode != 0:
+        pytest.skip(f"sanitizer toolchain unavailable: {r.stderr[-200:]}")
+    fixtures = [str(REPO_ROOT / "testdata" / "scene1.jpg")]
+    dog = pathlib.Path("/root/reference/testdata/dog.jpg")
+    if dog.exists():
+        fixtures.append(str(dog))
+    out = subprocess.run(
+        [str(jpeg_dir / "fd_jpeg_fuzz"), "-n", "400"] + fixtures,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, (out.stdout[-500:], out.stderr[-500:])
+    assert "fuzz ok" in out.stdout
