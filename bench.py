@@ -74,7 +74,9 @@ def load_bench_model(arch: str = "full", num_classes: int = 80):
     else calibrated synthetic. Returns (spec, params, "real"|"synthetic")
     — the flavor is recorded in the bench output so numbers are never
     silently mixed across weight regimes."""
-    sys.path.insert(0, os.path.join(REPO, "tools"))
+    tools = os.path.join(REPO, "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
     import fetch_weights
 
     from fastdet_tpu.models import weights

@@ -25,6 +25,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BN_EPS = 1e-5
 LEAKY_SLOPE = 0.1
@@ -123,8 +124,10 @@ def maxpool2d(x: jnp.ndarray, size: int = 2, stride: int = 2) -> jnp.ndarray:
     """Max pooling with Darknet padding semantics.
 
     size=2/stride=2 on even inputs needs no padding; size=2/stride=1 (the
-    yolov3-tiny 13x13 pool) pads (0,1) on each spatial dim with -inf, which
-    matches Darknet's asymmetric maxpool padding.
+    yolov3-tiny 13x13 pool) pads (0,1) on each spatial dim with the dtype's
+    identity (-inf / int min), which matches Darknet's asymmetric maxpool
+    padding. Integer inputs are supported for the int8-through quantized
+    path (max is order-preserving, so pooled int8 keeps its scale).
     """
     if stride == size and x.shape[1] % size == 0:
         padding = [(0, 0), (0, 0), (0, 0), (0, 0)]
@@ -132,11 +135,15 @@ def maxpool2d(x: jnp.ndarray, size: int = 2, stride: int = 2) -> jnp.ndarray:
         total = size - 1
         lo = total // 2
         padding = [(0, 0), (lo, total - lo), (lo, total - lo), (0, 0)]
-    # static python -inf: a traced init_value would block the
+    # static python/numpy identity: a traced init_value would block the
     # reduce_window_max pattern match and break reverse-mode autodiff
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        init = -jnp.inf
+    else:
+        init = np.asarray(np.iinfo(np.dtype(x.dtype)).min, dtype=x.dtype)[()]
     return jax.lax.reduce_window(
         x,
-        -jnp.inf,
+        init,
         jax.lax.max,
         window_dimensions=(1, size, size, 1),
         window_strides=(1, stride, stride, 1),

@@ -32,7 +32,7 @@ output requantization entirely.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -155,28 +155,6 @@ def quantize_params(
     return out
 
 
-def _maxpool_q(x: jnp.ndarray, size: int, stride: int) -> jnp.ndarray:
-    """Max pooling that also accepts int8 (padding with the dtype min —
-    max is order-preserving, so pooled int8 keeps its scale)."""
-    if jnp.issubdtype(x.dtype, jnp.floating):
-        return layers.maxpool2d(x, size, stride)
-    if stride == size and x.shape[1] % size == 0:
-        padding = [(0, 0)] * 4
-    else:
-        total = size - 1
-        lo = total // 2
-        padding = [(0, 0), (lo, total - lo), (lo, total - lo), (0, 0)]
-    init = np.asarray(np.iinfo(x.dtype).min, dtype=x.dtype)[()]
-    return jax.lax.reduce_window(
-        x,
-        init,
-        jax.lax.max,
-        window_dimensions=(1, size, size, 1),
-        window_strides=(1, stride, stride, 1),
-        padding=padding,
-    )
-
-
 def apply_int8(
     spec: ModelSpec, qparams: Dict[str, Any], x: jnp.ndarray
 ) -> List[jnp.ndarray]:
@@ -228,7 +206,7 @@ def apply_int8(
                 else:
                     cur, cs = yf, None
         elif isinstance(l, MaxPool):
-            cur = _maxpool_q(cur, l.size, l.stride)
+            cur = layers.maxpool2d(cur, l.size, l.stride)  # int8-capable
         elif isinstance(l, Upsample):
             cur = layers.upsample2x(cur)
         elif isinstance(l, Route):

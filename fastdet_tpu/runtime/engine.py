@@ -23,6 +23,7 @@ Engine properties:
 
 from __future__ import annotations
 
+import functools
 import logging
 import threading
 import time
@@ -270,8 +271,6 @@ class DetectionEngine:
     def _planes_jit(self, layout: Tuple[int, int]):
         fn = self._jit_planes_cache.get(layout)
         if fn is None:
-            import functools
-
             fn = jax.jit(functools.partial(self._pipeline_planes, layout=layout))
             self._jit_planes_cache[layout] = fn
         return fn

@@ -75,7 +75,7 @@ int main(int argc, char** argv) {
     fclose(fp);
 
     exercise(orig.data(), n);                       // pristine
-    std::vector<uint8_t> buf = orig;
+    std::vector<uint8_t> buf;
     for (int i = 0; i < iters_per_file; ++i) {
       buf = orig;
       int kind = (int)(next_rand() % 4);

@@ -91,7 +91,9 @@ def verify(path: str, name: str) -> str:
             h.update(chunk)
     digest = h.hexdigest()
     # Authoritative check: every float accounted for against our specs.
-    sys.path.insert(0, os.path.dirname(default_dest()))
+    repo = os.path.dirname(default_dest())
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
     from fastdet_tpu.models import weights as weights_io
     from fastdet_tpu.models import yolov3
 
