@@ -212,3 +212,39 @@ def test_demo_stream_mode(tmp_path):
     last = jpeg.decode_rgb(frames[-1].read_bytes())
     assert (np.abs(last.astype(int) - img.astype(int)).sum(axis=2) > 30).any()
     assert "Total" in r.stderr and "Inference" in r.stderr
+
+
+@pytest.mark.slow
+def test_demo_stream_mode_local_engine(tmp_path):
+    """Stream demo against a real in-process engine (synthetic tiny):
+    detections from the engine flow through the tracker onto frames."""
+    from fastdet_tpu.cli import demo
+    from fastdet_tpu.models import weights
+    from fastdet_tpu.runtime import jpeg
+    from fastdet_tpu.runtime.engine import DetectionEngine
+    from fastdet_tpu.utils import labels
+
+    rng = np.random.RandomState(5)
+    img = np.kron(rng.randint(0, 255, (52, 52, 3), np.uint8),
+                  np.ones((8, 8, 1), np.uint8))
+    src = tmp_path / "cam.jpg"
+    src.write_bytes(jpeg.encode_rgb(img))
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+
+    spec, params = weights.load_model("synthetic:tiny", num_classes=80)
+    engine = DetectionEngine(spec, params, mode="f32", buckets=(1, 4))
+    det = client_api.LocalDetector(engine, names=labels.COCO_NAMES)
+
+    from types import SimpleNamespace
+
+    args = SimpleNamespace(images=[str(src)], outdir=str(outdir),
+                           frames=5, interval=0.05)
+    demo.run_stream(det, args, threshold=0.5)
+    det.close()
+    frames = sorted(outdir.glob("frame_*.jpg"))
+    assert len(frames) == 5
+    # synthetic weights produce many confident boxes; the rendered last
+    # frame must differ from the raw input (boxes drawn)
+    last = jpeg.decode_rgb(frames[-1].read_bytes())
+    assert (last != img).any()

@@ -134,6 +134,25 @@ def test_matches_independent_reference_within_1e3_iou(real_engine):
         assert abs(best[1] - rconf) < 5e-3
 
 
+def test_int8_mode_accuracy_on_real_weights(real_engine):
+    """int8-through quantization on REAL weights: same confident labels
+    as f32, boxes within a few pixels (PTQ on a trained CNN detector
+    should hold ~1% mAP; this is the spot check)."""
+    arch, spec, params, engine = real_engine
+    img = jpeg.decode_rgb(DOG.read_bytes())
+    calib = img[None].repeat(2, axis=0)
+    q8 = DetectionEngine(spec, params, mode="int8", buckets=(1,),
+                         calibration_images=calib)
+    rf = [r for r in engine.detect_one(img, 0.3) if r[1] >= 0.45]
+    rq = [r for r in q8.detect_one(img, 0.3) if r[1] >= 0.45]
+    assert _labels(rq) == _labels(rf), (rq, rf)
+    for f in rf:
+        best = max((q for q in rq if q[0] == f[0]),
+                   key=lambda q: _iou(q[2:], f[2:]), default=None)
+        assert best is not None
+        assert _iou(best[2:], f[2:]) > 0.85, (f, best)
+
+
 def test_detector_cli_on_real_weights(real_engine, tmp_path):
     """The detector CLI prints the reference's (dt, results) format and
     finds the dog (reference detector.py:191-194 output contract)."""
