@@ -313,6 +313,23 @@ inline void flat_block(int dc, float fq0, uint8_t* out, int stride) {
   for (int r = 0; r < 8; ++r) memset(out + (long)r * stride, v, 8);
 }
 
+// 16.16 fixed-point YCbCr->RGB tables (libjpeg jdcolor.c scheme), built
+// once at load: r = Y + r_cr[Cr]; b = Y + b_cb[Cb];
+// g = Y + ((g_cb[Cb] + g_cr[Cr]) >> 16).
+struct ColorTables {
+  int r_cr[256], b_cb[256], g_cb[256], g_cr[256];
+  ColorTables() {
+    for (int i = 0; i < 256; ++i) {
+      int d = i - 128;
+      r_cr[i] = (int)(1.402 * 65536 * d + 32768) >> 16;
+      b_cb[i] = (int)(1.772 * 65536 * d + 32768) >> 16;
+      g_cb[i] = (int)(-0.344136 * 65536) * d;
+      g_cr[i] = (int)(-0.714136 * 65536) * d + 32768;
+    }
+  }
+};
+static const ColorTables kColor;
+
 const int kZigzag[64] = {
     0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
@@ -645,28 +662,39 @@ struct Decoder {
       }
     }
 
-    auto sample = [&](int ci, int y, int x) -> int {
-      if (!full[ci].empty()) return full[ci][(size_t)y * width + x];
-      return planes[ci][(size_t)y * pw[ci] + x];
-    };
-
-    for (int y = 0; y < height; ++y) {
-      for (int x = 0; x < width; ++x) {
-        uint8_t* px = out + ((size_t)y * width + x) * 3;
-        if (ncomp == 1) {
-          uint8_t g = planes[0][(size_t)y * pw[0] + x];
-          px[0] = px[1] = px[2] = g;
-          continue;
+    if (ncomp == 1) {
+      for (int y = 0; y < height; ++y) {
+        const uint8_t* yrow = planes[0].data() + (size_t)y * pw[0];
+        uint8_t* px = out + (size_t)y * width * 3;
+        for (int x = 0; x < width; ++x) {
+          px[0] = px[1] = px[2] = yrow[x];
+          px += 3;
         }
-        int Y = sample(0, y, x);
-        int Cb = sample(1, y, x);
-        int Cr = sample(2, y, x);
-        int r = (int)(Y + 1.402f * (Cr - 128) + 0.5f);
-        int g = (int)(Y - 0.344136f * (Cb - 128) - 0.714136f * (Cr - 128) + 0.5f);
-        int b = (int)(Y + 1.772f * (Cb - 128) + 0.5f);
+      }
+      return 0;
+    }
+
+    // YCbCr -> RGB with libjpeg-style 16.16 fixed-point tables: per pixel
+    // this is table adds + one shift (no multiplies). Matches the float
+    // constants 1.402 / 0.344136 / 0.714136 / 1.772 within 1 LSB.
+    auto row_of = [&](int ci, int y) -> const uint8_t* {
+      if (!full[ci].empty()) return full[ci].data() + (size_t)y * width;
+      return planes[ci].data() + (size_t)y * pw[ci];
+    };
+    for (int y = 0; y < height; ++y) {
+      const uint8_t* yrow = row_of(0, y);
+      const uint8_t* cbrow = row_of(1, y);
+      const uint8_t* crrow = row_of(2, y);
+      uint8_t* px = out + (size_t)y * width * 3;
+      for (int x = 0; x < width; ++x) {
+        int Y = yrow[x], Cb = cbrow[x], Cr = crrow[x];
+        int r = Y + kColor.r_cr[Cr];
+        int g = Y + ((kColor.g_cb[Cb] + kColor.g_cr[Cr]) >> 16);
+        int b = Y + kColor.b_cb[Cb];
         px[0] = (uint8_t)(r < 0 ? 0 : (r > 255 ? 255 : r));
         px[1] = (uint8_t)(g < 0 ? 0 : (g > 255 ? 255 : g));
         px[2] = (uint8_t)(b < 0 ? 0 : (b > 255 ? 255 : b));
+        px += 3;
       }
     }
     return 0;
