@@ -609,8 +609,13 @@ struct Decoder {
       bool h2 = (hmax / hs == 2) && (hmax % hs == 0);
       bool v2 = (vmax / vs == 2) && (vmax % vs == 0);
       if (h2 && v2) {
-        // h2v2 fancy: vertical 3:1 sum then horizontal triangle
+        // h2v2 fancy: vertical 3:1 sum then horizontal triangle. The
+        // even/odd output columns are produced in two branch-free passes
+        // over the interior (the compiler vectorizes both); the edge
+        // columns replicate, matching libjpeg's special cases.
         std::vector<int> t(sw);
+        int n_even = (width + 1) / 2;   // output cols 2i,   i < n_even
+        int n_odd = width / 2;          // output cols 2i+1, i < n_odd
         for (int oy = 0; oy < height; ++oy) {
           int sy = oy >> 1;
           int far = (oy & 1) ? sy + 1 : sy - 1;
@@ -620,31 +625,33 @@ struct Decoder {
           const uint8_t* far_r = src + (size_t)far * sstride;
           for (int i = 0; i < sw; ++i) t[i] = 3 * near_r[i] + far_r[i];
           uint8_t* orow = dst + (size_t)oy * width;
-          for (int ox = 0; ox < width; ++ox) {
-            int i = ox >> 1;
-            if (ox & 1) {
-              int nxt = i + 1 < sw ? i + 1 : i;
-              orow[ox] = (uint8_t)((3 * t[i] + t[nxt] + 7) >> 4);
-            } else {
-              int prv = i > 0 ? i - 1 : i;
-              orow[ox] = (uint8_t)((3 * t[i] + t[prv] + 8) >> 4);
-            }
+          orow[0] = (uint8_t)((4 * t[0] + 8) >> 4);
+          for (int i = 1; i < n_even; ++i)
+            orow[2 * i] = (uint8_t)((3 * t[i] + t[i - 1] + 8) >> 4);
+          for (int i = 0; i + 1 < n_odd; ++i)
+            orow[2 * i + 1] = (uint8_t)((3 * t[i] + t[i + 1] + 7) >> 4);
+          if (n_odd > 0) {
+            int i = n_odd - 1;
+            int nxt = i + 1 < sw ? i + 1 : i;
+            orow[2 * i + 1] = (uint8_t)((3 * t[i] + t[nxt] + 7) >> 4);
           }
         }
       } else if (h2 && vs == vmax) {
-        // h2v1 fancy
+        // h2v1 fancy, same two-pass structure
+        int n_even = (width + 1) / 2;
+        int n_odd = width / 2;
         for (int oy = 0; oy < height; ++oy) {
           const uint8_t* srow = src + (size_t)oy * sstride;
           uint8_t* orow = dst + (size_t)oy * width;
-          for (int ox = 0; ox < width; ++ox) {
-            int i = ox >> 1;
-            if (ox & 1) {
-              int nxt = i + 1 < sw ? i + 1 : i;
-              orow[ox] = (uint8_t)((3 * srow[i] + srow[nxt] + 2) >> 2);
-            } else {
-              int prv = i > 0 ? i - 1 : i;
-              orow[ox] = (uint8_t)((3 * srow[i] + srow[prv] + 1) >> 2);
-            }
+          orow[0] = srow[0];
+          for (int i = 1; i < n_even; ++i)
+            orow[2 * i] = (uint8_t)((3 * srow[i] + srow[i - 1] + 1) >> 2);
+          for (int i = 0; i + 1 < n_odd; ++i)
+            orow[2 * i + 1] = (uint8_t)((3 * srow[i] + srow[i + 1] + 2) >> 2);
+          if (n_odd > 0) {
+            int i = n_odd - 1;
+            int nxt = i + 1 < sw ? i + 1 : i;
+            orow[2 * i + 1] = (uint8_t)((3 * srow[i] + srow[nxt] + 2) >> 2);
           }
         }
       } else {
