@@ -264,3 +264,42 @@ def test_cross_client_batching(tiny_service_server):
         direct = engine.detect_one(jpeg.decode_rgb(data), 0.5)
         assert len(records) == len(direct)
         c.close()
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_CLIENT),
+                    reason="reference checkout not present")
+def test_reference_client_against_model_service(tiny_service_server):
+    """The complete switch-over scenario: the UNMODIFIED reference
+    client streams the reference's own 4:2:2 photo to a real
+    model-backed endpoint and parses the detections it gets back."""
+    st, engine = tiny_service_server
+    dog = "/root/reference/testdata/dog.jpg"
+    if not os.path.exists(dog):
+        pytest.skip("reference fixture not present")
+    proc = subprocess.Popen(
+        [sys.executable, REFERENCE_CLIENT, "-t", "0.1",
+         f"rtsp://127.0.0.1:{st.port}/tiny", dog],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        deadline = time.time() + 60
+        seen = ""
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                break
+            seen += line
+            if "result=" in line:
+                break
+        assert "result=[" in seen, seen
+        # the reference client parsed klass/conf/box records from our
+        # model service; records are (klass 1..80, conf u8, int boxes)
+        import re
+
+        m = re.search(r"result=\[\((\d+), (\d+),", seen)
+        assert m, seen
+        assert 1 <= int(m.group(1)) <= 80
+        assert 0 <= int(m.group(2)) <= 255
+    finally:
+        proc.kill()
+        proc.wait()
