@@ -136,25 +136,40 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 32):
         imgs = [jpeg.decode_rgb(d) for d in batch_jpegs]
         return engine.detect_async(imgs, thrs), "pixels"
 
-    # ---- throughput: `inflight` batches in flight, decode on the fly ----
+    # ---- throughput: decode+dispatch on a producer thread (the native
+    # decoder and device transfers release the GIL), results fetched on
+    # the main thread, `inflight` batches bounded by the queue — the
+    # same overlap structure the serving batcher uses (ModelService
+    # pipelines completion tasks against the dispatch loop). On one
+    # host core this roughly doubles throughput over a lockstep loop
+    # because host decode no longer serializes with fetch waits.
+    import queue
+    import threading
+
     ingest = {"path": None}
 
     def run(n_frames):
-        pending = []
-        done = 0
-        i = 0
-        t0 = time.time()
-        while done < n_frames:
-            while len(pending) < inflight and i * batch < n_frames:
-                bjpegs = [jpegs[(i * batch + j) % len(jpegs)] for j in range(batch)]
+        q = queue.Queue(maxsize=inflight)
+
+        def producer():
+            for i in range(n_frames // batch):
+                bjpegs = [jpegs[(i * batch + j) % len(jpegs)]
+                          for j in range(batch)]
                 res, path = dispatch(bjpegs, thresholds)
                 ingest["path"] = path
-                pending.append(res)
-                i += 1
-            res = pending.pop(0)
+                q.put(res)
+            q.put(None)
+
+        t0 = time.time()
+        threading.Thread(target=producer, daemon=True).start()
+        done = 0
+        while True:
+            res = q.get()
+            if res is None:
+                break
             engine.fetch(res, batch)
             done += batch
-        return n_frames / (time.time() - t0)
+        return done / (time.time() - t0)
 
     run(warm_frames)             # steady-state warm
     # median of 3 passes: the dev tunnel's bandwidth fluctuates
