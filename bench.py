@@ -149,16 +149,24 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 32):
     ingest = {"path": None}
 
     def run(n_frames):
+        # NOTE effective pipeline depth: the queue holds `inflight`
+        # dispatched batches, plus one in the blocked producer and one
+        # mid-fetch on this thread — up to inflight+2 on the device.
         q = queue.Queue(maxsize=inflight)
+        err = []
 
         def producer():
-            for i in range(n_frames // batch):
-                bjpegs = [jpegs[(i * batch + j) % len(jpegs)]
-                          for j in range(batch)]
-                res, path = dispatch(bjpegs, thresholds)
-                ingest["path"] = path
-                q.put(res)
-            q.put(None)
+            try:
+                for i in range(n_frames // batch):
+                    bjpegs = [jpegs[(i * batch + j) % len(jpegs)]
+                              for j in range(batch)]
+                    res, path = dispatch(bjpegs, thresholds)
+                    ingest["path"] = path
+                    q.put(res)
+            except BaseException as e:   # surface on the main thread
+                err.append(e)
+            finally:
+                q.put(None)
 
         t0 = time.time()
         threading.Thread(target=producer, daemon=True).start()
@@ -169,6 +177,8 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 32):
                 break
             engine.fetch(res, batch)
             done += batch
+        if err:
+            raise err[0]
         return done / (time.time() - t0)
 
     run(warm_frames)             # steady-state warm
@@ -462,6 +472,7 @@ def main():
         "passes_fps": [round(p, 1) for p in passes],
         "batch": args.batch,
         "inflight": args.inflight,
+        "pipeline": "threaded",   # effective depth <= inflight+2, see run()
         "ingest": ingest,
         "weights": weight_kind,
         "compile_s": round(compile_s, 1),

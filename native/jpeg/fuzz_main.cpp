@@ -71,8 +71,12 @@ int main(int argc, char** argv) {
     long n = ftell(fp);
     fseek(fp, 0, SEEK_SET);
     std::vector<uint8_t> orig((size_t)n);
-    if (fread(orig.data(), 1, (size_t)n, fp) != (size_t)n) return 2;
+    if (n > 0 && fread(orig.data(), 1, (size_t)n, fp) != (size_t)n) return 2;
     fclose(fp);
+    if (n < 8) {                 // too small to mutate meaningfully
+      exercise(orig.data(), n);  // (and % by size-2 would be UB)
+      continue;
+    }
 
     exercise(orig.data(), n);                       // pristine
     std::vector<uint8_t> buf;

@@ -261,7 +261,12 @@ def test_scan_layout_rejects_chroma_above_luma(native):
 def test_decode_planes_into_validates_buffers(native):
     """Buffer dtype/contiguity/shape are checked BEFORE the native call
     writes anything (silent corruption guard)."""
-    data = open("/root/reference/testdata/dog.jpg", "rb").read()
+    import pathlib
+
+    p = pathlib.Path("/root/reference/testdata/dog.jpg")
+    if not p.exists():
+        pytest.skip("reference fixture not present")
+    data = p.read_bytes()
     y = np.empty((416, 416), np.uint8)
     cb = np.empty((416, 208), np.uint8)
     with pytest.raises(ValueError, match="cr plane buffer shape"):

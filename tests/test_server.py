@@ -172,6 +172,10 @@ def test_reference_client_interop(dummy_server, tmp_path):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         cwd=str(tmp_path),
     )
+    # readline() has no timeout; a watchdog kill bounds a silent client
+    import threading
+    watchdog = threading.Timer(30, proc.kill)
+    watchdog.start()
     try:
         deadline = time.time() + 15
         seen = ""
@@ -184,6 +188,7 @@ def test_reference_client_interop(dummy_server, tmp_path):
                 break
         assert "result=[(16, 255, 208, 208, 166, 166)]" in seen, seen
     finally:
+        watchdog.cancel()
         proc.kill()
         proc.wait()
 
@@ -281,6 +286,10 @@ def test_reference_client_against_model_service(tiny_service_server):
          f"rtsp://127.0.0.1:{st.port}/tiny", dog],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
+    # readline() has no timeout; a watchdog kill bounds a silent client
+    import threading
+    watchdog = threading.Timer(90, proc.kill)
+    watchdog.start()
     try:
         deadline = time.time() + 60
         seen = ""
@@ -301,5 +310,6 @@ def test_reference_client_against_model_service(tiny_service_server):
         assert 1 <= int(m.group(1)) <= 80
         assert 0 <= int(m.group(2)) <= 255
     finally:
+        watchdog.cancel()
         proc.kill()
         proc.wait()
