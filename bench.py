@@ -315,24 +315,35 @@ def bench_all(frames: int = 128):
         if res is not None:
             engines["full80"].fetch(res, 1)
 
-    # 2b: full batched throughput (same methodology as the headline)
+    # 2b: full batched throughput (same threaded-producer methodology as
+    # the headline run(): decode+dispatch overlaps fetch waits)
+    import queue
+
     eng = engines["full80"]
-    pending = []
-    done = 0
-    i = 0
+    q: "queue.Queue" = queue.Queue(maxsize=3)
+
+    def producer():
+        try:
+            for i in range(frames // 8):
+                bj = [fixtures[(i * 8 + j) % 3] for j in range(8)]
+                res = eng.detect_async_planes(bj, [BENCH_THRESHOLD] * 8)
+                if res is None:
+                    res = eng.detect_async([jpeg.decode_rgb(d) for d in bj],
+                                           [BENCH_THRESHOLD] * 8)
+                q.put(res)
+        finally:
+            q.put(None)
+
     t0 = time.time()
-    while done < frames:
-        while len(pending) < 6 and i * 8 < frames:
-            bj = [fixtures[(i * 8 + j) % 3] for j in range(8)]
-            res = eng.detect_async_planes(bj, [BENCH_THRESHOLD] * 8)
-            if res is None:
-                res = eng.detect_async([jpeg.decode_rgb(d) for d in bj],
-                                       [BENCH_THRESHOLD] * 8)
-            pending.append(res)
-            i += 1
-        eng.fetch(pending.pop(0), 8)
+    threading.Thread(target=producer, daemon=True).start()
+    done = 0
+    while True:
+        res = q.get()
+        if res is None:
+            break
+        eng.fetch(res, 8)
         done += 8
-    detail["full80_batched_fps"] = round(frames / (time.time() - t0), 1)
+    detail["full80_batched_fps"] = round(done / (time.time() - t0), 1)
 
     # 4-5: serving through the real protocol stack
     import asyncio
