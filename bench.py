@@ -125,14 +125,17 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 32):
     jpegs = make_jpegs(64)
     thresholds = [BENCH_THRESHOLD] * batch
 
-    # Ingest path: subsampled planes when the native decoder applies
-    # (fewest host->device bytes — the bottleneck on bandwidth-limited
-    # links), else host pixel decode. Records which path/layouts served.
+    # Ingest path, fewest host->device bytes first (bytes are the
+    # bottleneck on bandwidth-limited links): packed sparse coefficients
+    # (~0.25-0.45 B/px), then subsampled planes (1.5-2 B/px), else host
+    # pixel decode (3 B/px). Records which path/layouts served.
     def dispatch(batch_jpegs, thrs):
-        res = engine.detect_async_planes(batch_jpegs, thrs)
+        res = engine.detect_async_sparse(batch_jpegs, thrs)
+        if res is None:
+            res = engine.detect_async_planes(batch_jpegs, thrs)
         if res is not None:
-            # e.g. "planes:22" (4:2:0) or "planes:21,22" (mixed batch)
-            return res, "planes:" + ",".join(f"{h}{v}" for h, v in res.layouts)
+            # e.g. "sparse:22" (4:2:0) or "sparse:21,planes:22" (mixed)
+            return res, ",".join(res.tags)
         imgs = [jpeg.decode_rgb(d) for d in batch_jpegs]
         return engine.detect_async(imgs, thrs), "pixels"
 
@@ -279,7 +282,8 @@ def bench_all(frames: int = 128):
         for i in range(n):
             t0 = time.time()
             data = frames_list[i % len(frames_list)]
-            res = eng.detect_async_planes([data], [BENCH_THRESHOLD])
+            res = (eng.detect_async_sparse([data], [BENCH_THRESHOLD])
+                   or eng.detect_async_planes([data], [BENCH_THRESHOLD]))
             if res is None:
                 img = jpeg.decode_rgb(data)
                 res = eng.detect_async([img], [BENCH_THRESHOLD])
@@ -306,11 +310,13 @@ def bench_all(frames: int = 128):
     # (round-1 this fell back to full-RGB transfer at 2x the bytes)
     if "dog.jpg" in ref_fixtures:
         p50, fps1 = p50_fps(engines["full80"], [ref_fixtures["dog.jpg"]], n=30)
-        res = engines["full80"].detect_async_planes(
-            [ref_fixtures["dog.jpg"]], [BENCH_THRESHOLD])
+        res = (engines["full80"].detect_async_sparse(
+                   [ref_fixtures["dog.jpg"]], [BENCH_THRESHOLD])
+               or engines["full80"].detect_async_planes(
+                   [ref_fixtures["dog.jpg"]], [BENCH_THRESHOLD]))
         detail["full80_ref422_single"] = {
             "p50_ms": round(p50, 1), "fps_single_stream": round(fps1, 1),
-            "ingest": "planes:21" if res is not None else "pixels",
+            "ingest": ",".join(res.tags) if res is not None else "pixels",
         }
         if res is not None:
             engines["full80"].fetch(res, 1)
@@ -326,7 +332,8 @@ def bench_all(frames: int = 128):
         try:
             for i in range(frames // 8):
                 bj = [fixtures[(i * 8 + j) % 3] for j in range(8)]
-                res = eng.detect_async_planes(bj, [BENCH_THRESHOLD] * 8)
+                res = (eng.detect_async_sparse(bj, [BENCH_THRESHOLD] * 8)
+                       or eng.detect_async_planes(bj, [BENCH_THRESHOLD] * 8))
                 if res is None:
                     res = eng.detect_async([jpeg.decode_rgb(d) for d in bj],
                                            [BENCH_THRESHOLD] * 8)

@@ -177,3 +177,66 @@ def decode420_batch(ycoef, cbcoef, crcoef, qy, qc, height: int, width: int):
     """vmapped decode: leading batch dim on every argument."""
     fn = lambda a, b, c, q1, q2: decode420(a, b, c, q1, q2, height, width)
     return jax.vmap(fn)(ycoef, cbcoef, crcoef, qy, qc)
+
+
+# ---------------------------------------------------------------------------
+# Packed sparse coefficient ingest (native fd_jpeg_sparse format)
+# ---------------------------------------------------------------------------
+#
+# The host ships, per frame: an 8-byte-per-block bitmask over the 64
+# natural-order coefficient positions (bit k&7 of byte k>>3), an int8
+# nonzero-value stream (-128 = "take the next int16 escape"), and an int16
+# escape stream — ~0.2-0.4 B/px at camera quality vs 1.5 B/px for raw
+# 4:2:0 planes. Reconstruction is two exclusive prefix-sums + two gathers,
+# all VPU-parallel; the IDCT that follows is the same single MXU matmul as
+# the dense-coefficient path.
+
+
+def sparse_to_coeffs(masks: jnp.ndarray, vals8: jnp.ndarray,
+                     esc16: jnp.ndarray) -> jnp.ndarray:
+    """(NB, 8) uint8 masks + value streams -> (NB, 64) int32 coefficients.
+
+    Bit-exact inverse of the native emitter (fd_jpeg.cpp decode_sparse):
+    value i of a block is the i-th set bit's entry in the concatenated
+    stream; ranks come from an exclusive prefix-sum over the mask bits.
+    """
+    bits = jnp.unpackbits(masks, axis=-1, bitorder="little")   # (NB, 64)
+    b32 = bits.astype(jnp.int32)
+    nnz_blk = b32.sum(-1)
+    block_off = jnp.cumsum(nnz_blk) - nnz_blk                  # exclusive
+    rank = jnp.cumsum(b32, axis=-1) - b32                      # exclusive
+    idx = jnp.clip(block_off[:, None] + rank, 0, vals8.shape[0] - 1)
+    c8 = jnp.take(vals8, idx).astype(jnp.int32) * b32          # 0 where unset
+    esc = c8 == -128                                           # only where set
+    e32 = esc.astype(jnp.int32)
+    erank = (jnp.cumsum(e32.reshape(-1)).reshape(e32.shape) - e32)
+    eidx = jnp.clip(erank, 0, esc16.shape[0] - 1)
+    return jnp.where(esc, jnp.take(esc16, eidx).astype(jnp.int32), c8)
+
+
+def decode_sparse(
+    masks: jnp.ndarray,   # (NB*8,) or (NB, 8) uint8
+    vals8: jnp.ndarray,   # (VCAP,) int8
+    esc16: jnp.ndarray,   # (ECAP,) int16
+    qy: jnp.ndarray,      # (64,) f32/int
+    qc: jnp.ndarray,
+    height: int,
+    width: int,
+    hs: int,
+    vs: int,
+) -> jnp.ndarray:
+    """Full device decode of one packed-sparse frame -> (H, W, 3) RGB [0,1].
+
+    Blocks ordered Y raster, Cb raster, Cr raster (native_jpeg
+    sparse_geometry); any PLANE_LAYOUTS subsampling."""
+    yb_h, yb_w = height // 8, width // 8
+    cb_h, cb_w = height // vs // 8, width // hs // 8
+    nyb, ncb = yb_h * yb_w, cb_h * cb_w
+    coeff = sparse_to_coeffs(masks.reshape(nyb + 2 * ncb, 8), vals8, esc16)
+    ypix = plane_from_blocks(blocks_to_pixels(coeff[:nyb], qy), yb_h, yb_w)
+    cbp = plane_from_blocks(
+        blocks_to_pixels(coeff[nyb:nyb + ncb], qc), cb_h, cb_w)
+    crp = plane_from_blocks(blocks_to_pixels(coeff[nyb + ncb:], qc), cb_h, cb_w)
+    cbu = upsample_chroma(cbp, hs, vs)
+    cru = upsample_chroma(crp, hs, vs)
+    return ycbcr_to_rgb01(ypix, cbu, cru)

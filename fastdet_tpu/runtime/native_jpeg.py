@@ -104,6 +104,15 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int16), ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint16),
     ]
+    lib.fd_jpeg_sparse.restype = ctypes.c_int
+    lib.fd_jpeg_sparse.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_uint16),
+    ]
     return lib
 
 
@@ -300,6 +309,79 @@ def decode_planes420(
     if (hs, vs) != (2, 2):
         raise ValueError("not a 4:2:0 JPEG")
     return y, cb, cr
+
+
+class SparseCapacityExceeded(ValueError):
+    """The frame has more nonzero coefficients (or escapes) than the
+    caller's budget — fall back to the plane path for this frame."""
+
+
+def sparse_geometry(w: int, h: int, hs: int, vs: int) -> Tuple[int, int]:
+    """(luma_blocks, chroma_blocks_per_plane) for the sparse path.
+
+    Requires MCU-aligned dimensions (always true for the protocol's
+    416x416 in every PLANE_LAYOUTS member) so the block grid carries no
+    padding — the device reshapes blocks straight into planes.
+    """
+    if w % (8 * hs) or h % (8 * vs):
+        raise ValueError(f"dimensions {w}x{h} not MCU-aligned for {(hs, vs)}")
+    yb = (h // 8) * (w // 8)
+    cb = (h // vs // 8) * (w // hs // 8)
+    return yb, cb
+
+
+def decode_sparse_into(
+    data: bytes,
+    masks: np.ndarray,
+    vals8: np.ndarray,
+    esc16: np.ndarray,
+) -> Tuple[int, int, np.ndarray, np.ndarray]:
+    """Entropy-decode into caller-provided packed-sparse views.
+
+    ``masks``: (NB*8,) uint8 — 8 bytes per block, bit k&7 of byte k>>3 set
+    when natural-order coefficient k is nonzero, blocks ordered Y raster,
+    Cb raster, Cr raster. ``vals8``: (VCAP,) int8 nonzero stream (-128 =
+    escape). ``esc16``: (ECAP,) int16 escape stream. All three may be
+    views into one batch row (no per-frame allocation). Returns
+    (nnz, nesc, qy, qc) with the quant tables as (64,) uint16 in natural
+    order. Raises SparseCapacityExceeded when the frame outgrows the
+    vals8/esc16 budgets (caller falls back to the plane path), ValueError
+    for malformed/unsupported files.
+    """
+    lib = _load()
+    w, h, hs, vs = scan_layout(data)
+    yb, cb = sparse_geometry(w, h, hs, vs)
+    nb = yb + 2 * cb
+    if masks.dtype != np.uint8 or not masks.flags.c_contiguous:
+        raise ValueError("masks must be contiguous uint8")
+    if masks.shape != (nb * 8,):
+        raise ValueError(f"masks shape {masks.shape} != ({nb * 8},)")
+    if vals8.dtype != np.int8 or not vals8.flags.c_contiguous:
+        raise ValueError("vals8 must be contiguous int8")
+    if esc16.dtype != np.int16 or not esc16.flags.c_contiguous:
+        raise ValueError("esc16 must be contiguous int16")
+    info = (ctypes.c_int * 13)()
+    rc = lib.fd_jpeg_scan_info(data, len(data), info)
+    if rc != 0:
+        raise ValueError(f"fd_jpeg_scan_info failed: rc={rc}")
+    nnz = ctypes.c_long()
+    nesc = ctypes.c_long()
+    q = np.zeros((4, 64), np.uint16)
+    rc = lib.fd_jpeg_sparse(
+        data, len(data),
+        masks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), masks.size,
+        vals8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), vals8.size,
+        esc16.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), esc16.size,
+        ctypes.byref(nnz), ctypes.byref(nesc),
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    if rc == -5:  # ERR_CAPACITY: valid frame, too dense for the budget
+        raise SparseCapacityExceeded(
+            f"nnz={nnz.value}/{vals8.size} nesc={nesc.value}/{esc16.size}"
+        )
+    if rc != 0:
+        raise ValueError(f"fd_jpeg_sparse failed: rc={rc}")
+    return nnz.value, nesc.value, q[info[11]], q[info[12]]
 
 
 def decode_rgb(data: bytes) -> np.ndarray:

@@ -72,9 +72,9 @@ class ModelService:
         self.batches = 0
         self.frames = 0
         # Ingest observability (per service): frames served via each path
-        # and why the fast path was skipped. The plane path silently
+        # and why the fast path was skipped. The fast paths silently
         # degrading to pixel decode must be visible in logs and counters.
-        self.ingest: Dict[str, int] = {"planes": 0, "pixels": 0}
+        self.ingest: Dict[str, int] = {"sparse": 0, "planes": 0, "pixels": 0}
         self.fallbacks = 0
         self._fallback_logged = False
 
@@ -110,26 +110,37 @@ class ModelService:
             # concurrent _finish tasks while we decode+dispatch the next.
             await sem.acquire()
 
-            # Fast path: subsampled-plane ingest (fewer h2d bytes; host does
-            # only Huffman+IDCT in the native decoder). All-or-nothing per
-            # batch; falls through to per-item pixel decode otherwise.
+            # Fast paths, fewest-bytes first: packed sparse coefficients
+            # (host does only entropy decode; ~0.25-0.45 B/px), then
+            # subsampled planes (host Huffman+IDCT; 1.5-2 B/px). Each is
+            # all-or-nothing per batch (sparse internally reroutes
+            # over-budget frames to planes and reports it in counts);
+            # falls through to per-item pixel decode otherwise.
             t_try = time.perf_counter()
             futs_all = [it[2] for it in batch]
-            try:
-                res = await loop.run_in_executor(
-                    None,
-                    self.engine.detect_async_planes,
-                    [it[0] for it in batch],
-                    [it[1] for it in batch],
-                )
-            except Exception:
-                logger.exception(
-                    "plane ingest raised; falling back to pixel decode "
-                    "(service=%s)", self.name,
-                )
-                res = None
+            res = None
+            for path_name, dispatch in (
+                ("sparse", self.engine.detect_async_sparse),
+                ("planes", self.engine.detect_async_planes),
+            ):
+                try:
+                    res = await loop.run_in_executor(
+                        None, dispatch,
+                        [it[0] for it in batch],
+                        [it[1] for it in batch],
+                    )
+                except Exception:
+                    logger.exception(
+                        "%s ingest raised; trying next path (service=%s)",
+                        path_name, self.name,
+                    )
+                    res = None
+                if res is not None:
+                    break
             if res is not None:
-                self.ingest["planes"] += len(batch)
+                for k, v in (getattr(res, "counts", None)
+                             or {"planes": len(batch)}).items():
+                    self.ingest[k] = self.ingest.get(k, 0) + v
                 self._spawn_finish(res, futs_all, len(batch), t_try, sem)
                 continue
 

@@ -165,13 +165,15 @@ def test_engine_planes_rejects_wrong_size(engine, native_ready):
 
 
 @pytest.mark.slow
-def test_server_uses_planes_path(native_ready):
-    """End-to-end through the serving runtime: batcher takes the plane
-    fast path and the response still matches the engine's direct output."""
+def test_server_uses_planes_path(native_ready, monkeypatch):
+    """End-to-end through the serving runtime: with sparse ingest disabled
+    the batcher takes the plane fast path and the response still matches
+    the engine's direct output."""
     from tests.test_server import ServerThread
     from fastdet_tpu.runtime.client import DetectClient
     from fastdet_tpu.runtime.server import ModelService
 
+    monkeypatch.setenv("FASTDET_SPARSE_INGEST", "0")
     spec, params = weights.load_model("synthetic:tiny", num_classes=80)
     engine = DetectionEngine(spec, params, mode="f32", buckets=(1, 2))
     engine.warmup()

@@ -218,8 +218,11 @@ def test_model_serving_end_to_end(tiny_service_server):
     c.request(1, 0.5, data)
     msec, records = c.wait_response(1, timeout=30)
     # parity: server must report exactly what the engine computes directly
-    # (via the same ingest path the batcher prefers: planes, then pixels)
-    res = engine.detect_async_planes([data], [0.5])
+    # (via the same ingest path the batcher prefers: sparse, then planes,
+    # then pixels)
+    res = engine.detect_async_sparse([data], [0.5])
+    if res is None:
+        res = engine.detect_async_planes([data], [0.5])
     if res is not None:
         direct = engine.fetch(res, 1)[0]
     else:
