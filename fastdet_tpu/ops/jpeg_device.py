@@ -198,7 +198,14 @@ def sparse_to_coeffs(masks: jnp.ndarray, vals8: jnp.ndarray,
 
     Bit-exact inverse of the native emitter (fd_jpeg.cpp decode_sparse):
     value i of a block is the i-th set bit's entry in the concatenated
-    stream; ranks come from an exclusive prefix-sum over the mask bits.
+    stream; ranks come from exclusive prefix-sums over the mask bits.
+
+    TPU note: every offset is built as (per-block scan over the NB axis) +
+    (in-block scan over the 64-lane axis) — both cheap on the VPU. An
+    earlier formulation computed escape ranks with one flat cumsum over
+    all NB*64 positions, which XLA on TPU compiled to a ~70 ms/batch
+    program (vs 0.08 ms for this one): the long scan over a gather-fed
+    input defeats fusion. Keep scans short and per-axis.
     """
     bits = jnp.unpackbits(masks, axis=-1, bitorder="little")   # (NB, 64)
     b32 = bits.astype(jnp.int32)
@@ -209,9 +216,33 @@ def sparse_to_coeffs(masks: jnp.ndarray, vals8: jnp.ndarray,
     c8 = jnp.take(vals8, idx).astype(jnp.int32) * b32          # 0 where unset
     esc = c8 == -128                                           # only where set
     e32 = esc.astype(jnp.int32)
-    erank = (jnp.cumsum(e32.reshape(-1)).reshape(e32.shape) - e32)
-    eidx = jnp.clip(erank, 0, esc16.shape[0] - 1)
+    ecnt = e32.sum(-1)
+    eoff = jnp.cumsum(ecnt) - ecnt                             # exclusive
+    erank = jnp.cumsum(e32, axis=-1) - e32                     # exclusive
+    eidx = jnp.clip(eoff[:, None] + erank, 0, esc16.shape[0] - 1)
     return jnp.where(esc, jnp.take(esc16, eidx).astype(jnp.int32), c8)
+
+
+def coeffs_to_rgb01(
+    coeff: jnp.ndarray,   # (NB, 64) int coefficients, Y|Cb|Cr raster order
+    qy: jnp.ndarray,      # (64,) f32/int
+    qc: jnp.ndarray,
+    height: int,
+    width: int,
+    hs: int,
+    vs: int,
+) -> jnp.ndarray:
+    """Dequant + IDCT + upsample + color for one frame's dense blocks."""
+    yb_h, yb_w = height // 8, width // 8
+    cb_h, cb_w = height // vs // 8, width // hs // 8
+    nyb, ncb = yb_h * yb_w, cb_h * cb_w
+    ypix = plane_from_blocks(blocks_to_pixels(coeff[:nyb], qy), yb_h, yb_w)
+    cbp = plane_from_blocks(
+        blocks_to_pixels(coeff[nyb:nyb + ncb], qc), cb_h, cb_w)
+    crp = plane_from_blocks(blocks_to_pixels(coeff[nyb + ncb:], qc), cb_h, cb_w)
+    cbu = upsample_chroma(cbp, hs, vs)
+    cru = upsample_chroma(crp, hs, vs)
+    return ycbcr_to_rgb01(ypix, cbu, cru)
 
 
 def decode_sparse(
@@ -231,12 +262,6 @@ def decode_sparse(
     sparse_geometry); any PLANE_LAYOUTS subsampling."""
     yb_h, yb_w = height // 8, width // 8
     cb_h, cb_w = height // vs // 8, width // hs // 8
-    nyb, ncb = yb_h * yb_w, cb_h * cb_w
-    coeff = sparse_to_coeffs(masks.reshape(nyb + 2 * ncb, 8), vals8, esc16)
-    ypix = plane_from_blocks(blocks_to_pixels(coeff[:nyb], qy), yb_h, yb_w)
-    cbp = plane_from_blocks(
-        blocks_to_pixels(coeff[nyb:nyb + ncb], qc), cb_h, cb_w)
-    crp = plane_from_blocks(blocks_to_pixels(coeff[nyb + ncb:], qc), cb_h, cb_w)
-    cbu = upsample_chroma(cbp, hs, vs)
-    cru = upsample_chroma(crp, hs, vs)
-    return ycbcr_to_rgb01(ypix, cbu, cru)
+    nb = yb_h * yb_w + 2 * cb_h * cb_w
+    coeff = sparse_to_coeffs(masks.reshape(nb, 8), vals8, esc16)
+    return coeffs_to_rgb01(coeff, qy, qc, height, width, hs, vs)

@@ -324,6 +324,8 @@ class DetectionEngine:
 
     def _pipeline_sparse(self, params, packed, thresholds,
                          layout=(2, 2)) -> jnp.ndarray:
+        import os
+
         from jax import lax
 
         from fastdet_tpu.ops import jpeg_device
@@ -347,10 +349,30 @@ class DetectionEngine:
         q = qb[..., 0] + qb[..., 1] * 256.0
         qy, qc = q[:, 0], q[:, 1]
 
-        def one(m, v, e, q1, q2):
-            return jpeg_device.decode_sparse(m, v, e, q1, q2, size, size, hs, vs)
+        # Reconstruction: the Pallas kernel replaces XLA's two NB*64
+        # element gathers (~21 ms each per batch of 8 on the v5e) with
+        # structured VMEM window loads — measured 43 ms -> 3.3 ms per
+        # batch, bit-identical. Mosaic doesn't target CPU, so CPU tests
+        # take the XLA path; dp-sharded engines also take the XLA path
+        # (GSPMD can't partition an opaque pallas_call over the batch).
+        # FASTDET_PALLAS_SPARSE=0/1 overrides.
+        flag = os.environ.get("FASTDET_PALLAS_SPARSE", "auto")
+        use_pallas = nb % 8 == 0 and self.n_devices == 1 and (
+            flag == "1"
+            or (flag == "auto" and jax.default_backend() not in ("cpu",))
+        )
+        if use_pallas:
+            from fastdet_tpu.ops.pallas import sparse_ingest
 
-        x = jax.vmap(one)(masks, vals8, esc16, qy, qc)
+            coeff = sparse_ingest.sparse_to_coeffs_batch(
+                masks.reshape(b, nb, 8), vals8, esc16)
+        else:
+            coeff = jax.vmap(jpeg_device.sparse_to_coeffs)(
+                masks.reshape(b, nb, 8), vals8, esc16)
+        x = jax.vmap(
+            lambda c, q1, q2: jpeg_device.coeffs_to_rgb01(
+                c, q1, q2, size, size, hs, vs)
+        )(coeff, qy, qc)
         return self._postprocess_tail(params, x, thresholds)
 
     def _sparse_jit(self, layout: Tuple[int, int]):

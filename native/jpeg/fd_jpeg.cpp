@@ -43,6 +43,9 @@ constexpr int ERR_CAPACITY = -5;
 // 416x416; this bounds allocations against crafted headers).
 constexpr long kMaxPixels = 64L * 1024 * 1024;
 constexpr int kMaxDim = 1 << 16;
+// Sparse emitter: max escape values (|v| > 127) per block — the device
+// reconstruction kernel reads escapes through a fixed 16-wide window.
+constexpr int kMaxEscPerBlock = 16;
 
 struct HuffTable {
   // Canonical Huffman decode via per-length first-code/offset tables.
@@ -831,9 +834,11 @@ int decode_sparse(Decoder& d, uint8_t* masks, long masks_cap,
   if (rc) return rc;
   memset(masks, 0, (size_t)total_blocks * 8);
   long nnz = 0, nesc = 0;
+  bool esc_overflow = false;
   for (long b = 0; b < total_blocks; ++b) {
     const int16_t* blk = &stage[(size_t)b * 64];
     uint8_t* m = masks + b * 8;
+    int blk_esc = 0;
     for (int k = 0; k < 64; ++k) {
       int16_t v = blk[k];
       if (v) {
@@ -844,14 +849,20 @@ int decode_sparse(Decoder& d, uint8_t* masks, long masks_cap,
           if (nnz < vals8_cap) vals8[nnz] = -128;  // escape sentinel
           if (nesc < esc_cap) esc16[nesc] = v;
           ++nesc;
+          ++blk_esc;
         }
         ++nnz;
       }
     }
+    // TPU-kernel contract: a block's escapes fit one 16-wide window
+    // (fastdet_tpu/ops/pallas/sparse_ingest.py EW). Denser blocks push
+    // the frame to the plane path.
+    if (blk_esc > kMaxEscPerBlock) esc_overflow = true;
   }
   *nnz_out = nnz;
   *nesc_out = nesc;
-  return (nnz <= vals8_cap && nesc <= esc_cap) ? 0 : ERR_CAPACITY;
+  return (nnz <= vals8_cap && nesc <= esc_cap && !esc_overflow)
+             ? 0 : ERR_CAPACITY;
 }
 
 }  // namespace

@@ -213,6 +213,43 @@ def test_engine_sparse_disabled_by_env(engine, native_ready, monkeypatch):
     assert engine.detect_async_sparse([_jpeg(12)], [0.5]) is None
 
 
+def test_pallas_kernel_matches_xla_reconstruction():
+    """The Pallas reconstruction kernel (interpret mode on CPU) is
+    bit-identical to the XLA path on a randomized case with escapes,
+    empty blocks, and stream-end windows."""
+    import jax.numpy as jnp
+
+    from fastdet_tpu.ops import jpeg_device
+    from fastdet_tpu.ops.pallas import sparse_ingest
+
+    rng = np.random.RandomState(3)
+    B, NB, VCAP, ECAP = 2, 16, 256, 32
+    masks = np.zeros((B, NB, 8), np.uint8)
+    vals8 = np.zeros((B, VCAP), np.int8)
+    esc16 = np.zeros((B, ECAP), np.int16)
+    for b in range(B):
+        cnt = ecnt = 0
+        for n in range(NB):
+            nnz = rng.randint(0, 20)
+            for p in np.sort(rng.choice(64, nnz, replace=False)):
+                masks[b, n, p >> 3] |= 1 << (p & 7)
+                if rng.rand() < 0.1 and ecnt < ECAP - 1:
+                    vals8[b, cnt] = -128
+                    esc16[b, ecnt] = rng.randint(128, 1000) * rng.choice([-1, 1])
+                    ecnt += 1
+                else:
+                    vals8[b, cnt] = rng.randint(-127, 128)
+                cnt += 1
+    m, v, e = jnp.asarray(masks), jnp.asarray(vals8), jnp.asarray(esc16)
+    ref = np.stack([
+        np.asarray(jpeg_device.sparse_to_coeffs(m[i], v[i], e[i]))
+        for i in range(B)
+    ])
+    got = np.asarray(
+        sparse_ingest.sparse_to_coeffs_batch(m, v, e, interpret=True))
+    assert np.array_equal(got, ref)
+
+
 @pytest.mark.slow
 def test_server_uses_sparse_path(native_ready):
     """End-to-end through the serving runtime: the batcher's first-choice
