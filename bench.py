@@ -300,7 +300,8 @@ def bench_all(frames: int = 128):
             ("tiny80", "tiny", 80, fixtures),
             ("full80", "full", 80, fixtures),
             ("rsu9", "full", 9, rsu_frames)):
-        eng = mk_engine(key, arch, classes, (1, 8))
+        eng = mk_engine(key, arch, classes,
+                        (1, 8, 16) if key == "full80" else (1, 8))
         engines[key] = eng
         p50, fps1 = p50_fps(eng, frames_list)
         detail[key + "_single"] = {"p50_ms": round(p50, 1),
@@ -326,17 +327,18 @@ def bench_all(frames: int = 128):
     import queue
 
     eng = engines["full80"]
+    bsz = eng.max_batch
     q: "queue.Queue" = queue.Queue(maxsize=3)
 
     def producer():
         try:
-            for i in range(frames // 8):
-                bj = [fixtures[(i * 8 + j) % 3] for j in range(8)]
-                res = (eng.detect_async_sparse(bj, [BENCH_THRESHOLD] * 8)
-                       or eng.detect_async_planes(bj, [BENCH_THRESHOLD] * 8))
+            for i in range(frames // bsz):
+                bj = [fixtures[(i * bsz + j) % 3] for j in range(bsz)]
+                res = (eng.detect_async_sparse(bj, [BENCH_THRESHOLD] * bsz)
+                       or eng.detect_async_planes(bj, [BENCH_THRESHOLD] * bsz))
                 if res is None:
                     res = eng.detect_async([jpeg.decode_rgb(d) for d in bj],
-                                           [BENCH_THRESHOLD] * 8)
+                                           [BENCH_THRESHOLD] * bsz)
                 q.put(res)
         finally:
             q.put(None)
@@ -348,8 +350,8 @@ def bench_all(frames: int = 128):
         res = q.get()
         if res is None:
             break
-        eng.fetch(res, 8)
-        done += 8
+        eng.fetch(res, bsz)
+        done += bsz
     detail["full80_batched_fps"] = round(done / (time.time() - t0), 1)
 
     # 4-5: serving through the real protocol stack
@@ -435,13 +437,13 @@ def main():
                     help="measure the torch-CPU anchor and write bench_baseline.json")
     ap.add_argument("--all", action="store_true",
                     help="run the full BASELINE config matrix -> BENCH_DETAIL.json")
-    # defaults: best measured tradeoff on the tunneled v5e-1 (round-2
-    # sweep: inflight 1/2/3/6 -> 72/91/98/85 f/s at batch 8 — deeper
-    # queues oversaturate the tunnel and add latency without throughput).
-    # b8 keeps p50 at ~45-65 ms. Plane ingest roughly doubles fps over
-    # pixel ingest at the measured ~25-36 MB/s link bandwidth.
+    # defaults: best measured tradeoff on the tunneled v5e-1 (round-3
+    # sweep with the Pallas-backed sparse ingest: b8/if3 230.8, b8/if6
+    # 261.8, b16/if3 291.0, b16/if6 212.6 f/s — larger batches amortize
+    # per-dispatch overhead, but deep queues oversaturate the tunnel).
+    # p50 single-request latency is unaffected (bucket-1 path).
     ap.add_argument("--frames", type=int, default=512)
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--inflight", type=int, default=3)
     args = ap.parse_args()
 

@@ -42,7 +42,7 @@ logger = logging.getLogger(__name__)
 
 ResultTuple = Tuple[int, float, float, float, float, float]
 
-DEFAULT_BUCKETS = (1, 2, 4, 8)
+DEFAULT_BUCKETS = (1, 2, 4, 8, 16)
 
 _DECODE_POOL = None
 _DECODE_POOL_LOCK = threading.Lock()
@@ -296,10 +296,11 @@ class DetectionEngine:
     # Value-stream capacities are static per layout (recompile-free):
     # FASTDET_SPARSE_BUDGET nonzeros per block on average (default 16;
     # the committed q90 fixtures measure ~14.2) and
-    # FASTDET_SPARSE_ESC_BUDGET escapes per block (default 0.5; measured:
-    # 0.06-0.14 on photographic fixtures, 0.27 on adversarially sharp
-    # synthetic block noise at q90). Frames denser than the budget raise
-    # on the host and fall back to the plane path per frame.
+    # FASTDET_SPARSE_ESC_BUDGET escapes per block (default 1.0; measured:
+    # 0.06-0.14 on most photographic fixtures but 0.62 on the reference's
+    # rsu2.jpg, and 0.27 on adversarially sharp synthetic block noise at
+    # q90 — the extra headroom costs ~2 KB/frame). Frames denser than the
+    # budget raise on the host and fall back to the plane path per frame.
 
     def _sparse_caps(self, layout: Tuple[int, int]) -> Tuple[int, int, int]:
         """(total_blocks, value_capacity, escape_capacity) for a layout."""
@@ -313,7 +314,7 @@ class DetectionEngine:
         yb, cb = native_jpeg.sparse_geometry(size, size, hs, vs)
         nb = yb + 2 * cb
         budget = float(os.environ.get("FASTDET_SPARSE_BUDGET", "16"))
-        esc_budget = float(os.environ.get("FASTDET_SPARSE_ESC_BUDGET", "0.5"))
+        esc_budget = float(os.environ.get("FASTDET_SPARSE_ESC_BUDGET", "1.0"))
         vcap = -128 * (math.ceil(nb * budget) // -128)          # mult of 128
         ecap = max(1024, -64 * (math.ceil(nb * esc_budget) // -64))
         return nb, vcap, ecap
@@ -609,9 +610,11 @@ class DetectionEngine:
             self.fetch(self._jit(self.params, self._place(imgs), self._place(thr)), b)
             if warm_planes:
                 for hs, vs in warm_layouts:
-                    # sparse is the first-choice ingest for every layout;
-                    # planes is warmed for 4:2:0 only (it serves rare
-                    # over-budget frames — other layouts compile lazily)
+                    # sparse is the first-choice ingest; planes is its
+                    # per-frame overflow fallback, so BOTH compile per
+                    # warm layout — an unwarmed fallback would pay a
+                    # mid-serving compile stall on the first over-budget
+                    # frame (observed: reference rsu2.jpg).
                     nb, vcap, ecap = self._sparse_caps((hs, vs))
                     packed = np.zeros(
                         (b, self._sparse_row_bytes(nb, vcap, ecap)), np.uint8)
@@ -620,14 +623,13 @@ class DetectionEngine:
                             self.params, self._place(packed), self._place(thr)),
                         b,
                     )
-                    if (hs, vs) == (2, 2):
-                        n = size * size + 2 * (size // vs) * (size // hs)
-                        pk = np.full((b, n), 128, np.uint8)
-                        self.fetch(
-                            self._planes_jit((hs, vs))(
-                                self.params, self._place(pk), self._place(thr)),
-                            b,
-                        )
+                    n = size * size + 2 * (size // vs) * (size // hs)
+                    pk = np.full((b, n), 128, np.uint8)
+                    self.fetch(
+                        self._planes_jit((hs, vs))(
+                            self.params, self._place(pk), self._place(thr)),
+                        b,
+                    )
         dt = time.time() - t0
         logger.info(
             "engine warmup: %s buckets=%s in %.1fs", self.spec.name, self.buckets, dt

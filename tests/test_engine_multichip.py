@@ -56,3 +56,30 @@ def test_dp_bucket_rounding(cpu_devices):
     # all buckets become multiples of 4
     assert eng.buckets == (4, 8, 12)
     assert eng.bucket_for(1) == 4 and eng.bucket_for(9) == 12
+
+
+def test_dp_engine_sparse_ingest_matches_single_device(cpu_devices):
+    """The sparse ingest under dp sharding (XLA reconstruction branch —
+    pallas is single-device-only) agrees with the single-device engine."""
+    from fastdet_tpu.runtime import jpeg, native_jpeg
+
+    if not native_jpeg.available():
+        pytest.skip("native jpeg library unavailable")
+    spec, params = weights.load_model("synthetic:tiny", num_classes=80)
+    multi = DetectionEngine(spec, params, mode="f32", buckets=(8,),
+                            devices=cpu_devices)
+    single = DetectionEngine(spec, params, mode="f32", buckets=(8,),
+                             devices=cpu_devices[:1])
+    jpegs = [jpeg.encode_rgb(img, 90) for img in _imgs(8)]
+    thrs = [0.5] * 8
+    res_m = multi.detect_async_sparse(jpegs, thrs)
+    res_s = single.detect_async_sparse(jpegs, thrs)
+    assert res_m is not None and res_s is not None
+    assert res_m.counts == res_s.counts == {"sparse": 8}
+    got_m = multi.fetch(res_m, 8)
+    got_s = single.fetch(res_s, 8)
+    for a, b in zip(got_m, got_s):
+        assert len(a) == len(b)
+        for ra, rb in zip(a, b):
+            assert ra[0] == rb[0]
+            np.testing.assert_allclose(ra[1:], rb[1:], rtol=1e-4, atol=1e-4)

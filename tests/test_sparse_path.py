@@ -213,6 +213,26 @@ def test_engine_sparse_disabled_by_env(engine, native_ready, monkeypatch):
     assert engine.detect_async_sparse([_jpeg(12)], [0.5]) is None
 
 
+def test_reference_fixtures_fit_default_budgets(engine, native_ready):
+    """Every reference photo rides the sparse path at the DEFAULT value
+    budgets (regression: rsu2.jpg once overflowed the escape budget and
+    silently degraded to the plane path)."""
+    import pathlib
+
+    frames = []
+    for name in ("dog.jpg", "rsu1.jpg", "rsu2.jpg"):
+        p = pathlib.Path("/root/reference/testdata") / name
+        if p.exists():
+            frames.append(p.read_bytes())
+    if not frames:
+        pytest.skip("reference fixtures not present")
+    for data in frames:
+        res = engine.detect_async_sparse([data], [0.3])
+        assert res is not None
+        assert res.counts == {"sparse": 1}, res.counts
+        engine.fetch(res, 1)
+
+
 def test_pallas_kernel_matches_xla_reconstruction():
     """The Pallas reconstruction kernel (interpret mode on CPU) is
     bit-identical to the XLA path on a randomized case with escapes,
