@@ -111,13 +111,17 @@ def make_jpegs(n: int, quality: int = 90):
     return [fixtures[i % len(fixtures)] for i in range(n)]
 
 
-def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 32):
+def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 32,
+              mode: str = "bf16"):
     from fastdet_tpu.models import weights
     from fastdet_tpu.runtime import jpeg
     from fastdet_tpu.runtime.engine import DetectionEngine
 
     spec, params, weight_kind = load_bench_model("full", 80)
-    engine = DetectionEngine(spec, params, mode="bf16", buckets=(1, batch))
+    engine = DetectionEngine(spec, params, mode=mode, buckets=(1, batch))
+    # the headline workload is 4:2:0 only — don't pay warmup compiles for
+    # the 4:2:2 programs here (bench_all covers those paths)
+    os.environ.setdefault("FASTDET_WARM_LAYOUTS", "22")
     t0 = time.time()
     engine.warmup()
     compile_s = time.time() - t0
@@ -354,6 +358,38 @@ def bench_all(frames: int = 128):
         done += bsz
     detail["full80_batched_fps"] = round(done / (time.time() - t0), 1)
 
+    # 2d: the same batched loop in int8-through serving mode (the bench
+    # headline default) — quantized forward shrinks the device-serialized
+    # portion of each batch
+    spec, params, _k = load_bench_model("full", 80)
+    eng8 = DetectionEngine(spec, params, mode="int8", buckets=(16,))
+    eng8.warmup()
+    q8: "queue.Queue" = queue.Queue(maxsize=3)
+
+    def producer8():
+        try:
+            for i in range(frames // 16):
+                bj = [fixtures[(i * 16 + j) % 3] for j in range(16)]
+                res = (eng8.detect_async_sparse(bj, [BENCH_THRESHOLD] * 16)
+                       or eng8.detect_async_planes(bj, [BENCH_THRESHOLD] * 16))
+                if res is None:
+                    res = eng8.detect_async([jpeg.decode_rgb(d) for d in bj],
+                                            [BENCH_THRESHOLD] * 16)
+                q8.put(res)
+        finally:
+            q8.put(None)
+
+    t0 = time.time()
+    threading.Thread(target=producer8, daemon=True).start()
+    done = 0
+    while True:
+        res = q8.get()
+        if res is None:
+            break
+        eng8.fetch(res, 16)
+        done += 16
+    detail["full80_batched_int8_fps"] = round(done / (time.time() - t0), 1)
+
     # 4-5: serving through the real protocol stack
     import asyncio
 
@@ -445,6 +481,15 @@ def main():
     ap.add_argument("--frames", type=int, default=512)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--inflight", type=int, default=3)
+    # int8-through is the default serving mode for the headline: measured
+    # same-session 317.4 f/s (passes 315-321) vs bf16's 204 (166-223) at
+    # b16/if3 — shrinking device time both raises throughput and makes
+    # the pipeline robust to link-bandwidth swings. Accuracy is pinned by
+    # the gated real-weights int8 test (tests/test_real_weights.py); the
+    # mode is recorded in the output line, and --mode bf16 keeps the
+    # full-precision configuration measurable.
+    ap.add_argument("--mode", default="int8",
+                    help="engine compute mode: bf16 | f32 | int8")
     args = ap.parse_args()
 
     if args.all:
@@ -478,7 +523,7 @@ def main():
         return
 
     fps, passes, p50, compile_s, ingest, weight_kind = bench_tpu(
-        args.frames, args.batch, args.inflight)
+        args.frames, args.batch, args.inflight, mode=args.mode)
     vs = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as fp:
@@ -495,6 +540,7 @@ def main():
         "pipeline": "threaded",   # effective depth <= inflight+2, see run()
         "ingest": ingest,
         "weights": weight_kind,
+        "mode": args.mode,
         "compile_s": round(compile_s, 1),
     }))
 
