@@ -327,68 +327,52 @@ def bench_all(frames: int = 128):
             engines["full80"].fetch(res, 1)
 
     # 2b: full batched throughput (same threaded-producer methodology as
-    # the headline run(): decode+dispatch overlaps fetch waits)
+    # the headline run(): decode+dispatch overlaps fetch waits).
     import queue
 
-    eng = engines["full80"]
-    bsz = eng.max_batch
-    q: "queue.Queue" = queue.Queue(maxsize=3)
+    def batched_fps(eng, n_frames):
+        bsz = eng.max_batch
+        q: "queue.Queue" = queue.Queue(maxsize=3)
+        err = []
 
-    def producer():
-        try:
-            for i in range(frames // bsz):
-                bj = [fixtures[(i * bsz + j) % 3] for j in range(bsz)]
-                res = (eng.detect_async_sparse(bj, [BENCH_THRESHOLD] * bsz)
-                       or eng.detect_async_planes(bj, [BENCH_THRESHOLD] * bsz))
-                if res is None:
-                    res = eng.detect_async([jpeg.decode_rgb(d) for d in bj],
-                                           [BENCH_THRESHOLD] * bsz)
-                q.put(res)
-        finally:
-            q.put(None)
+        def producer():
+            try:
+                for i in range(n_frames // bsz):
+                    bj = [fixtures[(i * bsz + j) % 3] for j in range(bsz)]
+                    res = (eng.detect_async_sparse(bj, [BENCH_THRESHOLD] * bsz)
+                           or eng.detect_async_planes(bj,
+                                                      [BENCH_THRESHOLD] * bsz))
+                    if res is None:
+                        res = eng.detect_async(
+                            [jpeg.decode_rgb(d) for d in bj],
+                            [BENCH_THRESHOLD] * bsz)
+                    q.put(res)
+            except BaseException as e:   # surface on the main thread: a
+                err.append(e)            # swallowed failure would record
+            finally:                     # a silently-partial fps number
+                q.put(None)
 
-    t0 = time.time()
-    threading.Thread(target=producer, daemon=True).start()
-    done = 0
-    while True:
-        res = q.get()
-        if res is None:
-            break
-        eng.fetch(res, bsz)
-        done += bsz
-    detail["full80_batched_fps"] = round(done / (time.time() - t0), 1)
+        t0 = time.time()
+        threading.Thread(target=producer, daemon=True).start()
+        done = 0
+        while True:
+            res = q.get()
+            if res is None:
+                break
+            eng.fetch(res, bsz)
+            done += bsz
+        if err:
+            raise err[0]
+        return round(done / (time.time() - t0), 1)
 
-    # 2d: the same batched loop in int8-through serving mode (the bench
-    # headline default) — quantized forward shrinks the device-serialized
-    # portion of each batch
+    detail["full80_batched_fps"] = batched_fps(engines["full80"], frames)
+
+    # 2d: the same loop in int8-through serving mode (the bench headline
+    # default) — quantized forward shrinks the device-serialized portion
     spec, params, _k = load_bench_model("full", 80)
     eng8 = DetectionEngine(spec, params, mode="int8", buckets=(16,))
     eng8.warmup()
-    q8: "queue.Queue" = queue.Queue(maxsize=3)
-
-    def producer8():
-        try:
-            for i in range(frames // 16):
-                bj = [fixtures[(i * 16 + j) % 3] for j in range(16)]
-                res = (eng8.detect_async_sparse(bj, [BENCH_THRESHOLD] * 16)
-                       or eng8.detect_async_planes(bj, [BENCH_THRESHOLD] * 16))
-                if res is None:
-                    res = eng8.detect_async([jpeg.decode_rgb(d) for d in bj],
-                                            [BENCH_THRESHOLD] * 16)
-                q8.put(res)
-        finally:
-            q8.put(None)
-
-    t0 = time.time()
-    threading.Thread(target=producer8, daemon=True).start()
-    done = 0
-    while True:
-        res = q8.get()
-        if res is None:
-            break
-        eng8.fetch(res, 16)
-        done += 16
-    detail["full80_batched_int8_fps"] = round(done / (time.time() - t0), 1)
+    detail["full80_batched_int8_fps"] = batched_fps(eng8, frames)
 
     # 4-5: serving through the real protocol stack
     import asyncio

@@ -56,7 +56,7 @@ def _read_varint(buf, pos: int) -> Tuple[int, int]:
         pos += 1
         result |= (b & 0x7F) << shift
         if not b & 0x80:
-            return result, pos
+            return result & ((1 << 64) - 1), pos
         shift += 7
         if shift > 63:
             raise ValueError("onnx: varint too long")
@@ -104,6 +104,13 @@ def _varints(buf) -> List[int]:
     return out
 
 
+def _signed64(v: int) -> int:
+    """Protobuf int64 is two's complement over 10 varint bytes: values
+    with bit 63 set are negative (e.g. a Reshape dim of -1 arrives as
+    2**64-1 unsigned) — without this they overflow np.int64 conversion."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _parse_tensor(buf) -> Tuple[str, np.ndarray]:
     """TensorProto -> (name, array). float32/int32/int64 only."""
     dims: List[int] = []
@@ -123,7 +130,8 @@ def _parse_tensor(buf) -> Tuple[str, np.ndarray]:
             else:
                 floats.append(struct.unpack("<f", bytes(val))[0])
         elif field in (5, 7):             # int32_data / int64_data
-            ints.extend(_varints(val) if wt == 2 else [val])
+            got = _varints(val) if wt == 2 else [val]
+            ints.extend(_signed64(v) for v in got)
         elif field == 8 and wt == 2:      # name
             name = bytes(val).decode("utf-8")
         elif field == 9 and wt == 2:      # raw_data
@@ -154,7 +162,7 @@ def _parse_attr(buf) -> Tuple[str, Any]:
         elif field == 2:                  # f (fixed32)
             value = struct.unpack("<f", bytes(val))[0]
         elif field == 3 and wt == 0:      # i
-            value = val
+            value = _signed64(val)
         elif field == 4 and wt == 2:      # s
             value = bytes(val)
         elif field == 5 and wt == 2:      # t
@@ -166,7 +174,8 @@ def _parse_attr(buf) -> Tuple[str, Any]:
             else:
                 value.append(struct.unpack("<f", bytes(val))[0])
         elif field == 8:                  # ints
-            value = (value or []) + (_varints(val) if wt == 2 else [val])
+            got = _varints(val) if wt == 2 else [val]
+            value = (value or []) + [_signed64(v) for v in got]
     return name, value
 
 
@@ -251,6 +260,10 @@ def load_graph(path: str) -> OnnxGraph:
 # ---------------------------------------------------------------------------
 
 def _varint(v: int) -> bytes:
+    if v < 0:
+        # protobuf int64: negatives are 64-bit two's complement (ten
+        # bytes on the wire); python's arithmetic shift would loop forever
+        v += 1 << 64
     out = bytearray()
     while True:
         b = v & 0x7F

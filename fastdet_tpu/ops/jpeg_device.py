@@ -226,7 +226,8 @@ def sparse_to_coeffs(masks: jnp.ndarray, vals8: jnp.ndarray,
 def coeffs_to_rgb01(
     coeff: jnp.ndarray,   # (NB, 64) int coefficients, Y|Cb|Cr raster order
     qy: jnp.ndarray,      # (64,) f32/int
-    qc: jnp.ndarray,
+    qcb: jnp.ndarray,
+    qcr: jnp.ndarray,     # may differ from qcb (3-table JPEGs are legal)
     height: int,
     width: int,
     hs: int,
@@ -238,8 +239,9 @@ def coeffs_to_rgb01(
     nyb, ncb = yb_h * yb_w, cb_h * cb_w
     ypix = plane_from_blocks(blocks_to_pixels(coeff[:nyb], qy), yb_h, yb_w)
     cbp = plane_from_blocks(
-        blocks_to_pixels(coeff[nyb:nyb + ncb], qc), cb_h, cb_w)
-    crp = plane_from_blocks(blocks_to_pixels(coeff[nyb + ncb:], qc), cb_h, cb_w)
+        blocks_to_pixels(coeff[nyb:nyb + ncb], qcb), cb_h, cb_w)
+    crp = plane_from_blocks(
+        blocks_to_pixels(coeff[nyb + ncb:], qcr), cb_h, cb_w)
     cbu = upsample_chroma(cbp, hs, vs)
     cru = upsample_chroma(crp, hs, vs)
     return ycbcr_to_rgb01(ypix, cbu, cru)
@@ -264,4 +266,4 @@ def decode_sparse(
     cb_h, cb_w = height // vs // 8, width // hs // 8
     nb = yb_h * yb_w + 2 * cb_h * cb_w
     coeff = sparse_to_coeffs(masks.reshape(nb, 8), vals8, esc16)
-    return coeffs_to_rgb01(coeff, qy, qc, height, width, hs, vs)
+    return coeffs_to_rgb01(coeff, qy, qc, qc, height, width, hs, vs)

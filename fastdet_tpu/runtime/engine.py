@@ -320,8 +320,11 @@ class DetectionEngine:
         return nb, vcap, ecap
 
     def _sparse_row_bytes(self, nb: int, vcap: int, ecap: int) -> int:
-        # [masks nb*8 | vals8 vcap | esc16 2*ecap | qy 2*64 | qc 2*64]
-        return nb * 8 + vcap + 2 * ecap + 256
+        # [masks nb*8 | vals8 vcap | esc16 2*ecap | qy,qcb,qcr 3*2*64]
+        # (separate Cb/Cr tables: a legal JPEG may quantize Cr with its
+        # own table — reference-shape traffic shares one, but the row
+        # spends 128 bytes to stay correct for the general case)
+        return nb * 8 + vcap + 2 * ecap + 384
 
     def _pipeline_sparse(self, params, packed, thresholds,
                          layout=(2, 2)) -> jnp.ndarray:
@@ -345,10 +348,10 @@ class DetectionEngine:
         esc16 = lax.bitcast_convert_type(
             (eb[..., 0] | (eb[..., 1] << 8)).astype(jnp.uint16), jnp.int16
         )
-        qb = packed[:, mo + vcap + 2 * ecap:].reshape(b, 2, 64, 2)
+        qb = packed[:, mo + vcap + 2 * ecap:].reshape(b, 3, 64, 2)
         qb = qb.astype(jnp.float32)
         q = qb[..., 0] + qb[..., 1] * 256.0
-        qy, qc = q[:, 0], q[:, 1]
+        qy, qcb, qcr = q[:, 0], q[:, 1], q[:, 2]
 
         # Reconstruction: the Pallas kernel replaces XLA's two NB*64
         # element gathers (~21 ms each per batch of 8 on the v5e) with
@@ -371,9 +374,9 @@ class DetectionEngine:
             coeff = jax.vmap(jpeg_device.sparse_to_coeffs)(
                 masks.reshape(b, nb, 8), vals8, esc16)
         x = jax.vmap(
-            lambda c, q1, q2: jpeg_device.coeffs_to_rgb01(
-                c, q1, q2, size, size, hs, vs)
-        )(coeff, qy, qc)
+            lambda c, q1, q2, q3: jpeg_device.coeffs_to_rgb01(
+                c, q1, q2, q3, size, size, hs, vs)
+        )(coeff, qy, qcb, qcr)
         return self._postprocess_tail(params, x, thresholds)
 
     def _sparse_jit(self, layout: Tuple[int, int]):
@@ -443,11 +446,13 @@ class DetectionEngine:
         def _decode(job) -> Optional[int]:
             data, i, masks, v8, e16, qrow = job
             try:
-                _, _, qy, qc = native_jpeg.decode_sparse_into(data, masks, v8, e16)
+                _, _, qy, qcb, qcr = native_jpeg.decode_sparse_into(
+                    data, masks, v8, e16)
             except native_jpeg.SparseCapacityExceeded:
                 return i
             qrow[:64] = qy
-            qrow[64:] = qc
+            qrow[64:128] = qcb
+            qrow[128:] = qcr
             return None
 
         try:
@@ -480,8 +485,14 @@ class DetectionEngine:
             keep = [k for k, i in enumerate(idxs) if i not in ov]
             if not keep:
                 continue
-            # rows stay in place; overflowed rows are zero (gray) and
-            # their results are discarded by the index mapping
+            if len(keep) != len(idxs):
+                # fetch() maps result ROW j to the j-th kept index, so the
+                # kept frames' rows must be compacted to the front; the
+                # vacated tail rows (partially-written overflow frames)
+                # get threshold 2.0 and their outputs are never read
+                packed[: len(keep)] = packed[keep]
+                thr[: len(keep)] = thr[keep]
+                thr[len(keep):] = 2.0
             res = self._sparse_jit(layout)(
                 self.params, self._place(packed), self._place(thr),
             )

@@ -174,10 +174,7 @@ def decode_coefficients(
     multi-GB allocation from one UDP request.
     """
     lib = _load()
-    info = (ctypes.c_int * 13)()
-    rc = lib.fd_jpeg_scan_info(data, len(data), info)
-    if rc != 0:
-        raise ValueError(f"fd_jpeg_scan_info failed: rc={rc}")
+    info = _scan_info(data)
     w, h, ncomp = info[0], info[1], info[2]
     if expected_size is not None and (w, h) != tuple(expected_size):
         raise ValueError(f"unexpected image size {w}x{h}")
@@ -197,6 +194,11 @@ def decode_coefficients(
     )
     if rc != 0:
         raise ValueError(f"fd_jpeg_coefficients failed: rc={rc}")
+    if not np.array_equal(q[info[12]], q[info[13]]):
+        # CoeffImage carries one chroma table; a (legal, rare) file with
+        # a distinct Cr table would be dequantized wrongly — callers fall
+        # back (the sparse and plane paths both support 3 tables).
+        raise ValueError("distinct Cb/Cr quant tables")
     return CoeffImage(
         width=w, height=h, hmax=info[3], vmax=info[4],
         ycoef=planes[0], cbcoef=planes[1], crcoef=planes[2],
@@ -210,6 +212,16 @@ def decode_coefficients(
 PLANE_LAYOUTS = ((2, 2), (2, 1), (1, 2), (1, 1))
 
 
+def _scan_info(data: bytes) -> "ctypes.Array":
+    """One native header parse -> the 14-int fd_jpeg_scan_info layout."""
+    lib = _load()
+    info = (ctypes.c_int * 14)()
+    rc = lib.fd_jpeg_scan_info(data, len(data), info)
+    if rc != 0:
+        raise ValueError(f"fd_jpeg_scan_info failed: rc={rc}")
+    return info
+
+
 def scan_layout(
     data: bytes, expected_size: Optional[Tuple[int, int]] = None
 ) -> Tuple[int, int, int, int]:
@@ -220,11 +232,12 @@ def scan_layout(
     ValueError for non-3-component files, unexpected sizes, or layouts
     outside PLANE_LAYOUTS.
     """
-    lib = _load()
-    info = (ctypes.c_int * 13)()
-    rc = lib.fd_jpeg_scan_info(data, len(data), info)
-    if rc != 0:
-        raise ValueError(f"fd_jpeg_scan_info failed: rc={rc}")
+    return _layout_from_info(_scan_info(data), expected_size)
+
+
+def _layout_from_info(
+    info, expected_size: Optional[Tuple[int, int]] = None
+) -> Tuple[int, int, int, int]:
     w, h, ncomp, hs, vs = info[0], info[1], info[2], info[3], info[4]
     if expected_size is not None and (w, h) != tuple(expected_size):
         raise ValueError(f"unexpected image size {w}x{h}")
@@ -335,7 +348,7 @@ def decode_sparse_into(
     masks: np.ndarray,
     vals8: np.ndarray,
     esc16: np.ndarray,
-) -> Tuple[int, int, np.ndarray, np.ndarray]:
+) -> Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]:
     """Entropy-decode into caller-provided packed-sparse views.
 
     ``masks``: (NB*8,) uint8 — 8 bytes per block, bit k&7 of byte k>>3 set
@@ -343,13 +356,16 @@ def decode_sparse_into(
     Cb raster, Cr raster. ``vals8``: (VCAP,) int8 nonzero stream (-128 =
     escape). ``esc16``: (ECAP,) int16 escape stream. All three may be
     views into one batch row (no per-frame allocation). Returns
-    (nnz, nesc, qy, qc) with the quant tables as (64,) uint16 in natural
-    order. Raises SparseCapacityExceeded when the frame outgrows the
-    vals8/esc16 budgets (caller falls back to the plane path), ValueError
-    for malformed/unsupported files.
+    (nnz, nesc, qy, qcb, qcr) with the per-component quant tables as
+    (64,) uint16 in natural order (qcb is qcr for the common shared-table
+    case, but a legal JPEG may give Cr its own table). Raises
+    SparseCapacityExceeded when the frame outgrows the vals8/esc16
+    budgets (caller falls back to the plane path), ValueError for
+    malformed/unsupported files.
     """
     lib = _load()
-    w, h, hs, vs = scan_layout(data)
+    info = _scan_info(data)   # ONE header parse serves layout + tq needs
+    w, h, hs, vs = _layout_from_info(info)
     yb, cb = sparse_geometry(w, h, hs, vs)
     nb = yb + 2 * cb
     if masks.dtype != np.uint8 or not masks.flags.c_contiguous:
@@ -360,10 +376,6 @@ def decode_sparse_into(
         raise ValueError("vals8 must be contiguous int8")
     if esc16.dtype != np.int16 or not esc16.flags.c_contiguous:
         raise ValueError("esc16 must be contiguous int16")
-    info = (ctypes.c_int * 13)()
-    rc = lib.fd_jpeg_scan_info(data, len(data), info)
-    if rc != 0:
-        raise ValueError(f"fd_jpeg_scan_info failed: rc={rc}")
     nnz = ctypes.c_long()
     nesc = ctypes.c_long()
     q = np.zeros((4, 64), np.uint16)
@@ -381,7 +393,7 @@ def decode_sparse_into(
         )
     if rc != 0:
         raise ValueError(f"fd_jpeg_sparse failed: rc={rc}")
-    return nnz.value, nesc.value, q[info[11]], q[info[12]]
+    return nnz.value, nesc.value, q[info[11]], q[info[12]], q[info[13]]
 
 
 def decode_rgb(data: bytes) -> np.ndarray:

@@ -119,6 +119,11 @@ void destuff_scan(const uint8_t* p, const uint8_t* end, DestuffedScan& out) {
     if (nxt == 0x00) {               // stuffed data byte
       out.bytes.push_back(0xFF);
       p = ff + 2;
+    } else if (nxt == 0xFF) {
+      // T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+      // (including RSTn). Drop one and re-examine from the next 0xFF so
+      // "FF FF D0" restarts and "FF FF 00" still yields a data 0xFF.
+      p = ff + 1;
     } else if (nxt >= 0xD0 && nxt <= 0xD7) {  // restart marker
       out.seg_start.push_back(out.bytes.size());
       p = ff + 2;
@@ -869,10 +874,10 @@ int decode_sparse(Decoder& d, uint8_t* masks, long masks_cap,
 
 extern "C" {
 
-// Scan geometry for the coefficient API. info layout (13 ints):
+// Scan geometry for the coefficient API. info layout (14 ints):
 // [w, h, ncomp, hmax, vmax,
 //  bw0, bh0, bw1, bh1, bw2, bh2,   (coefficient blocks per component)
-//  tq0, tq1]                        (quant table index of comp0 / comp1)
+//  tq0, tq1, tq2]                  (quant table index per component)
 int fd_jpeg_scan_info(const uint8_t* data, long n, int* info) {
   Decoder d{data, n};
   int rc = d.parse_headers();
@@ -899,6 +904,7 @@ int fd_jpeg_scan_info(const uint8_t* data, long n, int* info) {
   }
   info[11] = d.ncomp > 0 ? d.comp[0].tq : 0;
   info[12] = d.ncomp > 1 ? d.comp[1].tq : 0;
+  info[13] = d.ncomp > 2 ? d.comp[2].tq : info[12];
   return 0;
 }
 

@@ -49,7 +49,7 @@ std::vector<int16_t> sesc(1 << 20);
 uint16_t qtabs[4 * 64];
 
 void exercise(const uint8_t* data, long n) {
-  int w, h, comps, info[13], layout[4];
+  int w, h, comps, info[14], layout[4];
   long nnz, nesc;
   fd_jpeg_info(data, n, &w, &h, &comps);
   fd_jpeg_scan_info(data, n, info);

@@ -93,6 +93,34 @@ def test_restart_markers(native):
     assert np.abs(ref.astype(int) - got.astype(int)).max() <= 4
 
 
+def test_fill_bytes_before_restart_markers(native):
+    """T.81 B.1.1.2 allows 0xFF fill bytes before any marker, including
+    RSTn inside the scan — the destuffer must skip them, not treat the
+    FF pair as end-of-scan (regression: all restart segments after the
+    first fill byte were dropped, failing the whole decode)."""
+    import io
+
+    from PIL import Image
+
+    img = _image()
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90, subsampling=2,
+                              restart_marker_blocks=4)
+    data = buf.getvalue()
+    rst = None
+    for m in range(0xD0, 0xD8):
+        i = data.find(bytes([0xFF, m]), 1000)
+        if i != -1:
+            rst = i if rst is None else min(rst, i)
+    assert rst is not None, "fixture has no restart markers"
+    clean = native.decode_rgb(data)
+    # one fill byte, and a run of them, before the first restart marker
+    for fill in (b"\xff", b"\xff\xff\xff"):
+        patched = data[:rst] + fill + data[rst:]
+        got = native.decode_rgb(patched)
+        assert np.array_equal(got, clean)
+
+
 def test_invalid_inputs(native):
     with pytest.raises(ValueError):
         native.decode_rgb(b"not a jpeg")

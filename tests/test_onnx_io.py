@@ -118,3 +118,28 @@ def test_inspect_cli_raw_dump(tmp_path):
     )
     assert out2.returncode == 0, out2.stderr
     assert "total parameters" in out2.stdout
+
+
+def test_negative_int64_varints_roundtrip():
+    """Protobuf int64 negatives are 64-bit two's complement: attribute
+    ints like axis=-1 and int64_data entries like a Reshape dim of -1
+    must decode as negatives, not 2**64-1 (and the writer must not hang
+    encoding them)."""
+    # writer path: attr i=-1, ints=[-1, 255]
+    node = onnx_io._attr_bytes("axis", -1)
+    k, v = onnx_io._parse_attr(node)
+    assert (k, v) == ("axis", -1)
+    k, v = onnx_io._parse_attr(onnx_io._attr_bytes("perm", [-1, 255]))
+    assert (k, v) == ("perm", [-1, 255])
+    # reader path: hand-encoded TensorProto with int64_data (field 7,
+    # packed) holding [-1, 2] — the non-raw encoding some exporters emit
+    payload = onnx_io._varint(-1) + onnx_io._varint(2)
+    tensor = (
+        onnx_io._int_field(1, 2)            # dims: [2]
+        + onnx_io._int_field(2, 7)          # data_type = INT64
+        + onnx_io._len_field(7, payload)    # int64_data
+        + onnx_io._str_field(8, "shape")
+    )
+    name, arr = onnx_io._parse_tensor(tensor)
+    assert name == "shape"
+    assert arr.dtype == np.int64 and arr.tolist() == [-1, 2]

@@ -53,8 +53,10 @@ def _decode_sparse(native, data):
     masks = np.zeros(nb * 8, np.uint8)
     vals8 = np.zeros(nb * 64, np.int8)
     esc16 = np.zeros(nb * 8, np.int16)
-    nnz, nesc, qy, qc = native.decode_sparse_into(data, masks, vals8, esc16)
-    return (w, h, hs, vs, yb, cb, masks, vals8, esc16, nnz, nesc, qy, qc)
+    nnz, nesc, qy, qcb, qcr = native.decode_sparse_into(
+        data, masks, vals8, esc16)
+    return (w, h, hs, vs, yb, cb, masks, vals8, esc16, nnz, nesc, qy, qcb,
+            qcr)
 
 
 @pytest.mark.parametrize("subsampling", [0, 1, 2])
@@ -65,7 +67,7 @@ def test_sparse_pack_roundtrip_exact(native_ready, subsampling):
 
     data = _jpeg(5, subsampling=subsampling)
     (w, h, hs, vs, yb, cb, masks, vals8, esc16,
-     nnz, nesc, qy, qc) = _decode_sparse(native_ready, data)
+     nnz, nesc, qy, qc, qcr) = _decode_sparse(native_ready, data)
     nb = yb + 2 * cb
     got = np.asarray(jpeg_device.sparse_to_coeffs(
         masks.reshape(nb, 8), vals8, esc16))
@@ -82,7 +84,7 @@ def test_sparse_escapes_roundtrip(native_ready):
 
     data = _jpeg(6, quality=98)
     (w, h, hs, vs, yb, cb, masks, vals8, esc16,
-     nnz, nesc, qy, qc) = _decode_sparse(native_ready, data)
+     nnz, nesc, qy, qc, qcr) = _decode_sparse(native_ready, data)
     assert nesc > 0, "fixture failed to produce any escape values"
     nb = yb + 2 * cb
     got = np.asarray(jpeg_device.sparse_to_coeffs(
@@ -103,7 +105,7 @@ def test_sparse_device_decode_matches_rgb(native_ready, subsampling):
 
     data = _jpeg(7, subsampling=subsampling)
     (w, h, hs, vs, yb, cb, masks, vals8, esc16,
-     nnz, nesc, qy, qc) = _decode_sparse(native_ready, data)
+     nnz, nesc, qy, qc, qcr) = _decode_sparse(native_ready, data)
     rgb01 = jpeg_device.decode_sparse(
         jnp.asarray(masks), jnp.asarray(vals8), jnp.asarray(esc16),
         jnp.asarray(qy, jnp.float32), jnp.asarray(qc, jnp.float32),
@@ -126,7 +128,7 @@ def test_reference_fixture_sparse_decode(native_ready):
         pytest.skip("reference fixtures not present")
     data = p.read_bytes()
     (w, h, hs, vs, yb, cb, masks, vals8, esc16,
-     nnz, nesc, qy, qc) = _decode_sparse(native_ready, data)
+     nnz, nesc, qy, qc, qcr) = _decode_sparse(native_ready, data)
     assert (hs, vs) == (2, 1)
     rgb01 = jpeg_device.decode_sparse(
         jnp.asarray(masks), jnp.asarray(vals8), jnp.asarray(esc16),
@@ -203,6 +205,32 @@ def test_engine_sparse_mixed_overflow_batch(engine, native_ready, monkeypatch):
     assert got_all[0] == got_all[1]
 
 
+def test_engine_sparse_partial_overflow_preserves_row_mapping(
+        engine, native_ready):
+    """An over-budget frame EARLIER in the group must not shift its
+    group-mates' result rows (regression: the kept rows were not
+    compacted, so the frame after an overflow got the overflow row's
+    gray-frame results)."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.RandomState(40)
+    noisy = rng.randint(0, 255, (416, 416, 3), np.uint8)  # dense at q100
+    buf = io.BytesIO()
+    Image.fromarray(noisy).save(buf, format="JPEG", quality=100, subsampling=2)
+    dense = buf.getvalue()
+    normal = _jpeg(14)
+    res = engine.detect_async_sparse([dense, normal], [0.5, 0.5])
+    assert res is not None
+    assert res.counts == {"planes": 1, "sparse": 1}, res.counts
+    got = engine.fetch(res, 2)
+    ref_normal = engine.fetch(engine.detect_async_sparse([normal], [0.5]), 1)[0]
+    ref_dense = engine.fetch(engine.detect_async_planes([dense], [0.5]), 1)[0]
+    assert got[1] == ref_normal
+    assert got[0] == ref_dense
+
+
 def test_engine_sparse_rejects_wrong_size(engine, native_ready):
     data = jpeg.encode_rgb(np.zeros((224, 224, 3), np.uint8))
     assert engine.detect_async_sparse([data], [0.5]) is None
@@ -231,6 +259,71 @@ def test_reference_fixtures_fit_default_budgets(engine, native_ready):
         assert res is not None
         assert res.counts == {"sparse": 1}, res.counts
         engine.fetch(res, 1)
+
+
+def _with_distinct_cr_table(data: bytes) -> bytes:
+    """Byte-surgery: give component 3 (Cr) its own quant table (id 2),
+    content = chroma table with its last zigzag entry bumped. Legal
+    baseline JPEG (T.81 allows up to 4 tables), produced by some
+    encoders/tuning tools; PIL always shares one chroma table."""
+    buf = bytearray(data)
+    off = 2
+    last_dqt_end = None
+    chroma_tbl = None
+    sof_comp3_tq = None
+    while off + 4 <= len(buf):
+        assert buf[off] == 0xFF
+        marker = buf[off + 1]
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        seglen = (buf[off + 2] << 8) | buf[off + 3]
+        seg = off + 4
+        if marker == 0xDB:  # DQT: one or more (pq<<4|tq, 64 bytes) entries
+            p = seg
+            while p < off + 2 + seglen:
+                pq, tq = buf[p] >> 4, buf[p] & 15
+                n = 128 if pq else 64
+                if tq == 1:
+                    chroma_tbl = bytes(buf[p + 1:p + 1 + n])
+                p += 1 + n
+            last_dqt_end = off + 2 + seglen
+        elif marker == 0xC0:  # SOF0: comp 3's tq byte
+            assert buf[seg + 5] == 3
+            sof_comp3_tq = seg + 6 + 2 * 3 + 2
+        off += 2 + seglen
+    assert last_dqt_end is not None and chroma_tbl is not None
+    assert sof_comp3_tq is not None
+    new_tbl = bytearray(chroma_tbl)
+    new_tbl[-1] = min(255, new_tbl[-1] + 7)  # observably different
+    dqt2 = bytes([0xFF, 0xDB, 0x00, 0x43, 0x02]) + bytes(new_tbl)
+    buf[sof_comp3_tq] = 2
+    return bytes(buf[:last_dqt_end]) + dqt2 + bytes(buf[last_dqt_end:])
+
+
+def test_three_quant_table_jpeg(engine, native_ready):
+    """A JPEG where Cr has its OWN quant table: the sparse path must
+    dequantize Cr with table 2 (it ships per-component tables), agreeing
+    with the plane path; the single-chroma-table dense-coeff oracle path
+    must refuse rather than silently use the wrong table."""
+    data3 = _with_distinct_cr_table(_jpeg(15))
+    # sanity: the native decoder accepts the file and sees 3 tables
+    w, h, hs, vs = native_ready.scan_layout(data3)
+    assert (w, h, hs, vs) == (416, 416, 2, 2)
+    _, _, _, qcb, qcr = _decode_sparse(native_ready, data3)[-5:]
+    assert not np.array_equal(qcb, qcr)
+    with pytest.raises(ValueError):
+        native_ready.decode_coefficients(data3)
+    assert engine.detect_async_jpeg([data3], [0.3]) is None
+
+    res = engine.detect_async_sparse([data3], [0.3])
+    assert res is not None and res.counts == {"sparse": 1}
+    got = engine.fetch(res, 1)[0]
+    ref = engine.fetch(engine.detect_async_planes([data3], [0.3]), 1)[0]
+    # both honor the declared tables; they differ by IDCT rounding only
+    for g, r in zip(got[:10], ref[:10]):
+        assert g[0] == r[0]
+        assert abs(g[1] - r[1]) < 0.1
+        assert all(abs(a - b) < 10 for a, b in zip(g[2:], r[2:]))
 
 
 def test_pallas_kernel_matches_xla_reconstruction():
