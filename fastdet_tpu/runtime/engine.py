@@ -612,13 +612,15 @@ class DetectionEngine:
                 logger.warning("FASTDET_WARM_LAYOUTS: ignoring %r", tok)
                 continue
             warm_layouts.append(layout)
+        jobs = []  # (jitted fn, args, batch) — one per program to warm
         for b in buckets or self.buckets:
             imgs = np.zeros((b, size, size, 3), np.uint8)
             thr = np.full((b,), 0.1, np.float32)
             # exercise the FULL path including the host fetch: on tunneled
             # device backends the first d2h transfer pays a large one-time
             # setup cost that must not land on the first real request
-            self.fetch(self._jit(self.params, self._place(imgs), self._place(thr)), b)
+            jobs.append((self._jit,
+                         (self.params, self._place(imgs), self._place(thr)), b))
             if warm_planes:
                 for hs, vs in warm_layouts:
                     # sparse is the first-choice ingest; planes is its
@@ -629,18 +631,23 @@ class DetectionEngine:
                     nb, vcap, ecap = self._sparse_caps((hs, vs))
                     packed = np.zeros(
                         (b, self._sparse_row_bytes(nb, vcap, ecap)), np.uint8)
-                    self.fetch(
-                        self._sparse_jit((hs, vs))(
-                            self.params, self._place(packed), self._place(thr)),
-                        b,
-                    )
+                    jobs.append((self._sparse_jit((hs, vs)),
+                                 (self.params, self._place(packed),
+                                  self._place(thr)), b))
                     n = size * size + 2 * (size // vs) * (size // hs)
                     pk = np.full((b, n), 128, np.uint8)
-                    self.fetch(
-                        self._planes_jit((hs, vs))(
-                            self.params, self._place(pk), self._place(thr)),
-                        b,
-                    )
+                    jobs.append((self._planes_jit((hs, vs)),
+                                 (self.params, self._place(pk),
+                                  self._place(thr)), b))
+        # Compile + first-run all programs CONCURRENTLY: compilation
+        # parallelizes across calls (measured on the tunneled v5e: 5 cold
+        # programs 449 s serially vs 26 s threaded — remote-compile RTT
+        # and compiler time both overlap). jit dispatch/execute/fetch are
+        # thread-safe; results are discarded.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(8, len(jobs))) as ex:
+            list(ex.map(lambda j: self.fetch(j[0](*j[1]), j[2]), jobs))
         dt = time.time() - t0
         logger.info(
             "engine warmup: %s buckets=%s in %.1fs", self.spec.name, self.buckets, dt
