@@ -230,8 +230,9 @@ class DetectionEngine:
 
     # Plane path: host Huffman+IDCT (native), device upsample+color+net.
     # Ships subsampled uint8 planes — 1.5 B/px for 4:2:0 (HALF the
-    # transfer of RGB888), 2 B/px for 4:2:2/4:4:0 — the best bytes/frame
-    # of the three ingest paths. The three planes travel as ONE packed
+    # transfer of RGB888), 2 B/px for 4:2:2/4:4:0. Second-fewest bytes
+    # after the sparse path, and its per-frame fallback for over-budget
+    # frames. The three planes travel as ONE packed
     # (B, y_bytes + 2*chroma_bytes) uint8 buffer: a single host->device
     # transfer per batch instead of three (per-transfer latency rivals
     # the data time on high-RTT links); the device slices it apart for
