@@ -95,11 +95,34 @@ class ModelService:
         return await fut
 
     async def _worker(self) -> None:
+        import os
+
         loop = asyncio.get_running_loop()
         sem = asyncio.Semaphore(self.MAX_INFLIGHT)
+        # Optional batching window: after the first request of a batch,
+        # wait up to this long for more to arrive before dispatching.
+        # 0 (default) keeps the greedy behavior — zero added latency when
+        # idle. Measured (8 clients x 4-deep windows, tunneled v5e):
+        # greedy already reaches avg_batch ~9 through the MAX_INFLIGHT
+        # pipeline and beats a 15 ms window (195-202 vs 186-190 f/s) —
+        # the wait stalls exactly the clients that would refill the
+        # queue. The knob exists for deployments with many more shallow
+        # clients, where deeper batches may win back the wait.
+        window_s = float(os.environ.get("FASTDET_BATCH_WINDOW_MS", "0")) / 1e3
         while True:
             first = await self.queue.get()
             batch = [first]
+            if window_s > 0.0:
+                deadline = loop.time() + window_s
+                while len(batch) < self.engine.max_batch:
+                    remaining = deadline - loop.time()
+                    if remaining <= 0:
+                        break
+                    try:
+                        batch.append(await asyncio.wait_for(
+                            self.queue.get(), timeout=remaining))
+                    except asyncio.TimeoutError:
+                        break
             while len(batch) < self.engine.max_batch:
                 try:
                     batch.append(self.queue.get_nowait())

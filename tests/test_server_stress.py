@@ -249,6 +249,29 @@ def test_70k_packet_stream_through_real_server():
 # Ingest observability (VERDICT round-1 #6 / weak #2)
 # ---------------------------------------------------------------------------
 
+def test_batch_window_serves_correctly(monkeypatch):
+    """FASTDET_BATCH_WINDOW_MS > 0: the batcher waits briefly for more
+    requests but still answers each correctly (and a lone request is
+    delayed at most by the window)."""
+    from fastdet_tpu.runtime.engine import DetectionEngine
+
+    monkeypatch.setenv("FASTDET_BATCH_WINDOW_MS", "20")
+    spec, params = weights.load_model("synthetic:tiny", num_classes=80)
+    engine = DetectionEngine(spec, params, mode="f32", buckets=(1, 4))
+    svc = ModelService(engine, name="tiny")
+    data = _jpegs(1)[0]
+    with ServerThread({"tiny": svc}) as st:
+        c = DetectClient("127.0.0.1", st.port, "tiny")
+        c.open()
+        for reqid in (1, 2, 3):
+            c.request(reqid, 0.5, data)
+        got = [c.wait_response(r, timeout=60)[1] for r in (1, 2, 3)]
+        c.close()
+    assert all(r is not None for r in got)
+    assert got[0] == got[1] == got[2]
+    assert svc.frames == 3
+
+
 def test_forced_fast_path_failure_is_visible(caplog):
     """Both fast-path ingests failing must fall back to pixel decode AND
     be visible: exceptions logged, fallback counter bumped, ingest
