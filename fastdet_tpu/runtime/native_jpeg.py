@@ -113,6 +113,14 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
         ctypes.POINTER(ctypes.c_uint16),
     ]
+    # Output-contract check: a stale prebuilt library missing this symbol
+    # (or with an older contract) must degrade to the fallback decoders —
+    # scan_info's layout changes would otherwise return garbage silently.
+    lib.fd_jpeg_abi.restype = ctypes.c_int
+    lib.fd_jpeg_abi.argtypes = []
+    abi = lib.fd_jpeg_abi()
+    if abi != 2:
+        raise AttributeError(f"fd_jpeg ABI {abi} != expected 2")
     return lib
 
 

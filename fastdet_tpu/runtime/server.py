@@ -108,7 +108,16 @@ class ModelService:
         # the wait stalls exactly the clients that would refill the
         # queue. The knob exists for deployments with many more shallow
         # clients, where deeper batches may win back the wait.
-        window_s = float(os.environ.get("FASTDET_BATCH_WINDOW_MS", "0")) / 1e3
+        try:
+            window_s = float(
+                os.environ.get("FASTDET_BATCH_WINDOW_MS", "0")) / 1e3
+        except ValueError:
+            # an exception here would silently kill the worker task and
+            # hang every request — bad config must not do that
+            logger.warning(
+                "FASTDET_BATCH_WINDOW_MS=%r is not a number; using 0",
+                os.environ.get("FASTDET_BATCH_WINDOW_MS"))
+            window_s = 0.0
         while True:
             first = await self.queue.get()
             batch = [first]

@@ -1013,4 +1013,11 @@ int fd_jpeg_decode_rgb(const uint8_t* data, long n, uint8_t* out, long cap) {
 
 const char* fd_jpeg_version() { return "fd_jpeg 0.3 (baseline sequential)"; }
 
+// Output-contract version, checked by the python binding at load time.
+// Bump whenever an EXISTING symbol's output layout changes (a new symbol
+// already fails the bind on stale libraries, but a layout change — like
+// fd_jpeg_scan_info growing 13 -> 14 ints — would otherwise go silently
+// wrong). 2 = 14-int scan_info with per-component quant table indices.
+int fd_jpeg_abi() { return 2; }
+
 }  // extern "C"

@@ -337,3 +337,24 @@ def test_forced_sparse_failure_falls_back_to_planes(caplog):
     assert svc.fallbacks == 0
     assert svc.ingest == {"sparse": 0, "planes": 1, "pixels": 0}
     assert any("sparse ingest raised" in r.message for r in caplog.records)
+
+
+def test_bad_batch_window_env_does_not_kill_worker(monkeypatch):
+    """A malformed FASTDET_BATCH_WINDOW_MS must degrade to 0 with a
+    warning — not raise inside the batcher task (which would silently
+    hang every request)."""
+    monkeypatch.setenv("FASTDET_BATCH_WINDOW_MS", "15ms")
+    data = _jpegs(1)[0]
+    from fastdet_tpu.models import weights as w
+    from fastdet_tpu.runtime.engine import DetectionEngine
+
+    spec, params = w.load_model("synthetic:tiny", num_classes=80)
+    svc = ModelService(DetectionEngine(spec, params, mode="f32",
+                                       buckets=(1, 2)), name="tiny")
+    with ServerThread({"tiny": svc}) as st:
+        c = DetectClient("127.0.0.1", st.port, "tiny")
+        c.open()
+        c.request(1, 0.5, data)
+        _, recs = c.wait_response(1, timeout=60)
+        c.close()
+    assert recs is not None
