@@ -40,8 +40,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Blocks per grid step: one sublane group.
-BT = 8
+# Blocks per grid step: chosen per layout as the largest multiple of 8
+# (sublane alignment) that divides the block count — 4:2:0's 4056 -> 24,
+# 4:2:2's 5408 -> 32, 4:4:4's 8112 -> 48, all exactly 169 grid steps.
+# Bigger tiles amortize the per-tile unrolled select over more rows.
+def _pick_bt(nb: int) -> int:
+    for bt in range(64, 7, -8):
+        if nb % bt == 0:
+            return bt
+    return 8
 # Escape-window width: the native emitter rejects frames with more than
 # this many escapes in one block (fd_jpeg.cpp kMaxEscPerBlock), so a
 # 16-wide window always covers a block's escapes.
@@ -72,22 +79,22 @@ def _load_window(ref, start, width, lanes_iota):
 
 
 def _kernel(off_ref, eoff_ref, bits_ref, rank_ref, vals_ref, esc_ref,
-            slt_ref, out_ref, win_ref, ewin_ref):
+            slt_ref, out_ref, win_ref, ewin_ref, *, bt):
     t = pl.program_id(1)
     lanes_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     # Assemble the tile's value/escape windows.
-    for j in range(BT):
-        start = off_ref[0, t * BT + j]
+    for j in range(bt):
+        start = off_ref[0, t * bt + j]
         win_ref[j, :] = _load_window(vals_ref, start, 64, lanes_iota)
-        estart = eoff_ref[0, t * BT + j]
+        estart = eoff_ref[0, t * bt + j]
         ewin_ref[j, :EW] = _load_window(esc_ref, estart, EW, lanes_iota)
 
-    bits = bits_ref[:]                      # (BT, 64) i32, 0/1
-    rank = rank_ref[:]                      # (BT, 64) i32, exclusive
-    win = win_ref[:]                        # (BT, 64) i32
+    bits = bits_ref[:]                      # (bt, 64) i32, 0/1
+    rank = rank_ref[:]                      # (bt, 64) i32, exclusive
+    win = win_ref[:]                        # (bt, 64) i32
 
     # value placement: dense[p] = window[rank[p]] where bit set
-    acc = jnp.zeros((BT, 64), jnp.int32)
+    acc = jnp.zeros((bt, 64), jnp.int32)
     for k in range(64):
         acc = acc + jnp.where(rank == k, win[:, k][:, None], 0)
     acc = acc * bits
@@ -97,8 +104,8 @@ def _kernel(off_ref, eoff_ref, bits_ref, rank_ref, vals_ref, esc_ref,
     ef = esc.astype(jnp.float32)
     erank = jnp.dot(ef, slt_ref[:],
                     preferred_element_type=jnp.float32).astype(jnp.int32)
-    ewin = ewin_ref[:]                      # (BT, 128) i32, escapes in :EW
-    eacc = jnp.zeros((BT, 64), jnp.int32)
+    ewin = ewin_ref[:]                      # (bt, 128) i32, escapes in :EW
+    eacc = jnp.zeros((bt, 64), jnp.int32)
     for k in range(EW):
         eacc = eacc + jnp.where(erank == k, ewin[:, k][:, None], 0)
     out_ref[:] = jnp.where(esc, eacc, acc)
@@ -120,29 +127,29 @@ def _rows128(stream32, extra_rows=1):
 def _reconstruct(bits, rank, off, eoff, vals32, esc32, *, interpret=False):
     """(B, NB, 64) bits/rank + (B, rows, 128) streams -> (B, NB, 64) i32."""
     b, nb, _ = bits.shape
-    assert nb % BT == 0, nb
+    bt = _pick_bt(nb)
     vr = vals32.shape[1]
     er = esc32.shape[1]
-    grid = (b, nb // BT)
+    grid = (b, nb // bt)
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, bt=bt),
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, 1, nb), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.SMEM),                 # off
             pl.BlockSpec((None, 1, nb), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.SMEM),                 # eoff
-            pl.BlockSpec((None, BT, 64), lambda i, t: (i, t, 0)),  # bits
-            pl.BlockSpec((None, BT, 64), lambda i, t: (i, t, 0)),  # rank
+            pl.BlockSpec((None, bt, 64), lambda i, t: (i, t, 0)),  # bits
+            pl.BlockSpec((None, bt, 64), lambda i, t: (i, t, 0)),  # rank
             pl.BlockSpec((None, vr, LANES), lambda i, t: (i, 0, 0)),  # vals
             pl.BlockSpec((None, er, LANES), lambda i, t: (i, 0, 0)),  # esc
             pl.BlockSpec((64, 64), lambda i, t: (0, 0)),           # slt
         ],
-        out_specs=pl.BlockSpec((None, BT, 64), lambda i, t: (i, t, 0)),
+        out_specs=pl.BlockSpec((None, bt, 64), lambda i, t: (i, t, 0)),
         out_shape=jax.ShapeDtypeStruct((b, nb, 64), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((BT, 64), jnp.int32),      # value windows
-            pltpu.VMEM((BT, LANES), jnp.int32),   # escape windows (:EW)
+            pltpu.VMEM((bt, 64), jnp.int32),      # value windows
+            pltpu.VMEM((bt, LANES), jnp.int32),   # escape windows (:EW)
         ],
         interpret=interpret,
     )(off[:, None, :], eoff[:, None, :], bits, rank, vals32, esc32,
