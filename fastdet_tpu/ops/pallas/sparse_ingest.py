@@ -111,12 +111,16 @@ def _kernel(off_ref, eoff_ref, bits_ref, rank_ref, vals_ref, esc_ref,
     out_ref[:] = jnp.where(esc, eacc, acc)
 
 
-def _rows128(stream32, extra_rows=1):
+def _rows128(stream32, extra_rows=2):
     """(B, CAP) int32 -> (B, rows+extra, 128) with zero padding.
 
-    A window starting at the last real entry reads into the pad row
+    A window starting at the last real entry reads into the pad rows
     instead of clamping (a clamped dynamic slice would silently shift
-    the window)."""
+    the window). TWO pad rows, not one: an empty block at the end of a
+    full stream has start == cap (row index rows+1-1 with one pad row),
+    and the kernel's 2-sublane window read would then touch one row past
+    the buffer — correct output (the block's bits mask everything) but
+    undefined behavior on Mosaic."""
     b, cap = stream32.shape
     rows = -(-cap // LANES)
     pad = (rows + extra_rows) * LANES - cap

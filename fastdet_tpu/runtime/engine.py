@@ -127,10 +127,35 @@ class DetectionEngine:
         devices: Optional[Sequence[jax.Device]] = None,
         calibration_images: Optional[np.ndarray] = None,
     ):
+        import os
+
         from fastdet_tpu.utils.compile_cache import enable_compile_cache
 
         enable_compile_cache()
         self.spec = spec
+        # Sparse-ingest value budgets are captured ONCE here (not re-read
+        # from the environment at pack/trace time): the packed row layout
+        # and the traced device programs must agree for the engine's whole
+        # lifetime, and compensating env edits could otherwise reuse a
+        # cached program with a stale vals/esc split.
+        # Two AOT capacity tiers. "std" is sized just above measured
+        # photographic q90 content (nnz 13.6-14.3, escapes <=0.14 per
+        # block on the committed + reference photo fixtures) — every
+        # padded byte is lost throughput on the link-bound serving path.
+        # Frames denser than "std" (e.g. the reference's RSU camera
+        # shots, 0.35-0.62 escapes/block) retry on the "dense" tier and
+        # still ride the sparse wire format instead of degrading to the
+        # 2.8-3.7x-bigger plane path; only dense-tier overflow does that.
+        self._sparse_budgets = {
+            "std": (
+                float(os.environ.get("FASTDET_SPARSE_BUDGET", "14.5")),
+                float(os.environ.get("FASTDET_SPARSE_ESC_BUDGET", "0.3")),
+            ),
+            "dense": (
+                float(os.environ.get("FASTDET_SPARSE_BUDGET_DENSE", "16")),
+                float(os.environ.get("FASTDET_SPARSE_ESC_BUDGET_DENSE", "1.0")),
+            ),
+        }
         self.mode = mode
         self.compute_dtype = _COMPUTE_DTYPES.get(mode, jnp.bfloat16)
         self.max_candidates = max_candidates
@@ -187,6 +212,47 @@ class DetectionEngine:
             return jax.device_put(arr, self._batch_sharding)
         return jnp.asarray(arr)
 
+    def _pallas_mode(self, env: str) -> str:
+        """Resolve a Pallas-kernel env flag to 'off' | 'on' | 'interpret'.
+
+        'auto' (default) enables the Mosaic kernels only on a real TPU
+        backend — not merely non-CPU: the kernels use pltpu.roll / SMEM /
+        VMEM specs that no other backend compiles. 'interpret' runs the
+        kernels through the Pallas interpreter (works on CPU; used by the
+        8-device-mesh tests to exercise the exact multi-chip code path).
+        """
+        import os
+
+        flag = os.environ.get(env, "auto")
+        if flag == "0":
+            return "off"
+        if flag == "1":
+            return "on"
+        if flag == "interpret":
+            return "interpret"
+        return "on" if jax.default_backend() == "tpu" else "off"
+
+    def _shard_map_batch(self, fn, n_in: int):
+        """Wrap a batch-major kernel in shard_map over the dp mesh.
+
+        GSPMD cannot partition an opaque pallas_call, so under a dp mesh
+        the kernels run per-shard: each device gets its local batch slice
+        (buckets are rounded to dp multiples, so every shard is non-empty
+        and equal). Identity outside a mesh.
+        """
+        if self._mesh is None:
+            return fn
+        from jax.sharding import PartitionSpec as P
+
+        # check_vma=False: pallas_call's out_shape carries no varying-
+        # mesh-axes annotation, and every input/output here is plainly
+        # batch-sharded — nothing is replicated-then-diverged.
+        return jax.shard_map(
+            fn, mesh=self._mesh,
+            in_specs=(P("dp"),) * n_in, out_specs=P("dp"),
+            check_vma=False,
+        )
+
     # The whole frame path as one XLA program. Returns ONE packed f32 array
     # (B, max_det, 7) = [x, y, w, h, score, klass, valid] so results reach
     # the host in a single device->host transfer (transfer latency, not
@@ -239,8 +305,6 @@ class DetectionEngine:
     # free. `layout` = luma sampling factors (hs, vs), static.
     def _pipeline_planes(self, params, packed, thresholds,
                          layout=(2, 2)) -> jnp.ndarray:
-        import os
-
         from fastdet_tpu.ops import jpeg_device
 
         hs, vs = layout
@@ -255,17 +319,19 @@ class DetectionEngine:
         # The fused Pallas ingest kernel (one VMEM pass, upsample as two
         # banded MXU matmuls) is bit-identical to the XLA path and
         # equal-or-faster on TPU; Mosaic doesn't target CPU, so CPU tests
-        # take the XLA path. It implements the 4:2:0 layout; other layouts
-        # take the XLA path. FASTDET_PALLAS_INGEST=0/1 overrides.
-        flag = os.environ.get("FASTDET_PALLAS_INGEST", "auto")
-        use_pallas = layout == (2, 2) and (
-            flag == "1"
-            or (flag == "auto" and jax.default_backend() not in ("cpu",))
-        )
-        if use_pallas:
+        # take the XLA path (or 'interpret'). It implements the 4:2:0
+        # layout; other layouts take the XLA path. Under a dp mesh the
+        # kernel runs per-shard via shard_map (GSPMD can't partition an
+        # opaque pallas_call). FASTDET_PALLAS_INGEST=0/1/interpret
+        # overrides.
+        mode = self._pallas_mode("FASTDET_PALLAS_INGEST")
+        if layout == (2, 2) and mode != "off":
             from fastdet_tpu.ops.pallas import plane_ingest
 
-            x = plane_ingest.plane_ingest_batch(y, cb, cr)
+            fn = functools.partial(
+                plane_ingest.plane_ingest_batch,
+                interpret=(mode == "interpret"))
+            x = self._shard_map_batch(fn, 3)(y, cb, cr)
         else:
             def one(yp, cbp, crp):
                 cbu = jpeg_device.upsample_chroma(cbp.astype(jnp.float32), hs, vs)
@@ -295,18 +361,24 @@ class DetectionEngine:
     # + color (the device does them; IDCT is one MXU matmul).
     #
     # Value-stream capacities are static per layout (recompile-free):
-    # FASTDET_SPARSE_BUDGET nonzeros per block on average (default 16;
-    # the committed q90 fixtures measure ~14.2) and
-    # FASTDET_SPARSE_ESC_BUDGET escapes per block (default 1.0; measured:
+    # FASTDET_SPARSE_BUDGET nonzeros per block on average (default 14;
+    # the committed q90 fixtures measure ~14.2, and with the link as the
+    # proven serving bottleneck every padded byte is lost throughput) and
+    # FASTDET_SPARSE_ESC_BUDGET escapes per block (default 0.3; measured:
     # 0.06-0.14 on most photographic fixtures but 0.62 on the reference's
-    # rsu2.jpg, and 0.27 on adversarially sharp synthetic block noise at
-    # q90 — the extra headroom costs ~2 KB/frame). Frames denser than the
-    # budget raise on the host and fall back to the plane path per frame.
+    # rsu2.jpg — such frames reroute to planes — and 0.27 on adversarially
+    # sharp synthetic block noise at q90). Frames denser than either
+    # budget raise on the host and fall back to the plane path per frame,
+    # so a tight budget costs a per-frame fallback, never correctness.
 
-    def _sparse_caps(self, layout: Tuple[int, int]) -> Tuple[int, int, int]:
-        """(total_blocks, value_capacity, escape_capacity) for a layout."""
+    def _sparse_caps(self, layout: Tuple[int, int],
+                     tier: str = "std") -> Tuple[int, int, int]:
+        """(total_blocks, value_capacity, escape_capacity) for a layout.
+
+        Budgets are the engine-construction-time snapshots (see __init__):
+        the packed row layout and the traced device programs must agree.
+        """
         import math
-        import os
 
         from fastdet_tpu.runtime import native_jpeg
 
@@ -314,8 +386,7 @@ class DetectionEngine:
         hs, vs = layout
         yb, cb = native_jpeg.sparse_geometry(size, size, hs, vs)
         nb = yb + 2 * cb
-        budget = float(os.environ.get("FASTDET_SPARSE_BUDGET", "16"))
-        esc_budget = float(os.environ.get("FASTDET_SPARSE_ESC_BUDGET", "1.0"))
+        budget, esc_budget = self._sparse_budgets[tier]
         vcap = -128 * (math.ceil(nb * budget) // -128)          # mult of 128
         ecap = max(1024, -64 * (math.ceil(nb * esc_budget) // -64))
         return nb, vcap, ecap
@@ -328,16 +399,14 @@ class DetectionEngine:
         return nb * 8 + vcap + 2 * ecap + 384
 
     def _pipeline_sparse(self, params, packed, thresholds,
-                         layout=(2, 2)) -> jnp.ndarray:
-        import os
-
+                         layout=(2, 2), tier="std") -> jnp.ndarray:
         from jax import lax
 
         from fastdet_tpu.ops import jpeg_device
 
         hs, vs = layout
         size = self.spec.image_size
-        nb, vcap, ecap = self._sparse_caps(layout)
+        nb, vcap, ecap = self._sparse_caps(layout, tier)
         b = packed.shape[0]
         mo = nb * 8
         masks = packed[:, :mo]
@@ -358,18 +427,19 @@ class DetectionEngine:
         # element gathers (~21 ms each per batch of 8 on the v5e) with
         # structured VMEM window loads — measured 43 ms -> 3.3 ms per
         # batch, bit-identical. Mosaic doesn't target CPU, so CPU tests
-        # take the XLA path; dp-sharded engines also take the XLA path
-        # (GSPMD can't partition an opaque pallas_call over the batch).
-        # FASTDET_PALLAS_SPARSE=0/1 overrides.
-        flag = os.environ.get("FASTDET_PALLAS_SPARSE", "auto")
-        use_pallas = nb % 8 == 0 and self.n_devices == 1 and (
-            flag == "1"
-            or (flag == "auto" and jax.default_backend() not in ("cpu",))
-        )
-        if use_pallas:
+        # take the XLA path (or 'interpret'); dp-sharded engines run the
+        # kernel per-shard via shard_map (GSPMD can't partition an opaque
+        # pallas_call, and losing the kernel on exactly the multi-chip
+        # deployments it matters for would be a 13x ingest regression).
+        # FASTDET_PALLAS_SPARSE=0/1/interpret overrides.
+        mode = self._pallas_mode("FASTDET_PALLAS_SPARSE")
+        if nb % 8 == 0 and mode != "off":
             from fastdet_tpu.ops.pallas import sparse_ingest
 
-            coeff = sparse_ingest.sparse_to_coeffs_batch(
+            fn = functools.partial(
+                sparse_ingest.sparse_to_coeffs_batch,
+                interpret=(mode == "interpret"))
+            coeff = self._shard_map_batch(fn, 3)(
                 masks.reshape(b, nb, 8), vals8, esc16)
         else:
             coeff = jax.vmap(jpeg_device.sparse_to_coeffs)(
@@ -380,12 +450,65 @@ class DetectionEngine:
         )(coeff, qy, qcb, qcr)
         return self._postprocess_tail(params, x, thresholds)
 
-    def _sparse_jit(self, layout: Tuple[int, int]):
-        fn = self._jit_sparse_cache.get(layout)
+    def _sparse_jit(self, layout: Tuple[int, int], tier: str = "std"):
+        key = (layout, tier)
+        fn = self._jit_sparse_cache.get(key)
         if fn is None:
-            fn = jax.jit(functools.partial(self._pipeline_sparse, layout=layout))
-            self._jit_sparse_cache[layout] = fn
+            fn = jax.jit(functools.partial(
+                self._pipeline_sparse, layout=layout, tier=tier))
+            self._jit_sparse_cache[key] = fn
         return fn
+
+    def _stage_sparse(self, jpegs, thr_all, groups, tier):
+        """Allocate packed rows + decode jobs for {layout: [indices]}."""
+        staged = []
+        jobs = []
+        for layout, idxs in groups.items():
+            nb, vcap, ecap = self._sparse_caps(layout, tier)
+            row = self._sparse_row_bytes(nb, vcap, ecap)
+            b = self.bucket_for(len(idxs))
+            packed = np.zeros((b, row), np.uint8)  # zero rows = gray frames
+            thr = np.full((b,), 2.0, np.float32)
+            thr[: len(idxs)] = thr_all[idxs]
+            staged.append((layout, idxs, packed, thr))
+            mo = nb * 8
+            for j, i in enumerate(idxs):
+                jobs.append((
+                    jpegs[i], i,
+                    packed[j, :mo],
+                    packed[j, mo:mo + vcap].view(np.int8),
+                    packed[j, mo + vcap:mo + vcap + 2 * ecap].view(np.int16),
+                    packed[j, mo + vcap + 2 * ecap:].view(np.uint16),
+                ))
+        return staged, jobs
+
+    def _run_sparse_jobs(self, jobs) -> Optional[List[int]]:
+        """Entropy-decode each job into its row; returns the indices of
+        frames denser than the tier's budget, or None on decode failure
+        (caller falls back entirely)."""
+        from fastdet_tpu.runtime import native_jpeg
+
+        def _decode(job) -> Optional[int]:
+            data, i, masks, v8, e16, qrow = job
+            try:
+                _, _, qy, qcb, qcr = native_jpeg.decode_sparse_into(
+                    data, masks, v8, e16)
+            except native_jpeg.SparseCapacityExceeded:
+                return i
+            qrow[:64] = qy
+            qrow[64:128] = qcb
+            qrow[128:] = qcr
+            return None
+
+        try:
+            pool = _decode_pool() if len(jobs) > 1 else None
+            outcomes = (
+                list(pool.map(_decode, jobs)) if pool is not None
+                else [_decode(j) for j in jobs]
+            )
+        except (ValueError, native_jpeg.NativeJpegUnavailable):
+            return None
+        return [i for i in outcomes if i is not None]
 
     def detect_async_sparse(
         self, jpegs: Sequence[bytes], thresholds: Sequence[float]
@@ -393,11 +516,14 @@ class DetectionEngine:
         """Dispatch via the packed-sparse-coefficient path; None if N/A.
 
         Grouping/fallback semantics mirror detect_async_planes, with one
-        addition: a frame too dense for the static value budgets falls
-        back to the PLANE path individually (its group-mates still ride
-        the sparse path); the returned dispatch's counts/tags record the
-        split. Returns None when the whole batch can't take a native fast
-        path (caller decodes pixels on host).
+        addition: a frame too dense for the "std" capacity tier retries
+        on the "dense" tier (bigger packed rows, still the sparse wire
+        format), and only dense-tier overflow falls back to the PLANE
+        path, per frame — its group-mates still ride the sparse path.
+        The returned dispatch's counts/tags record the split
+        (counts keys: "sparse" = std tier, "sparse_dense", "planes").
+        Returns None when the whole batch can't take a native fast path
+        (caller decodes pixels on host).
         """
         import os
 
@@ -421,85 +547,58 @@ class DetectionEngine:
         except (ValueError, native_jpeg.NativeJpegUnavailable):
             return None
 
-        staged = []
-        jobs = []
         thr_all = np.asarray(list(thresholds), np.float32)
-        for layout, idxs in groups.items():
-            nb, vcap, ecap = self._sparse_caps(layout)
-            row = self._sparse_row_bytes(nb, vcap, ecap)
-            b = self.bucket_for(len(idxs))
-            packed = np.zeros((b, row), np.uint8)  # zero rows = gray frames
-            thr = np.full((b,), 2.0, np.float32)
-            thr[: len(idxs)] = thr_all[idxs]
-            staged.append((layout, idxs, packed, thr))
-            mo = nb * 8
-            for j, i in enumerate(idxs):
-                jobs.append((
-                    jpegs[i], i,
-                    packed[j, :mo],
-                    packed[j, mo:mo + vcap].view(np.int8),
-                    packed[j, mo + vcap:mo + vcap + 2 * ecap].view(np.int16),
-                    packed[j, mo + vcap + 2 * ecap:].view(np.uint16),
-                ))
-
-        overflow: List[int] = []
-
-        def _decode(job) -> Optional[int]:
-            data, i, masks, v8, e16, qrow = job
-            try:
-                _, _, qy, qcb, qcr = native_jpeg.decode_sparse_into(
-                    data, masks, v8, e16)
-            except native_jpeg.SparseCapacityExceeded:
-                return i
-            qrow[:64] = qy
-            qrow[64:128] = qcb
-            qrow[128:] = qcr
-            return None
-
-        try:
-            pool = _decode_pool() if len(jobs) > 1 else None
-            outcomes = (
-                list(pool.map(_decode, jobs)) if pool is not None
-                else [_decode(j) for j in jobs]
-            )
-        except (ValueError, native_jpeg.NativeJpegUnavailable):
-            return None
-        overflow = [i for i in outcomes if i is not None]
-
         parts = []
         counts: Dict[str, int] = {}
         tags: List[str] = []
-        if overflow:
-            # Too dense for the sparse budget: those frames re-decode via
-            # the plane path (still a native fast path, 1.5-2 B/px).
+        pending = groups
+        for tier, count_key, tag_fmt in (
+            ("std", "sparse", "sparse:%d%d"),
+            ("dense", "sparse_dense", "sparse+:%d%d"),
+        ):
+            if not pending:
+                break
+            staged, jobs = self._stage_sparse(jpegs, thr_all, pending, tier)
+            overflow = self._run_sparse_jobs(jobs)
+            if overflow is None:
+                return None
+            ov = set(overflow)
+            next_pending: Dict[Tuple[int, int], List[int]] = {}
+            for layout, idxs, packed, thr in staged:
+                ovl = [i for i in idxs if i in ov]
+                if ovl:
+                    next_pending[layout] = ovl
+                keep = [k for k, i in enumerate(idxs) if i not in ov]
+                if not keep:
+                    continue
+                if len(keep) != len(idxs):
+                    # fetch() maps result ROW j to the j-th kept index, so
+                    # the kept frames' rows must be compacted to the front;
+                    # the vacated tail rows (partially-written overflow
+                    # frames) get threshold 2.0, outputs never read
+                    packed[: len(keep)] = packed[keep]
+                    thr[: len(keep)] = thr[keep]
+                    thr[len(keep):] = 2.0
+                res = self._sparse_jit(layout, tier)(
+                    self.params, self._place(packed), self._place(thr),
+                )
+                parts.append((res, [idxs[k] for k in keep]))
+                counts[count_key] = counts.get(count_key, 0) + len(keep)
+                tags.append(tag_fmt % layout)
+            pending = next_pending
+        if pending:
+            # Too dense even for the dense tier: those frames re-decode
+            # via the plane path (still a native fast path, 1.5-2 B/px).
+            ovidx = sorted(i for idxs in pending.values() for i in idxs)
             sub = self.detect_async_planes(
-                [jpegs[i] for i in overflow], [thr_all[i] for i in overflow]
+                [jpegs[i] for i in ovidx], [thr_all[i] for i in ovidx]
             )
             if sub is None:
                 return None  # caller falls back to pixel decode for all
             for dev_res, sub_idxs in sub.parts:
-                parts.append((dev_res, [overflow[k] for k in sub_idxs]))
-            counts["planes"] = len(overflow)
+                parts.append((dev_res, [ovidx[k] for k in sub_idxs]))
+            counts["planes"] = len(ovidx)
             tags.extend(sub.tags)
-        ov = set(overflow)
-        for layout, idxs, packed, thr in staged:
-            keep = [k for k, i in enumerate(idxs) if i not in ov]
-            if not keep:
-                continue
-            if len(keep) != len(idxs):
-                # fetch() maps result ROW j to the j-th kept index, so the
-                # kept frames' rows must be compacted to the front; the
-                # vacated tail rows (partially-written overflow frames)
-                # get threshold 2.0 and their outputs are never read
-                packed[: len(keep)] = packed[keep]
-                thr[: len(keep)] = thr[keep]
-                thr[len(keep):] = 2.0
-            res = self._sparse_jit(layout)(
-                self.params, self._place(packed), self._place(thr),
-            )
-            parts.append((res, [idxs[k] for k in keep]))
-            counts["sparse"] = counts.get("sparse", 0) + len(keep)
-            tags.append("sparse:%d%d" % layout)
         return PlanesDispatch(
             parts, layouts=tuple(sorted(groups)), tags=tuple(tags),
             counts=counts,
@@ -624,17 +723,20 @@ class DetectionEngine:
                          (self.params, self._place(imgs), self._place(thr)), b))
             if warm_planes:
                 for hs, vs in warm_layouts:
-                    # sparse is the first-choice ingest; planes is its
-                    # per-frame overflow fallback, so BOTH compile per
-                    # warm layout — an unwarmed fallback would pay a
-                    # mid-serving compile stall on the first over-budget
-                    # frame (observed: reference rsu2.jpg).
-                    nb, vcap, ecap = self._sparse_caps((hs, vs))
-                    packed = np.zeros(
-                        (b, self._sparse_row_bytes(nb, vcap, ecap)), np.uint8)
-                    jobs.append((self._sparse_jit((hs, vs)),
-                                 (self.params, self._place(packed),
-                                  self._place(thr)), b))
+                    # sparse is the first-choice ingest; the dense tier
+                    # and planes are its per-frame overflow fallbacks, so
+                    # ALL THREE compile per warm layout — an unwarmed
+                    # fallback would pay a mid-serving compile stall on
+                    # the first over-budget frame (observed: reference
+                    # rsu2.jpg overflows the std escape budget).
+                    for tier in ("std", "dense"):
+                        nb, vcap, ecap = self._sparse_caps((hs, vs), tier)
+                        packed = np.zeros(
+                            (b, self._sparse_row_bytes(nb, vcap, ecap)),
+                            np.uint8)
+                        jobs.append((self._sparse_jit((hs, vs), tier),
+                                     (self.params, self._place(packed),
+                                      self._place(thr)), b))
                     n = size * size + 2 * (size // vs) * (size // hs)
                     pk = np.full((b, n), 128, np.uint8)
                     jobs.append((self._planes_jit((hs, vs)),

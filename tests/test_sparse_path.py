@@ -179,30 +179,70 @@ def test_engine_sparse_mixed_layouts(engine, native_ready):
     assert got == singles
 
 
-def test_engine_sparse_overflow_falls_back_to_planes(
-        engine, native_ready, monkeypatch):
-    """A frame denser than the value budget reroutes to the PLANE path
+@pytest.fixture(scope="module")
+def tight_engine(native_ready):
+    """Engine whose STD tier fits only near-empty frames (dense tier at
+    defaults). Budgets are construction-captured state, so tests override
+    the snapshot directly before any pack/trace."""
+    spec, params = weights.load_model("synthetic:tiny", num_classes=80)
+    eng = DetectionEngine(spec, params, mode="f32", buckets=(1, 2))
+    eng._sparse_budgets = dict(eng._sparse_budgets, std=(5.0, 0.25))
+    return eng
+
+
+def test_engine_sparse_overflow_falls_back_to_planes(engine, native_ready):
+    """A frame denser than BOTH capacity tiers reroutes to the PLANE path
     per frame, visibly (counts/tags), with identical results."""
-    monkeypatch.setenv("FASTDET_SPARSE_BUDGET", "0.01")
+    spec, params = weights.load_model("synthetic:tiny", num_classes=80)
+    eng = DetectionEngine(spec, params, mode="f32", buckets=(1, 2))
+    eng._sparse_budgets = {"std": (0.01, 0.25), "dense": (0.01, 0.25)}
     data = _jpeg(10)
-    res = engine.detect_async_sparse([data], [0.5])
+    res = eng.detect_async_sparse([data], [0.5])
     assert res is not None
     assert res.counts == {"planes": 1}
     assert res.tags == ("planes:22",)
-    got = engine.fetch(res, 1)[0]
-    monkeypatch.delenv("FASTDET_SPARSE_BUDGET")
+    got = eng.fetch(res, 1)[0]
     direct = engine.fetch(engine.detect_async_planes([data], [0.5]), 1)[0]
     assert got == direct
 
 
-def test_engine_sparse_mixed_overflow_batch(engine, native_ready, monkeypatch):
-    """Mixed batch where only SOME frames overflow: group-mates still ride
-    sparse; order is preserved across the split."""
+def test_engine_sparse_dense_tier_retry(tight_engine, engine, native_ready):
+    """A frame over the std value budget but inside the dense tier rides
+    the sparse wire format on the DENSE capacity tier — not planes — with
+    results identical to the std tier (same reconstruction math)."""
+    data = _jpeg(10)
+    res = tight_engine.detect_async_sparse([data], [0.5])
+    assert res is not None
+    assert res.counts == {"sparse_dense": 1}
+    assert res.tags == ("sparse+:22",)
+    got = tight_engine.fetch(res, 1)[0]
+    ref = engine.fetch(engine.detect_async_sparse([data], [0.5]), 1)[0]
+    assert got == ref
+
+
+def test_engine_sparse_mixed_overflow_batch(tight_engine, native_ready):
+    """Mixed batch where only SOME frames overflow the std tier: the
+    near-empty frame rides std, its dense group-mate retries on the dense
+    tier; order is preserved across the split."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.full((416, 416, 3), 96, np.uint8)).save(
+        buf, format="JPEG", quality=90, subsampling=2)
+    flat = buf.getvalue()   # DC-only blocks: fits the 5.0 std budget
     normal = _jpeg(11)
-    res_all = engine.detect_async_sparse([normal, normal], [0.5, 0.5])
-    assert res_all is not None and res_all.counts == {"sparse": 2}
-    got_all = engine.fetch(res_all, 2)
-    assert got_all[0] == got_all[1]
+    res = tight_engine.detect_async_sparse([normal, flat], [0.5, 0.5])
+    assert res is not None
+    assert res.counts == {"sparse": 1, "sparse_dense": 1}, res.counts
+    assert sorted(res.tags) == ["sparse+:22", "sparse:22"]
+    got = tight_engine.fetch(res, 2)
+    singles = [
+        tight_engine.fetch(tight_engine.detect_async_sparse([d], [0.5]), 1)[0]
+        for d in (normal, flat)
+    ]
+    assert got == singles
 
 
 def test_engine_sparse_partial_overflow_preserves_row_mapping(
@@ -242,22 +282,25 @@ def test_engine_sparse_disabled_by_env(engine, native_ready, monkeypatch):
 
 
 def test_reference_fixtures_fit_default_budgets(engine, native_ready):
-    """Every reference photo rides the sparse path at the DEFAULT value
-    budgets (regression: rsu2.jpg once overflowed the escape budget and
-    silently degraded to the plane path)."""
+    """Every reference photo rides the sparse wire format at the DEFAULT
+    budgets — photographic shots on the trimmed std tier, the escape-heavy
+    RSU camera shots on the dense tier — and NONE degrade to the plane
+    path (regression: rsu2.jpg once overflowed the escape budget and
+    silently shipped 3.4x the bytes)."""
     import pathlib
 
-    frames = []
+    frames = {}
     for name in ("dog.jpg", "rsu1.jpg", "rsu2.jpg"):
         p = pathlib.Path("/root/reference/testdata") / name
         if p.exists():
-            frames.append(p.read_bytes())
+            frames[name] = p.read_bytes()
     if not frames:
         pytest.skip("reference fixtures not present")
-    for data in frames:
+    for name, data in frames.items():
         res = engine.detect_async_sparse([data], [0.3])
         assert res is not None
-        assert res.counts == {"sparse": 1}, res.counts
+        tier = "sparse" if name == "dog.jpg" else "sparse_dense"
+        assert res.counts == {tier: 1}, (name, res.counts)
         engine.fetch(res, 1)
 
 
