@@ -426,6 +426,17 @@ class ControlConnection(asyncio.Protocol):
             self.transport.write(wire.ERR_INVALID)
             logger.error("startfeed: invalid args: args=%r", args)
             return
+        if self.session is not None:
+            # Documented divergence: the reference overwrites its session
+            # on a second FEED and leaks the first UDP endpoint until
+            # process exit (server.py:311-314); we close the old session
+            # — one control connection owns at most one data session.
+            logger.info(
+                "startfeed: closing previous session %s",
+                self.session.session_id.hex(),
+            )
+            self.server.drop_session(self.session)
+            self.session = None
         rtp_host = self.peer[0]
         session_id = bytes(random.randrange(256) for _ in range(4))
         session = DetectSession(

@@ -88,6 +88,52 @@ def test_dummy_end_to_end(dummy_server):
     c.close()
 
 
+def test_refeed_closes_previous_session(dummy_server):
+    """A second FEED on one control connection must CLOSE the first
+    DetectSession (documented divergence: the reference overwrites its
+    session reference and leaks the first UDP endpoint, server.py:311-314)
+    — and the new session must serve requests normally."""
+    c = DetectClient("127.0.0.1", dummy_server.port, "detect")
+    c.open()
+    srv = dummy_server.server
+    deadline = time.time() + 5
+    while len(srv.sessions) != 1 and time.time() < deadline:
+        time.sleep(0.01)
+    assert len(srv.sessions) == 1
+    old_session = srv.sessions[0]
+
+    # re-FEED on the SAME control connection with a fresh UDP socket
+    sock2 = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock2.setblocking(False)
+    sock2.bind(("", 0))
+    c.sock_tcp.send(wire.pack_feed(sock2.getsockname()[1], "detect"))
+    resp = c.sock_tcp.recv(65536)
+    rtp_port2, session_id2 = wire.parse_ok(resp)
+    assert session_id2 != c.session_id
+
+    deadline = time.time() + 5
+    while not old_session.closed and time.time() < deadline:
+        time.sleep(0.01)
+    assert old_session.closed, "first session must be torn down on re-FEED"
+    assert len(srv.sessions) == 1 and srv.sessions[0] is not old_session
+
+    # the replacement session is fully functional: swap the client's data
+    # plane onto it and run a normal request
+    c.sock_udp.close()
+    c.sock_udp = sock2
+    c.rtp_port = rtp_port2
+    c.session_id = session_id2
+    c.sender = wire.FrameSender(chunk_size=wire.CLIENT_CHUNK_SIZE)
+    c.reasm = wire.Reassembler()
+    sock2.sendto(wire.EMPTY_PACKET, ("127.0.0.1", rtp_port2))
+    c.sender.seqno = 1
+    c.reasm._expected = None
+    c.request(9, 0.1, b"any bytes at all")
+    msec, records = c.wait_response(9)
+    assert records == [(16, 255, 208, 208, 166, 166)]
+    c.close()
+
+
 def test_multiple_sequential_requests(dummy_server):
     c = DetectClient("127.0.0.1", dummy_server.port, "detect")
     c.open()
