@@ -509,14 +509,24 @@ def main():
     fps, passes, p50, compile_s, ingest, weight_kind = bench_tpu(
         args.frames, args.batch, args.inflight, mode=args.mode)
     vs = None
+    baseline_kind = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as fp:
-            vs = round(fps / json.load(fp)["value"], 2)
+            anchor = json.load(fp)
+        vs = round(fps / anchor["value"], 2)
+        # Honest anchor labeling (VERDICT r1 missing #2): the measured
+        # anchor on THIS host is single-core torch-CPU, NOT the
+        # north-star "ORT CUDA e2e" from BASELINE.json — no GPU or ORT
+        # exists here. The ratio is real but reflects that anchor only.
+        baseline_kind = "torch-cpu-%dcore" % anchor.get(
+            "host_cpus", os.cpu_count() or 1)
     print(json.dumps({
         "metric": METRIC,
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": vs,
+        "baseline_kind": baseline_kind,
+        "north_star": "BASELINE.json ORT-CUDA e2e (unmeasurable here: no GPU/ORT)",
         "p50_ms": round(p50, 1),
         "passes_fps": [round(p, 1) for p in passes],
         "batch": args.batch,
