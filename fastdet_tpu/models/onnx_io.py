@@ -361,16 +361,54 @@ def _value_info_bytes(name: str, dims: Optional[Tuple[int, ...]] = None) -> byte
 # YOLOv3-family import: graph -> (spec, params)
 # ---------------------------------------------------------------------------
 
+def _conv_shape_chain(spec) -> List[Tuple[int, int, int]]:
+    """Expected (in_channels, filters, ksize) per conv, in spec order, by
+    simulating channel flow through the layer graph (Route concatenates,
+    Shortcut/MaxPool/Upsample preserve channels).
+
+    Conv-to-spec assignment is VERIFIED against this chain instead of
+    trusted from graph order: YOLOv3's parallel head branches carry
+    distinct channel signatures (e.g. full: 1024/512/256-in heads), so an
+    exporter whose topological sort emits branches in a different scale
+    order fails loudly here instead of silently loading head weights into
+    the wrong scale. Within a branch the data dependency chain makes
+    graph order unambiguous.
+    """
+    from fastdet_tpu.models import yolov3
+
+    chain: List[Tuple[int, int, int]] = []
+    chans: List[int] = []      # per-layer output channels
+    cur = 3
+    for l in spec.layers:
+        if isinstance(l, yolov3.Conv):
+            chain.append((cur, l.filters, l.ksize))
+            cur = l.filters
+        elif isinstance(l, yolov3.Route):
+            cur = sum(chans[i] for i in l.sources)
+        chans.append(cur)
+    return chain
+
+
 def load_onnx(
     path: str, arch: Optional[str] = None, num_classes: Optional[int] = None,
 ):
     """Read conv/BN weights from a YOLOv3-family ONNX file.
 
-    Convs are matched to the spec's conv order by GRAPH ORDER (exporters
-    emit topologically sorted nodes; YOLOv3 is a chain with two/three
-    head branches emitted in scale order — the same order our spec uses).
-    BN parameters are taken from the BatchNormalization node consuming
-    each conv's output; a conv with a third input gets a plain bias.
+    Dialect tolerance (the reference consumed third-party exports,
+    server/detector.py:118, so ours must too):
+
+    - convs are collected in graph order but every assignment is verified
+      against the spec's channel chain (`_conv_shape_chain`) — a clear
+      error replaces silent misassignment on exotic node orderings;
+    - BN may appear as a BatchNormalization node after the conv OR be
+      pre-folded by the exporter into conv weight+bias (entry becomes
+      {"w","b"}; layers.fold_conv_bn passes it through — inference only,
+      such params can't resume BN training);
+    - structural nodes (Resize vs Upsample vs ConvTranspose upsampling,
+      Concat, Add, activations) are not interpreted — weights define the
+      model and the spec defines the structure, so any upsample spelling
+      is accepted as long as the channel chain checks out.
+
     Returns (spec, unfolded params) like the other loaders.
     """
     import jax.numpy as jnp
@@ -416,8 +454,12 @@ def load_onnx(
                 f"onnx: {len(convs)} convs matches neither yolov3-tiny (13) "
                 f"nor yolov3 (75)"
             )
-    # infer num_classes from the head conv width: filters = 3*(5+C)
     probe = yolov3.get_spec(arch, 80)
+    if len(convs) != len(probe.conv_specs()):
+        raise ValueError(
+            f"onnx: {len(convs)} convs, {arch} needs {len(probe.conv_specs())}"
+        )
+    # infer num_classes from the head conv width: filters = 3*(5+C)
     head_idx = [i for i, c in enumerate(probe.conv_specs()) if not c.bn]
     inferred = convs[head_idx[0]][0].shape[0] // 3 - 5
     if num_classes is not None and inferred != num_classes:
@@ -426,28 +468,39 @@ def load_onnx(
         )
     spec = yolov3.get_spec(arch, inferred)
 
+    chain = _conv_shape_chain(spec)
     params: Dict[str, Any] = {}
-    for cspec, (w, bias, bn) in zip(spec.conv_specs(), convs):
-        if w.ndim != 4 or w.shape[0] != cspec.filters or w.shape[2] != cspec.ksize:
+    for i, (cspec, (w, bias, bn)) in enumerate(zip(spec.conv_specs(), convs)):
+        in_ch, filters, k = chain[i]
+        if w.shape != (filters, in_ch, k, k):
             raise ValueError(
-                f"onnx: conv {cspec.name} shape {w.shape} does not match "
-                f"spec (filters={cspec.filters}, ksize={cspec.ksize})"
+                f"onnx: conv #{i} ({cspec.name}) has weight shape "
+                f"{tuple(w.shape)}, expected (out={filters}, in={in_ch}, "
+                f"k={k}): the file's conv order does not match the "
+                f"{spec.name} layer graph (head branches exported out of "
+                f"scale order, or a different architecture?)"
             )
         entry: Dict[str, Any] = {
             # OIHW -> HWIO
             "w": jnp.asarray(np.ascontiguousarray(w.transpose(2, 3, 1, 0)))
         }
         if cspec.bn:
-            if bn is None:
-                raise ValueError(f"onnx: conv {cspec.name} missing BatchNormalization")
-            entry["bn"] = {k: jnp.asarray(v) for k, v in bn.items()}
+            if bn is not None:
+                entry["bn"] = {k2: jnp.asarray(v) for k2, v in bn.items()}
+            elif bias is not None:
+                # BN-folded export: the exporter already folded BN into
+                # conv weight+bias (inference-only import)
+                entry["b"] = jnp.asarray(bias)
+            else:
+                raise ValueError(
+                    f"onnx: conv {cspec.name} has neither a "
+                    f"BatchNormalization consumer nor a folded bias"
+                )
         else:
             if bias is None:
                 bias = np.zeros((cspec.filters,), np.float32)
             entry["b"] = jnp.asarray(bias)
         params[cspec.name] = entry
-    if len(convs) != len(spec.conv_specs()):
-        raise ValueError("onnx: conv count mismatch")
     return spec, params
 
 
