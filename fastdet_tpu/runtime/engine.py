@@ -64,6 +64,42 @@ def _decode_pool():
                 )
     return _DECODE_POOL or None
 
+def _calibration_from_dir(size: int, n: int = 8) -> Optional[np.ndarray]:
+    """Activation-calibration frames from FASTDET_CALIB_DIR, if set.
+
+    Real frames from the target camera beat any synthetic default; the
+    serving CLIs keep reference getopt parity (no new flag), so the knob
+    rides an env var like the other deployment tunables. Images that
+    fail to decode or aren't (size, size, 3) are skipped.
+    """
+    import glob
+    import os
+
+    d = os.environ.get("FASTDET_CALIB_DIR")
+    if not d:
+        return None
+    from fastdet_tpu.runtime import jpeg as jpeg_mod
+
+    imgs: List[np.ndarray] = []
+    for p in sorted(glob.glob(os.path.join(d, "*"))):
+        try:
+            with open(p, "rb") as fp:
+                img = jpeg_mod.decode_rgb(fp.read())
+        except Exception:
+            continue
+        if img.shape == (size, size, 3):
+            imgs.append(img)
+        if len(imgs) >= n:
+            break
+    if not imgs:
+        logger.warning(
+            "FASTDET_CALIB_DIR=%s: no usable %dx%d images; falling back "
+            "to synthetic calibration scenes", d, size, size)
+        return None
+    logger.info("int8 calibration: %d frames from %s", len(imgs), d)
+    return np.stack(imgs)
+
+
 def _default_calibration_images(size: int, n: int = 8) -> np.ndarray:
     """Smooth synthetic scenes for activation calibration when the caller
     provides none (prefer real frames from the target camera)."""
@@ -169,6 +205,8 @@ class DetectionEngine:
             from fastdet_tpu.models import quantize
 
             calib = calibration_images
+            if calib is None:
+                calib = _calibration_from_dir(spec.image_size)
             if calib is None:
                 calib = _default_calibration_images(spec.image_size)
             scales = quantize.calibrate(spec, self.params, calib)
