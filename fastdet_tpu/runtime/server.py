@@ -89,10 +89,16 @@ class ModelService:
         for t in list(self._fetches):
             t.cancel()
 
-    async def submit(self, jpeg: bytes, threshold: float) -> List[ResultTuple]:
+    def submit_nowait(self, jpeg: bytes, threshold: float) -> asyncio.Future:
+        """Enqueue one request; the returned future resolves with its
+        results. Plain-future (no coroutine/Task) entry point so the
+        per-datagram hot path costs one queue append, not a task spawn."""
         fut = asyncio.get_running_loop().create_future()
         self.queue.put_nowait((jpeg, threshold, fut))
-        return await fut
+        return fut
+
+    async def submit(self, jpeg: bytes, threshold: float) -> List[ResultTuple]:
+        return await self.submit_nowait(jpeg, threshold)
 
     async def _worker(self) -> None:
         import os
@@ -279,6 +285,14 @@ class DetectorService:
     def stop(self) -> None:
         pass
 
+    def submit_nowait(self, jpeg: bytes, threshold: float) -> asyncio.Future:
+        fut = asyncio.get_running_loop().create_future()
+        try:
+            fut.set_result(self.detector.perform(jpeg, threshold=threshold))
+        except Exception as e:
+            fut.set_exception(e)
+        return fut
+
     async def submit(self, jpeg: bytes, threshold: float) -> List[ResultTuple]:
         return self.detector.perform(jpeg, threshold=threshold)
 
@@ -297,10 +311,10 @@ class DetectSession(asyncio.DatagramProtocol):
         self.sender = wire.FrameSender(chunk_size=wire.SERVER_CHUNK_SIZE)
         self.last_seen = time.monotonic()
         self.closed = False
-        # Strong refs to in-flight request tasks: asyncio only weakly
-        # references tasks, so without this an in-flight _handle could be
-        # garbage-collected mid-request and its response silently dropped.
-        self.tasks: set = set()
+        # In-flight request futures, so close() can cancel them (the
+        # batcher checks fut.done() before resolving, so a cancelled
+        # request is simply skipped when its batch completes).
+        self.pending: set = set()
 
     # -- DatagramProtocol hooks -----------------------------------------
     def connection_made(self, transport) -> None:
@@ -318,14 +332,16 @@ class DetectSession(asyncio.DatagramProtocol):
         self.last_seen = time.monotonic()
         before = self.reasm.drops
         for payload in self.reasm.feed(data):
-            t = asyncio.get_running_loop().create_task(self._handle(payload))
-            self.tasks.add(t)
-            t.add_done_callback(self.tasks.discard)
+            self._handle(payload)
         if self.reasm.drops != before:
             logger.info("recv: DROP (gap) session=%s", self.session_id.hex())
 
     # -- request handling ------------------------------------------------
-    async def _handle(self, payload: bytes) -> None:
+    def _handle(self, payload: bytes) -> None:
+        """Parse one request and enqueue it. Callback-based on purpose:
+        a Task per request (coroutine + two extra loop wakeups) was a
+        measurable fraction of the serving-vs-batched throughput gap on
+        a single-core host, and this path runs for every frame."""
         req = wire.parse_request(payload)
         if req is None:
             return  # short/mismatched payloads silently dropped
@@ -336,17 +352,27 @@ class DetectSession(asyncio.DatagramProtocol):
             except OSError:
                 pass
         t0 = time.time()
-        try:
-            results = await self.service.submit(req.jpeg, req.threshold)
-        except ValueError as e:
-            logger.error("request %d failed: %s", req.reqid, e)
+        fut = self.service.submit_nowait(req.jpeg, req.threshold)
+        self.pending.add(fut)
+        fut.add_done_callback(
+            lambda f, reqid=req.reqid, t0=t0: self._respond(reqid, t0, f))
+
+    def _respond(self, reqid: int, t0: float, fut: asyncio.Future) -> None:
+        self.pending.discard(fut)
+        if fut.cancelled():
+            return
+        err = fut.exception()
+        if err is None:
+            results = fut.result()
+        elif isinstance(err, ValueError):
+            logger.error("request %d failed: %s", reqid, err)
             results = []
-        except Exception:
-            logger.exception("request %d failed", req.reqid)
+        else:
+            logger.error("request %d failed", reqid, exc_info=err)
             results = []
         msec = int((time.time() - t0) * 1000)
         STAGES.record("request_e2e", time.time() - t0)
-        resp = wire.DetectResponse(reqid=req.reqid, msec=msec, results=results)
+        resp = wire.DetectResponse(reqid=reqid, msec=msec, results=results)
         self.send_payload(resp.pack())
 
     def send_payload(self, payload: bytes) -> None:
@@ -358,8 +384,8 @@ class DetectSession(asyncio.DatagramProtocol):
     def close(self) -> None:
         if not self.closed:
             self.closed = True
-            for t in list(self.tasks):
-                t.cancel()
+            for fut in list(self.pending):
+                fut.cancel()
             if self.transport is not None:
                 self.transport.close()
 
