@@ -45,6 +45,23 @@ def postprocess_batch(
     return jax.vmap(fn)(*heads)
 
 
+def select_batch(
+    heads: Sequence[jnp.ndarray],   # per-scale (B, H, W, 3*(5+C))
+    spec: ModelSpec,
+    thresholds: jnp.ndarray,        # (B,) per-image thresholds
+    max_candidates: int = MAX_CANDIDATES,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched decode + candidate budget (the NMS-free front of the
+    postprocess), for composing with :func:`ops.nms.soft_nms_batch` —
+    the early-exiting batched NMS the engine uses on its hot path."""
+
+    def fn(t, *hs):
+        boxes, scores, klass = decode_all(hs, spec)
+        return select_candidates(boxes, scores, klass, t, max_candidates)
+
+    return jax.vmap(fn)(thresholds, *heads)
+
+
 def to_reference_results(
     result: NMSResult, image_size: int = 416
 ) -> List[Tuple[int, float, float, float, float, float]]:

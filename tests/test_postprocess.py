@@ -113,6 +113,39 @@ def test_candidate_budget_truncates_lowest():
                                rtol=1e-6)
 
 
+@pytest.mark.parametrize("seed,thresholds", [
+    (0, [0.3, 0.5, 0.9]),     # mixed per-image thresholds
+    (1, [0.99, 0.99, 0.99]),  # likely zero picks -> immediate exit
+    (2, [0.01, 0.01, 0.01]),  # near-full budget -> max_det trips
+])
+def test_soft_nms_batch_matches_vmap(seed, thresholds):
+    """The early-exiting batched NMS must be output-identical to
+    vmap(soft_nms) — extra fixed-trip iterations only write invalid
+    slots, so stopping early must not be observable."""
+    rng = np.random.RandomState(40 + seed)
+    bsz, k, max_det = 3, 64, 16
+    boxes = jnp.asarray(rng.rand(bsz, k, 4).astype(np.float32) * 0.4)
+    raw = rng.rand(bsz, k).astype(np.float32)
+    thr = jnp.asarray(np.asarray(thresholds, np.float32))
+    # mirror select_candidates' contract: sub-threshold entries masked < 0
+    scores = jnp.asarray(
+        np.where(raw >= np.asarray(thresholds, np.float32)[:, None], raw, -1.0)
+    )
+    klass = jnp.asarray(rng.randint(1, 9, size=(bsz, k)).astype(np.int32))
+
+    got = nms.soft_nms_batch(boxes, scores, klass, thr, max_det)
+    want = jax.vmap(lambda b, s, c, t: nms.soft_nms(b, s, c, t, max_det))(
+        boxes, scores, klass, thr
+    )
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
+    np.testing.assert_array_equal(np.asarray(got.klass), np.asarray(want.klass))
+    np.testing.assert_array_equal(np.asarray(got.count), np.asarray(want.count))
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(want.scores), rtol=0, atol=0)
+    np.testing.assert_allclose(
+        np.asarray(got.boxes), np.asarray(want.boxes), rtol=0, atol=0)
+
+
 @pytest.mark.slow
 def test_batch_vmap_consistency():
     rng = np.random.RandomState(11)
