@@ -29,6 +29,12 @@ if os.environ.get("FASTDET_TEST_REEXEC") != "1":
     )
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_DEFAULT_MATMUL_PRECISION"] = "float32"
+    # axon is stripped above, so every compile in this process tree is
+    # LOCAL — CPU executables are safe to cache persistently (the general
+    # SIGILL hazard is remote-compiled artifacts; utils/compile_cache.py).
+    # This takes the slow tier's big graphs (sharded train step, 416px
+    # engines) from minutes to seconds on re-runs.
+    env["FASTDET_CPU_CACHE"] = "1"
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -189,10 +189,29 @@ def apply_int8(
                     # int8-through: consume the producer's tensor directly
                     s_in, xq = cs, cur
                 pad = (l.ksize - 1) // 2
-                y = jax.lax.conv_general_dilated(
-                    xq, p["w_q"], (l.stride, l.stride), [(pad, pad), (pad, pad)],
-                    dimension_numbers=dn, preferred_element_type=jnp.int32,
-                )
+                if jax.default_backend() == "cpu":
+                    # XLA:CPU has no vectorized int8 conv — the int32-
+                    # accumulating form below lowers to scalar loops,
+                    # measured ~100x slower than f32 (113 s/image for
+                    # tiny@416). Compute in f32 and round back: the
+                    # integer products are exact in f32 and the
+                    # accumulation error (~1e-4 relative on these layer
+                    # sizes) is far below the quantization noise floor
+                    # the tests bound — though not guaranteed bit-equal
+                    # to int32 accumulation in the last ulp. TPU keeps
+                    # the true int8 MXU path.
+                    y = jnp.round(jax.lax.conv_general_dilated(
+                        xq.astype(jnp.float32), p["w_q"].astype(jnp.float32),
+                        (l.stride, l.stride), [(pad, pad), (pad, pad)],
+                        dimension_numbers=dn,
+                    )).astype(jnp.int32)
+                else:
+                    y = jax.lax.conv_general_dilated(
+                        xq, p["w_q"], (l.stride, l.stride),
+                        [(pad, pad), (pad, pad)],
+                        dimension_numbers=dn,
+                        preferred_element_type=jnp.int32,
+                    )
                 scale = (s_in * p["w_scale"]).astype(jnp.float32)
                 yf = y.astype(jnp.float32) * scale[None, None, None, :] + p["b"]
                 if l.act:

@@ -231,6 +231,9 @@ def make_sharded_train_step(
     :func:`shard_batch`. The dp gradient all-reduce and tp channel
     collectives are inserted by the compiler.
     """
+    from fastdet_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()   # fwd+bwd+optimizer is the repo's biggest graph
     p_sh = mesh_lib.param_shardings(spec, mesh, params)
     sharded_params = jax.tree_util.tree_map(jax.device_put, params, p_sh)
 

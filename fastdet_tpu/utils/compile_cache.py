@@ -21,8 +21,21 @@ def enable_compile_cache(path: str = _DEFAULT_DIR) -> None:
             # CPU AOT artifacts bake in host machine features; under this
             # machine's remote-compile plugin the compiling host differs
             # from the executing host, and stale artifacts can SIGILL.
-            # The cache only pays off for the (remote) TPU backend anyway.
-            return
+            # FASTDET_CPU_CACHE=1 opts in when all compiles are known
+            # local (the test boot plugin sets it after stripping the
+            # remote plugin) — big CPU graphs then cache across runs.
+            if os.environ.get("FASTDET_CPU_CACHE") != "1":
+                return
+            # Belt-and-braces: even with the opt-in set, refuse if this
+            # process was started WITH the remote-compile sitecustomize
+            # (observed: one such process writing AMX-featured artifacts
+            # poisons the cache for every honest local reader, which then
+            # logs machine-feature mismatches and risks SIGILL).
+            import sys
+
+            sc = sys.modules.get("sitecustomize")
+            if sc is not None and ".axon_site" in (getattr(sc, "__file__", "") or ""):
+                return
         path = os.path.join(path, backend)
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
