@@ -416,12 +416,15 @@ def bench_all(frames: int = 128):
         detail[f"server_{path}_seq_p50_ms"] = round(
             float(np.percentile(lat, 50)) * 1000, 1)
 
-    # concurrent clients -> cross-client batching on 'full'
-    n_clients, per_client = 8, 12
-    t_start = time.time()
+    # concurrent clients -> cross-client batching on 'full'.
+    # One untimed warmup pass first (session setup + first hits on every
+    # batch bucket), then a timed pass big enough to dominate ramp-up:
+    # the old 12-frames-per-client timed run lasted ~0.6 s and swung
+    # +-20% with cold-start effects and link weather.
+    n_clients, per_client = 8, 48
     errs = []
 
-    def client_task(ci):
+    def client_task(ci, n_frames):
         # realistic streaming client: several frames in flight (the wire
         # protocol is request-id matched, not lockstep)
         window = 4
@@ -430,8 +433,8 @@ def bench_all(frames: int = 128):
             c.open()
             sent = 0
             done = 0
-            while done < per_client:
-                while sent - done < window and sent < per_client:
+            while done < n_frames:
+                while sent - done < window and sent < n_frames:
                     sent += 1
                     c.request(sent, BENCH_THRESHOLD, fixtures[(ci + sent) % 3])
                 c.poll(0.02)
@@ -442,17 +445,21 @@ def bench_all(frames: int = 128):
         except Exception as e:  # pragma: no cover
             errs.append(repr(e))
 
-    ts = [threading.Thread(target=client_task, args=(i,)) for i in range(n_clients)]
-    for t in ts:
-        t.start()
-    for t in ts:
-        t.join()
-    wall = time.time() - t_start
     svc = services["full"]
+    for phase, n_frames in (("warmup", 12), ("timed", per_client)):
+        t_start = time.time()
+        b0, f0 = svc.batches, svc.frames
+        ts = [threading.Thread(target=client_task, args=(i, n_frames))
+              for i in range(n_clients)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        wall = time.time() - t_start
     detail["multiclient"] = {
         "clients": n_clients,
         "total_fps": round(n_clients * per_client / wall, 1),
-        "avg_batch": round(svc.frames / max(1, svc.batches), 2),
+        "avg_batch": round((svc.frames - f0) / max(1, svc.batches - b0), 2),
         "errors": errs,
     }
     loop.call_soon_threadsafe(lambda: (server.request_shutdown(),

@@ -67,6 +67,7 @@ class ModelService:
         self.engine = engine
         self.name = name
         self.queue: asyncio.Queue = asyncio.Queue()
+        self._carry: list = []     # requests deferred by bucket-aware trim
         self._task: Optional[asyncio.Task] = None
         self._fetches: set = set()
         self.batches = 0
@@ -125,8 +126,14 @@ class ModelService:
                 os.environ.get("FASTDET_BATCH_WINDOW_MS"))
             window_s = 0.0
         while True:
-            first = await self.queue.get()
-            batch = [first]
+            if self._carry:
+                # Requests deferred by the bucket trim below dispatch
+                # first: under sustained load they ride the next (full)
+                # batch; when traffic pauses they go out immediately.
+                batch = self._carry
+                self._carry = []
+            else:
+                batch = [await self.queue.get()]
             if window_s > 0.0:
                 deadline = loop.time() + window_s
                 while len(batch) < self.engine.max_batch:
@@ -143,6 +150,22 @@ class ModelService:
                     batch.append(self.queue.get_nowait())
                 except asyncio.QueueEmpty:
                     break
+            # Bucket-aware trim: the engine pads every dispatch up to an
+            # AOT bucket, and the padded rows cross the host->device link
+            # — the proven serving bottleneck. A 10-frame batch in the
+            # 16-bucket ships 60% more bytes per real frame than two
+            # bucket-fitting dispatches. Trim to the largest bucket that
+            # fits and carry the newest remainder into the next batch,
+            # but only when most of the batch survives (trimming 3 -> 1
+            # would trade padding for per-dispatch RPC overhead, which
+            # measured worse: fixed dispatch+fetch cost over the link is
+            # ~14 ms vs ~2.5 ms per marginal frame).
+            buckets = getattr(self.engine, "buckets", None)
+            if buckets:
+                fit = max((b for b in buckets if b <= len(batch)), default=None)
+                if fit is not None and len(batch) > fit > len(batch) // 2:
+                    self._carry = batch[fit:]
+                    batch = batch[:fit]
             # Bounded pipeline: block only when MAX_INFLIGHT batches are
             # already on the device; their results are fetched by
             # concurrent _finish tasks while we decode+dispatch the next.
@@ -469,9 +492,26 @@ class ControlConnection(asyncio.Protocol):
             service, (rtp_host, rtp_port), session_id, dbgout=self.server.dbgout
         )
         loop = asyncio.get_running_loop()
-        await loop.create_datagram_endpoint(
-            lambda: session, local_addr=("0.0.0.0", 0)
-        )
+        # Size the socket for burst traffic: one 416px JPEG request is
+        # ~100 KB across ~4 datagrams, and concurrent clients send their
+        # whole in-flight window at once. Linux's default rcvbuf
+        # (~212 KB) holds only ~2 requests, so a burst overflows it and
+        # the kernel silently drops datagrams — which the gap-cancel
+        # semantics then turn into whole lost frames (the wire protocol
+        # has no retransmit, matching the reference). 4 MB absorbs ~40
+        # in-flight requests per session; the kernel caps the value at
+        # net.core.rmem_max, so this is best-effort by design.
+        import socket as socket_mod
+
+        sock = socket_mod.socket(socket_mod.AF_INET, socket_mod.SOCK_DGRAM)
+        for opt in (socket_mod.SO_RCVBUF, socket_mod.SO_SNDBUF):
+            try:
+                sock.setsockopt(socket_mod.SOL_SOCKET, opt, 4 << 20)
+            except OSError:
+                pass
+        sock.setblocking(False)
+        sock.bind(("0.0.0.0", 0))
+        await loop.create_datagram_endpoint(lambda: session, sock=sock)
         self.session = session
         self.server.sessions.append(session)
         port = session.udp_port

@@ -78,6 +78,23 @@ def dummy_server():
         yield st
 
 
+def test_session_udp_buffers_sized_for_bursts(dummy_server):
+    """Concurrent clients send whole in-flight windows at once; with
+    Linux's default ~212 KB rcvbuf (~2 requests) the kernel silently
+    drops datagrams and gap-cancel loses whole frames. The session
+    socket must request multi-megabyte buffers (kernel may cap below
+    the 4 MB ask, but must be well above the default)."""
+    c = DetectClient("127.0.0.1", dummy_server.port, "detect")
+    c.open()
+    try:
+        sess = dummy_server.server.sessions[0]
+        sock = sess.transport.get_extra_info("socket")
+        rcv = sock.getsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF)
+        assert rcv >= 1 << 20, f"rcvbuf={rcv}"
+    finally:
+        c.close()
+
+
 def test_dummy_end_to_end(dummy_server):
     c = DetectClient("127.0.0.1", dummy_server.port, "detect")
     c.open()
