@@ -180,47 +180,102 @@ def decode420_batch(ycoef, cbcoef, crcoef, qy, qc, height: int, width: int):
 
 
 # ---------------------------------------------------------------------------
-# Packed sparse coefficient ingest (native fd_jpeg_sparse format)
+# Nibble-packed sparse coefficient ingest (native fd_jpeg_sparse4 format)
 # ---------------------------------------------------------------------------
 #
 # The host ships, per frame: an 8-byte-per-block bitmask over the 64
-# natural-order coefficient positions (bit k&7 of byte k>>3), an int8
-# nonzero-value stream (-128 = "take the next int16 escape"), and an int16
-# escape stream — ~0.2-0.4 B/px at camera quality vs 1.5 B/px for raw
-# 4:2:0 planes. Reconstruction is two exclusive prefix-sums + two gathers,
-# all VPU-parallel; the IDCT that follows is the same single MXU matmul as
-# the dense-coefficient path.
+# natural-order coefficient positions (bit k&7 of byte k>>3), a 4-bit
+# two's-complement AC value stream (2 per byte, -8 = "take the next esc8
+# entry"), an int8 escape stream (-128 = "take the next esc16 entry"),
+# an int16 escape stream, and the DC column as int8 per-component raster
+# DELTAS with their own int16 escapes. Measured at camera quality
+# (tools/measure_sparse_stats.py): ~98.5% of nonzero AC values fit 4
+# bits, so this is ~0.16 B/px vs 0.22 for the older int8-stream format
+# and 1.5 for raw 4:2:0 planes. Reconstruction stays structured vector
+# work: per-axis prefix sums + NB-sized gathers + one per-component
+# cumsum (DC prediction); the IDCT that follows is the same single MXU
+# matmul as the dense-coefficient path.
 
 
-def sparse_to_coeffs(masks: jnp.ndarray, vals8: jnp.ndarray,
-                     esc16: jnp.ndarray) -> jnp.ndarray:
-    """(NB, 8) uint8 masks + value streams -> (NB, 64) int32 coefficients.
+def unpack_nibbles(nib: jnp.ndarray) -> jnp.ndarray:
+    """(NCAP_BYTES,) uint8 -> (2*NCAP_BYTES,) int32 in [-8, 7].
 
-    Bit-exact inverse of the native emitter (fd_jpeg.cpp decode_sparse):
-    value i of a block is the i-th set bit's entry in the concatenated
-    stream; ranks come from exclusive prefix-sums over the mask bits.
+    Entry 2i is the low nibble of byte i (two's complement 4-bit).
+    Elementwise — XLA vectorizes it; works on any leading batch dims.
+    """
+    x = nib.astype(jnp.int32)
+    lo = x & 15
+    hi = x >> 4
+    pair = jnp.stack([lo, hi], axis=-1).reshape(*nib.shape[:-1], -1)
+    return (pair ^ 8) - 8
 
-    TPU note: every offset is built as (per-block scan over the NB axis) +
-    (in-block scan over the 64-lane axis) — both cheap on the VPU. An
+
+def dc_reconstruct(dc8: jnp.ndarray, dcesc: jnp.ndarray,
+                   yb: int, cb: int) -> jnp.ndarray:
+    """(NB,) int8 DC deltas + (DCE,) int16 escapes -> (NB,) int32 DC.
+
+    -128 in dc8 takes the next dcesc entry (an NB-sized gather —
+    negligible); the per-component cumsum undoes JPEG's DC prediction.
+    """
+    d = dc8.astype(jnp.int32)
+    flag = d == -128
+    f32 = flag.astype(jnp.int32)
+    rank = jnp.cumsum(f32) - f32                               # exclusive
+    idx = jnp.clip(rank, 0, dcesc.shape[0] - 1)
+    delta = jnp.where(flag, jnp.take(dcesc, idx).astype(jnp.int32), d)
+    return jnp.concatenate([
+        jnp.cumsum(delta[:yb]),
+        jnp.cumsum(delta[yb:yb + cb]),
+        jnp.cumsum(delta[yb + cb:]),
+    ])
+
+
+def sparse4_to_coeffs(masks: jnp.ndarray, dc8: jnp.ndarray,
+                      nibvals: jnp.ndarray, esc8: jnp.ndarray,
+                      esc16: jnp.ndarray, dcesc: jnp.ndarray,
+                      yb: int, cb: int) -> jnp.ndarray:
+    """v4 streams -> (NB, 64) int32 coefficients (XLA formulation).
+
+    ``nibvals`` is the already-unpacked int32 nibble stream (see
+    unpack_nibbles); ``esc8``/``esc16``/``dcesc`` may be their native
+    dtypes. Bit-exact inverse of fd_jpeg.cpp decode_sparse4.
+
+    TPU note: every offset is built as (per-block scan over the NB axis)
+    + (in-block scan over the 64-lane axis) — both cheap on the VPU. An
     earlier formulation computed escape ranks with one flat cumsum over
     all NB*64 positions, which XLA on TPU compiled to a ~70 ms/batch
     program (vs 0.08 ms for this one): the long scan over a gather-fed
-    input defeats fusion. Keep scans short and per-axis.
+    input defeats fusion. Keep scans short and per-axis. (The per-value
+    gathers below are still ~10 ns/element on TPU — the Pallas kernel
+    replaces exactly those; this path serves CPU and differential tests.)
     """
     bits = jnp.unpackbits(masks, axis=-1, bitorder="little")   # (NB, 64)
     b32 = bits.astype(jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, b32.shape, 1)
+    b32 = jnp.where(pos == 0, 0, b32)                          # AC only
     nnz_blk = b32.sum(-1)
     block_off = jnp.cumsum(nnz_blk) - nnz_blk                  # exclusive
     rank = jnp.cumsum(b32, axis=-1) - b32                      # exclusive
-    idx = jnp.clip(block_off[:, None] + rank, 0, vals8.shape[0] - 1)
-    c8 = jnp.take(vals8, idx).astype(jnp.int32) * b32          # 0 where unset
-    esc = c8 == -128                                           # only where set
-    e32 = esc.astype(jnp.int32)
-    ecnt = e32.sum(-1)
-    eoff = jnp.cumsum(ecnt) - ecnt                             # exclusive
-    erank = jnp.cumsum(e32, axis=-1) - e32                     # exclusive
-    eidx = jnp.clip(eoff[:, None] + erank, 0, esc16.shape[0] - 1)
-    return jnp.where(esc, jnp.take(esc16, eidx).astype(jnp.int32), c8)
+    idx = jnp.clip(block_off[:, None] + rank, 0, nibvals.shape[0] - 1)
+    c = jnp.take(nibvals, idx).astype(jnp.int32) * b32         # 0 where unset
+    # level-1 escapes: nibble sentinel -8 -> esc8 stream
+    esc1 = c == -8                                             # only where set
+    e1 = esc1.astype(jnp.int32)
+    ecnt1 = e1.sum(-1)
+    eoff1 = jnp.cumsum(ecnt1) - ecnt1                          # exclusive
+    erank1 = jnp.cumsum(e1, axis=-1) - e1                      # exclusive
+    eidx1 = jnp.clip(eoff1[:, None] + erank1, 0, esc8.shape[0] - 1)
+    c1 = jnp.where(esc1, jnp.take(esc8, eidx1).astype(jnp.int32), c)
+    # level-2 escapes: esc8 sentinel -128 -> esc16 stream
+    esc2 = esc1 & (c1 == -128)
+    e2 = esc2.astype(jnp.int32)
+    ecnt2 = e2.sum(-1)
+    eoff2 = jnp.cumsum(ecnt2) - ecnt2                          # exclusive
+    erank2 = jnp.cumsum(e2, axis=-1) - e2                      # exclusive
+    eidx2 = jnp.clip(eoff2[:, None] + erank2, 0, esc16.shape[0] - 1)
+    c2 = jnp.where(esc2, jnp.take(esc16, eidx2).astype(jnp.int32), c1)
+    dc = dc_reconstruct(dc8, dcesc, yb, cb)
+    return jnp.where(pos == 0, dc[:, None], c2)
 
 
 def coeffs_to_rgb01(
@@ -247,10 +302,13 @@ def coeffs_to_rgb01(
     return ycbcr_to_rgb01(ypix, cbu, cru)
 
 
-def decode_sparse(
+def decode_sparse4(
     masks: jnp.ndarray,   # (NB*8,) or (NB, 8) uint8
-    vals8: jnp.ndarray,   # (VCAP,) int8
-    esc16: jnp.ndarray,   # (ECAP,) int16
+    dc8: jnp.ndarray,     # (NB,) int8 DC deltas
+    nib: jnp.ndarray,     # (NCAP_BYTES,) uint8 packed nibbles
+    esc8: jnp.ndarray,    # (E8CAP,) int8
+    esc16: jnp.ndarray,   # (E16CAP,) int16
+    dcesc: jnp.ndarray,   # (DCECAP,) int16
     qy: jnp.ndarray,      # (64,) f32/int
     qc: jnp.ndarray,
     height: int,
@@ -258,12 +316,15 @@ def decode_sparse(
     hs: int,
     vs: int,
 ) -> jnp.ndarray:
-    """Full device decode of one packed-sparse frame -> (H, W, 3) RGB [0,1].
+    """Full device decode of one nibble-sparse frame -> (H, W, 3) RGB [0,1].
 
     Blocks ordered Y raster, Cb raster, Cr raster (native_jpeg
     sparse_geometry); any PLANE_LAYOUTS subsampling."""
     yb_h, yb_w = height // 8, width // 8
     cb_h, cb_w = height // vs // 8, width // hs // 8
-    nb = yb_h * yb_w + 2 * cb_h * cb_w
-    coeff = sparse_to_coeffs(masks.reshape(nb, 8), vals8, esc16)
+    yb, cbn = yb_h * yb_w, cb_h * cb_w
+    nb = yb + 2 * cbn
+    coeff = sparse4_to_coeffs(
+        masks.reshape(nb, 8), dc8, unpack_nibbles(nib), esc8, esc16,
+        dcesc, yb, cbn)
     return coeffs_to_rgb01(coeff, qy, qc, qc, height, width, hs, vs)

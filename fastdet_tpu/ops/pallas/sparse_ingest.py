@@ -1,29 +1,34 @@
-"""Pallas kernel: packed-sparse JPEG coefficient reconstruction.
+"""Pallas kernel: nibble-packed sparse JPEG coefficient reconstruction.
 
-The XLA formulation of the sparse ingest (ops/jpeg_device.sparse_to_coeffs)
-needs two element gathers of NB*64 entries each (value stream + escape
-stream); measured on the v5e those run at ~10 ns/element — ~21 ms per
-gather per batch of 8, dwarfing the entire rest of the frame path. TPUs
-have no fast random gather; the kernel therefore reconstructs blocks with
-STRUCTURED vector ops only:
+The XLA formulation of the sparse ingest (ops/jpeg_device.sparse4_to_coeffs)
+needs per-value element gathers of NB*64 entries each (value stream +
+two escape streams); measured on the v5e those run at ~10 ns/element —
+~21 ms per gather per batch of 8, dwarfing the entire rest of the frame
+path. TPUs have no fast random gather; the kernel therefore reconstructs
+blocks with STRUCTURED vector ops only:
 
 - the value/escape streams live in VMEM as (rows, 128) tiles; a block's
   values are CONTIGUOUS in the stream (that's how the native emitter
   writes them), so its 64-wide window is two dynamically-indexed rows
   (sublane indexing is legal) + one dynamic lane rotate (tpu.roll) + a
   masked merge — no per-element addressing anywhere;
-- within a tile of 8 blocks, value->position placement is an unrolled
+- within a tile of blocks, value->position placement is an unrolled
   64-step one-hot select (compare rank against k, take window column k),
   pure VPU arithmetic;
-- escape ranks within each block come from one (8,64)x(64,64) MXU matmul
-  with a strict-upper-triangular constant (exclusive prefix sum), and
-  per-block escape windows are 16-wide, loaded the same rotate way at
-  offsets precomputed by the caller.
+- escape ranks within each block come from one (bt,64)x(64,64) MXU
+  matmul with a strict-upper-triangular constant (exclusive prefix sum);
+  the v4 format has TWO escape levels (nibble sentinel -8 -> int8
+  stream; int8 sentinel -128 -> int16 stream), each substituted through
+  its own fixed-width window (32 and 16 wide — the native emitter
+  rejects denser blocks, fd_jpeg.cpp kMaxEsc8PerBlock/kMaxEsc16PerBlock).
 
-Per-block start offsets (value + escape streams) are precomputed in XLA
-from the masks/stream — short per-axis prefix sums and two NB-sized
-element gathers (~32k entries, negligible) — and handed to the kernel
-through SMEM.
+Per-block start offsets (value + both escape streams) are precomputed in
+XLA from the masks/streams — short per-axis prefix sums and three
+NB-sized element probes (~32k entries, negligible) — and handed to the
+kernel through SMEM. Nibble unpacking and the DC-delta chain (int8
+deltas + int16 escapes + per-component cumsum — see
+jpeg_device.dc_reconstruct) are elementwise/scan work XLA handles well,
+so they stay outside the kernel.
 
 The kernel is bit-exact vs the XLA path (tests/test_sparse_path.py runs
 both); Mosaic doesn't target CPU, so CPU uses the XLA path (or
@@ -49,10 +54,10 @@ def _pick_bt(nb: int) -> int:
         if nb % bt == 0:
             return bt
     return 8
-# Escape-window width: the native emitter rejects frames with more than
-# this many escapes in one block (fd_jpeg.cpp kMaxEscPerBlock), so a
-# 16-wide window always covers a block's escapes.
-EW = 16
+# Escape-window widths per level (must cover the native emitter's
+# per-block caps, fd_jpeg.cpp kMaxEsc8PerBlock / kMaxEsc16PerBlock).
+EW1 = 32
+EW2 = 16
 
 LANES = 128
 
@@ -78,20 +83,23 @@ def _load_window(ref, start, width, lanes_iota):
     return win[0, :width]
 
 
-def _kernel(off_ref, eoff_ref, bits_ref, rank_ref, vals_ref, esc_ref,
-            slt_ref, out_ref, win_ref, ewin_ref, *, bt):
+def _kernel(off_ref, eoff1_ref, eoff2_ref, bits_ref, rank_ref, vals_ref,
+            esc8_ref, esc16_ref, slt_ref, out_ref, win_ref, ewin1_ref,
+            ewin2_ref, *, bt):
     t = pl.program_id(1)
     lanes_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     # Assemble the tile's value/escape windows.
     for j in range(bt):
         start = off_ref[0, t * bt + j]
         win_ref[j, :] = _load_window(vals_ref, start, 64, lanes_iota)
-        estart = eoff_ref[0, t * bt + j]
-        ewin_ref[j, :EW] = _load_window(esc_ref, estart, EW, lanes_iota)
+        e1 = eoff1_ref[0, t * bt + j]
+        ewin1_ref[j, :EW1] = _load_window(esc8_ref, e1, EW1, lanes_iota)
+        e2 = eoff2_ref[0, t * bt + j]
+        ewin2_ref[j, :EW2] = _load_window(esc16_ref, e2, EW2, lanes_iota)
 
-    bits = bits_ref[:]                      # (bt, 64) i32, 0/1
+    bits = bits_ref[:]                      # (bt, 64) i32, 0/1, AC only
     rank = rank_ref[:]                      # (bt, 64) i32, exclusive
-    win = win_ref[:]                        # (bt, 64) i32
+    win = win_ref[:]                        # (bt, 64) i32 nibble values
 
     # value placement: dense[p] = window[rank[p]] where bit set
     acc = jnp.zeros((bt, 64), jnp.int32)
@@ -99,16 +107,25 @@ def _kernel(off_ref, eoff_ref, bits_ref, rank_ref, vals_ref, esc_ref,
         acc = acc + jnp.where(rank == k, win[:, k][:, None], 0)
     acc = acc * bits
 
-    # escape substitution: -128 slots take the next escape-window entry
-    esc = (acc == -128) & (bits > 0)
-    ef = esc.astype(jnp.float32)
-    erank = jnp.dot(ef, slt_ref[:],
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
-    ewin = ewin_ref[:]                      # (bt, 128) i32, escapes in :EW
-    eacc = jnp.zeros((bt, 64), jnp.int32)
-    for k in range(EW):
-        eacc = eacc + jnp.where(erank == k, ewin[:, k][:, None], 0)
-    out_ref[:] = jnp.where(esc, eacc, acc)
+    # level-1 escapes: -8 slots take the next esc8-window entry
+    esc1 = (acc == -8) & (bits > 0)
+    erank1 = jnp.dot(esc1.astype(jnp.float32), slt_ref[:],
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    ewin1 = ewin1_ref[:]                    # (bt, 128) i32, escapes in :EW1
+    eacc1 = jnp.zeros((bt, 64), jnp.int32)
+    for k in range(EW1):
+        eacc1 = eacc1 + jnp.where(erank1 == k, ewin1[:, k][:, None], 0)
+    c1 = jnp.where(esc1, eacc1, acc)
+
+    # level-2 escapes: -128 slots take the next esc16-window entry
+    esc2 = esc1 & (c1 == -128)
+    erank2 = jnp.dot(esc2.astype(jnp.float32), slt_ref[:],
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    ewin2 = ewin2_ref[:]                    # (bt, 128) i32, escapes in :EW2
+    eacc2 = jnp.zeros((bt, 64), jnp.int32)
+    for k in range(EW2):
+        eacc2 = eacc2 + jnp.where(erank2 == k, ewin2[:, k][:, None], 0)
+    out_ref[:] = jnp.where(esc2, eacc2, c1)
 
 
 def _rows128(stream32, extra_rows=2):
@@ -128,12 +145,14 @@ def _rows128(stream32, extra_rows=2):
         b, rows + extra_rows, LANES)
 
 
-def _reconstruct(bits, rank, off, eoff, vals32, esc32, *, interpret=False):
+def _reconstruct(bits, rank, off, eoff1, eoff2, vals32, esc8_32, esc16_32,
+                 *, interpret=False):
     """(B, NB, 64) bits/rank + (B, rows, 128) streams -> (B, NB, 64) i32."""
     b, nb, _ = bits.shape
     bt = _pick_bt(nb)
     vr = vals32.shape[1]
-    er = esc32.shape[1]
+    e1r = esc8_32.shape[1]
+    e2r = esc16_32.shape[1]
     grid = (b, nb // bt)
     return pl.pallas_call(
         functools.partial(_kernel, bt=bt),
@@ -142,56 +161,78 @@ def _reconstruct(bits, rank, off, eoff, vals32, esc32, *, interpret=False):
             pl.BlockSpec((None, 1, nb), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.SMEM),                 # off
             pl.BlockSpec((None, 1, nb), lambda i, t: (i, 0, 0),
-                         memory_space=pltpu.SMEM),                 # eoff
+                         memory_space=pltpu.SMEM),                 # eoff1
+            pl.BlockSpec((None, 1, nb), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.SMEM),                 # eoff2
             pl.BlockSpec((None, bt, 64), lambda i, t: (i, t, 0)),  # bits
             pl.BlockSpec((None, bt, 64), lambda i, t: (i, t, 0)),  # rank
             pl.BlockSpec((None, vr, LANES), lambda i, t: (i, 0, 0)),  # vals
-            pl.BlockSpec((None, er, LANES), lambda i, t: (i, 0, 0)),  # esc
+            pl.BlockSpec((None, e1r, LANES), lambda i, t: (i, 0, 0)),  # esc8
+            pl.BlockSpec((None, e2r, LANES), lambda i, t: (i, 0, 0)),  # esc16
             pl.BlockSpec((64, 64), lambda i, t: (0, 0)),           # slt
         ],
         out_specs=pl.BlockSpec((None, bt, 64), lambda i, t: (i, t, 0)),
         out_shape=jax.ShapeDtypeStruct((b, nb, 64), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((bt, 64), jnp.int32),      # value windows
-            pltpu.VMEM((bt, LANES), jnp.int32),   # escape windows (:EW)
+            pltpu.VMEM((bt, LANES), jnp.int32),   # esc8 windows (:EW1)
+            pltpu.VMEM((bt, LANES), jnp.int32),   # esc16 windows (:EW2)
         ],
         interpret=interpret,
-    )(off[:, None, :], eoff[:, None, :], bits, rank, vals32, esc32,
-      jnp.asarray(_slt64()))
+    )(off[:, None, :], eoff1[:, None, :], eoff2[:, None, :], bits, rank,
+      vals32, esc8_32, esc16_32, jnp.asarray(_slt64()))
 
 
-def sparse_to_coeffs_batch(masks, vals8, esc16, *, interpret=False):
-    """Batched bit-exact equivalent of jpeg_device.sparse_to_coeffs.
-
-    masks (B, NB, 8) uint8; vals8 (B, VCAP) int8; esc16 (B, ECAP) int16
-    -> (B, NB, 64) int32. The prefix sums and the two NB-sized stream
-    probes run in XLA (cheap, structured); only the expansion — the part
-    XLA can't do without element gathers — runs in the kernel.
-    """
-    b, nb, _ = masks.shape
-    vcap = vals8.shape[-1]
-    bits = jnp.unpackbits(masks, axis=-1, bitorder="little").astype(jnp.int32)
-    nnz = bits.sum(-1)                                   # (B, NB)
-    off = (jnp.cumsum(nnz, axis=-1) - nnz).astype(jnp.int32)
-    rank = jnp.cumsum(bits, axis=-1) - bits              # (B, NB, 64)
-    # Per-block escape counts from STREAM space: S = inclusive scan of
-    # escape flags; count(n) = S[off+nnz-1] - S[off-1]. Two NB-sized
-    # element gathers (~32k entries) — numerically tiny next to the
-    # NB*64-sized gathers this kernel replaces.
-    eflag = (vals8 == -128).astype(jnp.int32)
-    s = jnp.cumsum(eflag, axis=-1)                       # (B, VCAP)
+def _stream_counts(flags_s, off, nnz):
+    """Per-block counts of flagged entries inside [off, off+nnz) of a
+    stream, from STREAM space: S = inclusive scan of flags; count =
+    S[off+nnz-1] - S[off-1]. One NB-sized element probe pair — tiny next
+    to the NB*64-sized gathers this module replaces."""
+    cap = flags_s.shape[-1]
+    s = jnp.cumsum(flags_s, axis=-1)                     # (B, CAP)
     take = jax.vmap(jnp.take)
-    hi = jnp.clip(off + nnz - 1, 0, vcap - 1)
-    lo = jnp.clip(off - 1, 0, vcap - 1)
-    ecnt = jnp.where(
+    hi = jnp.clip(off + nnz - 1, 0, cap - 1)
+    lo = jnp.clip(off - 1, 0, cap - 1)
+    return jnp.where(
         nnz > 0,
         take(s, hi) - jnp.where(off > 0, take(s, lo), 0),
         0,
     )
-    eoff = (jnp.cumsum(ecnt, axis=-1) - ecnt).astype(jnp.int32)
-    return _reconstruct(
-        bits, rank, off, eoff,
-        _rows128(vals8.astype(jnp.int32)),
+
+
+def sparse4_to_coeffs_batch(masks, dc8, nib, esc8, esc16, dcesc, yb, cb,
+                            *, interpret=False):
+    """Batched bit-exact equivalent of jpeg_device.sparse4_to_coeffs.
+
+    masks (B, NB, 8) uint8; dc8 (B, NB) int8; nib (B, NCAP_BYTES) uint8;
+    esc8 (B, E8CAP) int8; esc16 (B, E16CAP) int16; dcesc (B, DCECAP)
+    int16 -> (B, NB, 64) int32. The prefix sums, the stream probes, the
+    nibble unpack, and the DC chain run in XLA (cheap, structured); only
+    the expansion — the part XLA can't do without element gathers — runs
+    in the kernel.
+    """
+    from fastdet_tpu.ops import jpeg_device
+
+    b, nb, _ = masks.shape
+    bits = jnp.unpackbits(masks, axis=-1, bitorder="little").astype(jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, bits.shape, 2)
+    bits = jnp.where(pos == 0, 0, bits)                  # AC only
+    nnz = bits.sum(-1)                                   # (B, NB)
+    off = (jnp.cumsum(nnz, axis=-1) - nnz).astype(jnp.int32)
+    rank = jnp.cumsum(bits, axis=-1) - bits              # (B, NB, 64)
+    vals = jpeg_device.unpack_nibbles(nib)               # (B, 2*NCAP) i32
+    ecnt1 = _stream_counts((vals == -8).astype(jnp.int32), off, nnz)
+    eoff1 = (jnp.cumsum(ecnt1, axis=-1) - ecnt1).astype(jnp.int32)
+    ecnt2 = _stream_counts(
+        (esc8 == -128).astype(jnp.int32), eoff1, ecnt1)
+    eoff2 = (jnp.cumsum(ecnt2, axis=-1) - ecnt2).astype(jnp.int32)
+    ac = _reconstruct(
+        bits, rank, off, eoff1, eoff2,
+        _rows128(vals),
+        _rows128(esc8.astype(jnp.int32)),
         _rows128(esc16.astype(jnp.int32)),
         interpret=interpret,
     )
+    dc = jax.vmap(jpeg_device.dc_reconstruct, in_axes=(0, 0, None, None))(
+        dc8, dcesc, yb, cb)                              # (B, NB)
+    return jnp.where(pos == 0, dc[:, :, None], ac)

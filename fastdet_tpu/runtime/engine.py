@@ -174,22 +174,28 @@ class DetectionEngine:
         # and the traced device programs must agree for the engine's whole
         # lifetime, and compensating env edits could otherwise reuse a
         # cached program with a stale vals/esc split.
-        # Two AOT capacity tiers. "std" is sized just above measured
-        # photographic q90 content (nnz 13.6-14.3, escapes <=0.14 per
-        # block on the committed + reference photo fixtures) — every
-        # padded byte is lost throughput on the link-bound serving path.
-        # Frames denser than "std" (e.g. the reference's RSU camera
-        # shots, 0.35-0.62 escapes/block) retry on the "dense" tier and
+        # Two AOT capacity tiers, each four per-block budgets for the v4
+        # nibble-sparse row: (AC values, esc8, esc16, dcesc). "std" is
+        # sized just above measured camera-quality content (AC 13.2-13.4
+        # values and 0.16-0.21 int8 escapes per block on the committed
+        # fixtures — tools/measure_sparse_stats.py) — every padded byte
+        # is lost throughput on the link-bound serving path. Frames
+        # denser than "std" (the reference's photos: up to 3.9 esc8 and
+        # 0.23 esc16 per block on rsu2.jpg) retry on the "dense" tier and
         # still ride the sparse wire format instead of degrading to the
-        # 2.8-3.7x-bigger plane path; only dense-tier overflow does that.
+        # 4-5x-bigger plane path; only dense-tier overflow does that.
         self._sparse_budgets = {
             "std": (
-                float(os.environ.get("FASTDET_SPARSE_BUDGET", "14.5")),
-                float(os.environ.get("FASTDET_SPARSE_ESC_BUDGET", "0.3")),
+                float(os.environ.get("FASTDET_SPARSE_BUDGET", "14")),
+                float(os.environ.get("FASTDET_SPARSE_ESC_BUDGET", "0.4")),
+                float(os.environ.get("FASTDET_SPARSE_ESC16_BUDGET", "0.03")),
+                float(os.environ.get("FASTDET_SPARSE_DCESC_BUDGET", "0.04")),
             ),
             "dense": (
-                float(os.environ.get("FASTDET_SPARSE_BUDGET_DENSE", "16")),
-                float(os.environ.get("FASTDET_SPARSE_ESC_BUDGET_DENSE", "1.0")),
+                float(os.environ.get("FASTDET_SPARSE_BUDGET_DENSE", "15")),
+                float(os.environ.get("FASTDET_SPARSE_ESC_BUDGET_DENSE", "4.2")),
+                float(os.environ.get("FASTDET_SPARSE_ESC16_BUDGET_DENSE", "0.3")),
+                float(os.environ.get("FASTDET_SPARSE_DCESC_BUDGET_DENSE", "0.25")),
             ),
         }
         self.mode = mode
@@ -405,28 +411,27 @@ class DetectionEngine:
     # Packed sparse coefficient ingest (the fewest-bytes path)
     # ------------------------------------------------------------------
     #
-    # Host does ONLY entropy decode (native fd_jpeg_sparse); the wire
-    # format is per-block nonzero bitmasks + an int8 value stream with
-    # int16 escapes (ops/jpeg_device.py sparse_to_coeffs). At camera
-    # quality that is ~0.25-0.45 B/px vs 1.5 B/px for 4:2:0 planes —
-    # ~2.5-3x fewer h2d bytes, which is the serving bottleneck on
-    # bandwidth-limited links — and the host also skips IDCT + upsample
-    # + color (the device does them; IDCT is one MXU matmul).
+    # Host does ONLY entropy decode (native fd_jpeg_sparse4); the wire
+    # format is per-block nonzero bitmasks + a 4-bit AC value stream with
+    # two escape levels (int8, then int16) + the DC column as int8
+    # per-component raster deltas with int16 escapes (ops/jpeg_device.py
+    # sparse4_to_coeffs). At camera quality that is ~0.16 B/px vs 1.5
+    # B/px for 4:2:0 planes — ~9x fewer h2d bytes, which is the serving
+    # bottleneck on bandwidth-limited links — and the host also skips
+    # IDCT + upsample + color (the device does them; IDCT is one MXU
+    # matmul).
     #
-    # Value-stream capacities are static per layout (recompile-free):
-    # FASTDET_SPARSE_BUDGET nonzeros per block on average (default 14;
-    # the committed q90 fixtures measure ~14.2, and with the link as the
-    # proven serving bottleneck every padded byte is lost throughput) and
-    # FASTDET_SPARSE_ESC_BUDGET escapes per block (default 0.3; measured:
-    # 0.06-0.14 on most photographic fixtures but 0.62 on the reference's
-    # rsu2.jpg — such frames reroute to planes — and 0.27 on adversarially
-    # sharp synthetic block noise at q90). Frames denser than either
-    # budget raise on the host and fall back to the plane path per frame,
-    # so a tight budget costs a per-frame fallback, never correctness.
+    # Stream capacities are static per layout (recompile-free), set by
+    # the per-block budgets snapshotted in __init__ (measured content:
+    # tools/measure_sparse_stats.py). Frames denser than any budget
+    # raise on the host and retry the dense tier, then the plane path,
+    # per frame — a tight budget costs a per-frame fallback, never
+    # correctness.
 
     def _sparse_caps(self, layout: Tuple[int, int],
-                     tier: str = "std") -> Tuple[int, int, int]:
-        """(total_blocks, value_capacity, escape_capacity) for a layout.
+                     tier: str = "std") -> Tuple[int, int, int, int, int]:
+        """(total_blocks, nibble_bytes, esc8_cap, esc16_cap, dcesc_cap)
+        for a layout.
 
         Budgets are the engine-construction-time snapshots (see __init__):
         the packed row layout and the traced device programs must agree.
@@ -439,64 +444,88 @@ class DetectionEngine:
         hs, vs = layout
         yb, cb = native_jpeg.sparse_geometry(size, size, hs, vs)
         nb = yb + 2 * cb
-        budget, esc_budget = self._sparse_budgets[tier]
-        vcap = -128 * (math.ceil(nb * budget) // -128)          # mult of 128
-        ecap = max(1024, -64 * (math.ceil(nb * esc_budget) // -64))
-        return nb, vcap, ecap
+        ac, e8, e16, dce = self._sparse_budgets[tier]
+        # nibble capacity in BYTES (2 values/byte), 128-byte aligned
+        ncap = -128 * (math.ceil(nb * ac / 2) // -128)
+        e8cap = max(128, -128 * (math.ceil(nb * e8) // -128))
+        e16cap = max(64, -64 * (math.ceil(nb * e16) // -64))
+        dcecap = max(64, -64 * (math.ceil(nb * dce) // -64))
+        return nb, ncap, e8cap, e16cap, dcecap
 
-    def _sparse_row_bytes(self, nb: int, vcap: int, ecap: int) -> int:
-        # [masks nb*8 | vals8 vcap | esc16 2*ecap | qy,qcb,qcr 3*2*64]
+    def _sparse_row_bytes(self, nb: int, ncap: int, e8cap: int,
+                          e16cap: int, dcecap: int) -> int:
+        # [masks nb*8 | dc8 nb | nib ncap | esc8 e8cap | esc16 2*e16cap
+        #  | dcesc 2*dcecap | qy,qcb,qcr 3*2*64]
         # (separate Cb/Cr tables: a legal JPEG may quantize Cr with its
         # own table — reference-shape traffic shares one, but the row
         # spends 128 bytes to stay correct for the general case)
-        return nb * 8 + vcap + 2 * ecap + 384
+        return nb * 9 + ncap + e8cap + 2 * e16cap + 2 * dcecap + 384
+
+    @staticmethod
+    def _i16_from_pairs(rowslice: jnp.ndarray) -> jnp.ndarray:
+        """(B, 2*N) uint8 little-endian byte pairs -> (B, N) int16.
+
+        int16 fields travel as byte pairs inside the one uint8 row (one
+        h2d transfer for the whole batch; the device re-widens)."""
+        from jax import lax
+
+        b = rowslice.shape[0]
+        eb = rowslice.reshape(b, -1, 2).astype(jnp.uint16)
+        return lax.bitcast_convert_type(
+            (eb[..., 0] | (eb[..., 1] << 8)).astype(jnp.uint16), jnp.int16
+        )
 
     def _pipeline_sparse(self, params, packed, thresholds,
                          layout=(2, 2), tier="std") -> jnp.ndarray:
         from jax import lax
 
         from fastdet_tpu.ops import jpeg_device
+        from fastdet_tpu.runtime import native_jpeg
 
         hs, vs = layout
         size = self.spec.image_size
-        nb, vcap, ecap = self._sparse_caps(layout, tier)
+        nb, ncap, e8cap, e16cap, dcecap = self._sparse_caps(layout, tier)
+        yb, cbn = native_jpeg.sparse_geometry(size, size, hs, vs)
         b = packed.shape[0]
-        mo = nb * 8
-        masks = packed[:, :mo]
-        vals8 = lax.bitcast_convert_type(packed[:, mo:mo + vcap], jnp.int8)
-        # int16/uint16 fields are little-endian byte pairs in the row
-        # (one h2d transfer for the whole batch; the device re-widens)
-        eb = packed[:, mo + vcap:mo + vcap + 2 * ecap].reshape(b, ecap, 2)
-        eb = eb.astype(jnp.uint16)
-        esc16 = lax.bitcast_convert_type(
-            (eb[..., 0] | (eb[..., 1] << 8)).astype(jnp.uint16), jnp.int16
-        )
-        qb = packed[:, mo + vcap + 2 * ecap:].reshape(b, 3, 64, 2)
+        bounds = np.cumsum([nb * 8, nb, ncap, e8cap, 2 * e16cap, 2 * dcecap])
+        masks = packed[:, :bounds[0]]
+        dc8 = lax.bitcast_convert_type(
+            packed[:, bounds[0]:bounds[1]], jnp.int8)
+        nib = packed[:, bounds[1]:bounds[2]]
+        esc8 = lax.bitcast_convert_type(
+            packed[:, bounds[2]:bounds[3]], jnp.int8)
+        esc16 = self._i16_from_pairs(packed[:, bounds[3]:bounds[4]])
+        dcesc = self._i16_from_pairs(packed[:, bounds[4]:bounds[5]])
+        qb = packed[:, bounds[5]:].reshape(b, 3, 64, 2)
         qb = qb.astype(jnp.float32)
         q = qb[..., 0] + qb[..., 1] * 256.0
         qy, qcb, qcr = q[:, 0], q[:, 1], q[:, 2]
 
-        # Reconstruction: the Pallas kernel replaces XLA's two NB*64
-        # element gathers (~21 ms each per batch of 8 on the v5e) with
-        # structured VMEM window loads — measured 43 ms -> 3.3 ms per
-        # batch, bit-identical. Mosaic doesn't target CPU, so CPU tests
-        # take the XLA path (or 'interpret'); dp-sharded engines run the
-        # kernel per-shard via shard_map (GSPMD can't partition an opaque
-        # pallas_call, and losing the kernel on exactly the multi-chip
-        # deployments it matters for would be a 13x ingest regression).
+        # Reconstruction: the Pallas kernel replaces XLA's per-value
+        # NB*64 element gathers (~21 ms each per batch of 8 on the v5e)
+        # with structured VMEM window loads — measured 43 ms -> 3.3 ms
+        # per batch on the older int8 format, bit-identical. Mosaic
+        # doesn't target CPU, so CPU tests take the XLA path (or
+        # 'interpret'); dp-sharded engines run the kernel per-shard via
+        # shard_map (GSPMD can't partition an opaque pallas_call, and
+        # losing the kernel on exactly the multi-chip deployments it
+        # matters for would be a 13x ingest regression).
         # FASTDET_PALLAS_SPARSE=0/1/interpret overrides.
         mode = self._pallas_mode("FASTDET_PALLAS_SPARSE")
         if nb % 8 == 0 and mode != "off":
             from fastdet_tpu.ops.pallas import sparse_ingest
 
             fn = functools.partial(
-                sparse_ingest.sparse_to_coeffs_batch,
-                interpret=(mode == "interpret"))
-            coeff = self._shard_map_batch(fn, 3)(
-                masks.reshape(b, nb, 8), vals8, esc16)
+                sparse_ingest.sparse4_to_coeffs_batch,
+                yb=yb, cb=cbn, interpret=(mode == "interpret"))
+            coeff = self._shard_map_batch(fn, 6)(
+                masks.reshape(b, nb, 8), dc8, nib, esc8, esc16, dcesc)
         else:
-            coeff = jax.vmap(jpeg_device.sparse_to_coeffs)(
-                masks.reshape(b, nb, 8), vals8, esc16)
+            coeff = jax.vmap(
+                lambda m, d, nv, e8, e16, de: jpeg_device.sparse4_to_coeffs(
+                    m, d, jpeg_device.unpack_nibbles(nv), e8, e16, de,
+                    yb, cbn)
+            )(masks.reshape(b, nb, 8), dc8, nib, esc8, esc16, dcesc)
         x = jax.vmap(
             lambda c, q1, q2, q3: jpeg_device.coeffs_to_rgb01(
                 c, q1, q2, q3, size, size, hs, vs)
@@ -517,21 +546,24 @@ class DetectionEngine:
         staged = []
         jobs = []
         for layout, idxs in groups.items():
-            nb, vcap, ecap = self._sparse_caps(layout, tier)
-            row = self._sparse_row_bytes(nb, vcap, ecap)
+            nb, ncap, e8cap, e16cap, dcecap = self._sparse_caps(layout, tier)
+            row = self._sparse_row_bytes(nb, ncap, e8cap, e16cap, dcecap)
             b = self.bucket_for(len(idxs))
             packed = np.zeros((b, row), np.uint8)  # zero rows = gray frames
             thr = np.full((b,), 2.0, np.float32)
             thr[: len(idxs)] = thr_all[idxs]
             staged.append((layout, idxs, packed, thr))
-            mo = nb * 8
+            bo = np.cumsum([nb * 8, nb, ncap, e8cap, 2 * e16cap, 2 * dcecap])
             for j, i in enumerate(idxs):
                 jobs.append((
                     jpegs[i], i,
-                    packed[j, :mo],
-                    packed[j, mo:mo + vcap].view(np.int8),
-                    packed[j, mo + vcap:mo + vcap + 2 * ecap].view(np.int16),
-                    packed[j, mo + vcap + 2 * ecap:].view(np.uint16),
+                    packed[j, :bo[0]],                          # masks
+                    packed[j, bo[0]:bo[1]].view(np.int8),       # dc8
+                    packed[j, bo[1]:bo[2]],                     # nib
+                    packed[j, bo[2]:bo[3]].view(np.int8),       # esc8
+                    packed[j, bo[3]:bo[4]].view(np.int16),      # esc16
+                    packed[j, bo[4]:bo[5]].view(np.int16),      # dcesc
+                    packed[j, bo[5]:].view(np.uint16),          # q tables
                 ))
         return staged, jobs
 
@@ -542,10 +574,10 @@ class DetectionEngine:
         from fastdet_tpu.runtime import native_jpeg
 
         def _decode(job) -> Optional[int]:
-            data, i, masks, v8, e16, qrow = job
+            data, i, masks, dc8, nib, e8, e16, dce, qrow = job
             try:
-                _, _, qy, qcb, qcr = native_jpeg.decode_sparse_into(
-                    data, masks, v8, e16)
+                _, qy, qcb, qcr = native_jpeg.decode_sparse4_into(
+                    data, masks, dc8, nib, e8, e16, dce)
             except native_jpeg.SparseCapacityExceeded:
                 return i
             qrow[:64] = qy
@@ -783,9 +815,9 @@ class DetectionEngine:
                     # the first over-budget frame (observed: reference
                     # rsu2.jpg overflows the std escape budget).
                     for tier in ("std", "dense"):
-                        nb, vcap, ecap = self._sparse_caps((hs, vs), tier)
+                        caps = self._sparse_caps((hs, vs), tier)
                         packed = np.zeros(
-                            (b, self._sparse_row_bytes(nb, vcap, ecap)),
+                            (b, self._sparse_row_bytes(*caps)),
                             np.uint8)
                         jobs.append((self._sparse_jit((hs, vs), tier),
                                      (self.params, self._place(packed),

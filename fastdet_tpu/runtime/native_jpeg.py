@@ -104,14 +104,17 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int16), ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint16),
     ]
-    lib.fd_jpeg_sparse.restype = ctypes.c_int
-    lib.fd_jpeg_sparse.argtypes = [
+    lib.fd_jpeg_sparse4.restype = ctypes.c_int
+    lib.fd_jpeg_sparse4.argtypes = [
         ctypes.c_char_p, ctypes.c_long,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
-        ctypes.POINTER(ctypes.c_int8), ctypes.c_long,
-        ctypes.POINTER(ctypes.c_int16), ctypes.c_long,
-        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
-        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,   # masks
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_long,    # dc8
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,   # nib
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_long,    # esc8
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_long,   # esc16
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_long,   # dcesc
+        ctypes.POINTER(ctypes.c_long),                   # counts[4]
+        ctypes.POINTER(ctypes.c_uint16),                 # qtabs
     ]
     # Output-contract check: a stale prebuilt library missing this symbol
     # (or with an older contract) must degrade to the fallback decoders —
@@ -119,8 +122,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.fd_jpeg_abi.restype = ctypes.c_int
     lib.fd_jpeg_abi.argtypes = []
     abi = lib.fd_jpeg_abi()
-    if abi != 2:
-        raise AttributeError(f"fd_jpeg ABI {abi} != expected 2")
+    if abi != 3:
+        raise AttributeError(f"fd_jpeg ABI {abi} != expected 3")
     return lib
 
 
@@ -351,25 +354,34 @@ def sparse_geometry(w: int, h: int, hs: int, vs: int) -> Tuple[int, int]:
     return yb, cb
 
 
-def decode_sparse_into(
+def decode_sparse4_into(
     data: bytes,
     masks: np.ndarray,
-    vals8: np.ndarray,
+    dc8: np.ndarray,
+    nib: np.ndarray,
+    esc8: np.ndarray,
     esc16: np.ndarray,
-) -> Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]:
-    """Entropy-decode into caller-provided packed-sparse views.
+    dcesc: np.ndarray,
+) -> Tuple[Tuple[int, int, int, int], np.ndarray, np.ndarray, np.ndarray]:
+    """Entropy-decode into caller-provided nibble-sparse (v4) views.
 
-    ``masks``: (NB*8,) uint8 — 8 bytes per block, bit k&7 of byte k>>3 set
-    when natural-order coefficient k is nonzero, blocks ordered Y raster,
-    Cb raster, Cr raster. ``vals8``: (VCAP,) int8 nonzero stream (-128 =
-    escape). ``esc16``: (ECAP,) int16 escape stream. All three may be
-    views into one batch row (no per-frame allocation). Returns
-    (nnz, nesc, qy, qcb, qcr) with the per-component quant tables as
-    (64,) uint16 in natural order (qcb is qcr for the common shared-table
-    case, but a legal JPEG may give Cr its own table). Raises
-    SparseCapacityExceeded when the frame outgrows the vals8/esc16
-    budgets (caller falls back to the plane path), ValueError for
-    malformed/unsupported files.
+    ``masks``: (NB*8,) uint8 — 8 bytes per block, bit k&7 of byte k>>3
+    set when natural-order coefficient k is nonzero (bit 0 informative
+    only), blocks ordered Y raster, Cb raster, Cr raster. ``dc8``: (NB,)
+    int8 — quantized DC as a raster delta per component (-128 = take the
+    next ``dcesc`` int16 entry). ``nib``: (NCAP_BYTES,) uint8 — nonzero
+    AC values in increasing natural order, 4-bit two's complement packed
+    two per byte (entry 2i = low nibble of byte i), 0x8 (-8) = take the
+    next ``esc8`` entry. ``esc8``: (E8CAP,) int8 (-128 = take the next
+    ``esc16`` entry). ``esc16``/``dcesc``: int16 streams. All views may
+    alias one batch row (no per-frame allocation). Returns
+    ((n_ac, n_esc8, n_esc16, n_dcesc), qy, qcb, qcr) with the
+    per-component quant tables as (64,) uint16 in natural order (qcb is
+    qcr for the common shared-table case, but a legal JPEG may give Cr
+    its own table). Raises SparseCapacityExceeded when the frame
+    outgrows any stream budget or a block exceeds 16 escapes per level
+    (caller retries a bigger tier or falls back to the plane path),
+    ValueError for malformed/unsupported files.
     """
     lib = _load()
     info = _scan_info(data)   # ONE header parse serves layout + tq needs
@@ -380,28 +392,38 @@ def decode_sparse_into(
         raise ValueError("masks must be contiguous uint8")
     if masks.shape != (nb * 8,):
         raise ValueError(f"masks shape {masks.shape} != ({nb * 8},)")
-    if vals8.dtype != np.int8 or not vals8.flags.c_contiguous:
-        raise ValueError("vals8 must be contiguous int8")
+    if dc8.dtype != np.int8 or dc8.shape != (nb,) or not dc8.flags.c_contiguous:
+        raise ValueError(f"dc8 must be contiguous ({nb},) int8")
+    if nib.dtype != np.uint8 or not nib.flags.c_contiguous:
+        raise ValueError("nib must be contiguous uint8")
+    if esc8.dtype != np.int8 or not esc8.flags.c_contiguous:
+        raise ValueError("esc8 must be contiguous int8")
     if esc16.dtype != np.int16 or not esc16.flags.c_contiguous:
         raise ValueError("esc16 must be contiguous int16")
-    nnz = ctypes.c_long()
-    nesc = ctypes.c_long()
+    if dcesc.dtype != np.int16 or not dcesc.flags.c_contiguous:
+        raise ValueError("dcesc must be contiguous int16")
+    counts = (ctypes.c_long * 4)()
     q = np.zeros((4, 64), np.uint16)
-    rc = lib.fd_jpeg_sparse(
+    rc = lib.fd_jpeg_sparse4(
         data, len(data),
         masks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), masks.size,
-        vals8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), vals8.size,
+        dc8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), dc8.size,
+        nib.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nib.size,
+        esc8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), esc8.size,
         esc16.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), esc16.size,
-        ctypes.byref(nnz), ctypes.byref(nesc),
+        dcesc.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), dcesc.size,
+        counts,
         q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
     )
+    cts = (counts[0], counts[1], counts[2], counts[3])
     if rc == -5:  # ERR_CAPACITY: valid frame, too dense for the budget
         raise SparseCapacityExceeded(
-            f"nnz={nnz.value}/{vals8.size} nesc={nesc.value}/{esc16.size}"
+            f"ac={cts[0]}/{2 * nib.size} esc8={cts[1]}/{esc8.size} "
+            f"esc16={cts[2]}/{esc16.size} dcesc={cts[3]}/{dcesc.size}"
         )
     if rc != 0:
-        raise ValueError(f"fd_jpeg_sparse failed: rc={rc}")
-    return nnz.value, nesc.value, q[info[11]], q[info[12]], q[info[13]]
+        raise ValueError(f"fd_jpeg_sparse4 failed: rc={rc}")
+    return cts, q[info[11]], q[info[12]], q[info[13]]
 
 
 def decode_rgb(data: bytes) -> np.ndarray:

@@ -43,9 +43,12 @@ constexpr int ERR_CAPACITY = -5;
 // 416x416; this bounds allocations against crafted headers).
 constexpr long kMaxPixels = 64L * 1024 * 1024;
 constexpr int kMaxDim = 1 << 16;
-// Sparse emitter: max escape values (|v| > 127) per block — the device
-// reconstruction kernel reads escapes through a fixed 16-wide window.
-constexpr int kMaxEscPerBlock = 16;
+// Nibble emitter (v4) per-block escape caps: the kernel reads level-1
+// (|v| > 7 -> esc8) escapes through a 32-wide window (measured worst
+// real-photo block: 28) and level-2 (|v| > 127 -> esc16) through a
+// 16-wide one (measured worst: 6). Denser blocks -> ERR_CAPACITY.
+constexpr int kMaxEsc8PerBlock = 32;
+constexpr int kMaxEsc16PerBlock = 16;
 
 struct HuffTable {
   // Canonical Huffman decode via per-length first-code/offset tables.
@@ -789,28 +792,37 @@ int decode_planes(Decoder& d, uint8_t* outs[3], const long caps[3],
   return 0;
 }
 
-// Packed sparse coefficients: the minimum-byte host->device format.
-//
-// JPEG quantization leaves most of the 64 coefficients in a block zero
-// (typically ~6-14 nonzero, measured 99-99.5% of nonzeros in [-127,127]),
-// so shipping dense int16 coefficient planes (128 B/block) or raw
-// subsampled pixels (64-96 B/block) wastes link bandwidth. This emitter
-// packs each block as
-//   - an 8-byte bitmask over the 64 NATURAL-order coefficient positions
-//     (bit k&7 of byte k>>3 — numpy unpackbits(bitorder='little')),
-//   - its nonzero values appended, in increasing coefficient index, to a
-//     shared int8 stream, where the sentinel -128 means "take the next
-//     entry of the int16 escape stream" (values outside [-127,127]).
-// Blocks are ordered comp0 raster, comp1 raster, comp2 raster (dims from
-// fd_jpeg_scan_info). The device reconstructs dense blocks with two
-// prefix-sums + gathers and runs dequant+IDCT as one MXU matmul
-// (fastdet_tpu/ops/jpeg_device.py). At typical camera quality this is
-// ~0.2-0.4 B/px vs 1.5 B/px for 4:2:0 planes, and the host does only
-// entropy decode (no IDCT/upsample/color).
-int decode_sparse(Decoder& d, uint8_t* masks, long masks_cap,
-                  int8_t* vals8, long vals8_cap,
-                  int16_t* esc16, long esc_cap,
-                  long* nnz_out, long* nesc_out) {
+// Nibble-packed sparse coefficients (format v4), sized by MEASURED
+// content (tools/
+// measure_sparse_stats.py): at camera quality ~98.5% of nonzero AC
+// values fit 4 bits, so the int8 value stream spent half its bytes on
+// sign extension, and the DC column (always nonzero, often > 127)
+// forced escapes. The v4 row ships, per frame:
+//   - masks   nb*8  : unchanged nonzero bitmask (natural order);
+//   - dc8     nb    : quantized DC as an int8 RASTER DELTA per component
+//                     (prev resets to 0 at each component's first block;
+//                     JPEG's own DC prediction, re-applied), sentinel
+//                     -128 -> next int16 entry of the dcesc stream;
+//   - nib           : nonzero AC values in increasing natural order,
+//                     4-bit two's complement packed 2 per byte (entry 2i
+//                     = low nibble of byte i), sentinel -8 (0x8) -> next
+//                     esc8 entry;
+//   - esc8          : int8 AC escapes, sentinel -128 -> next esc16 entry;
+//   - esc16         : int16 AC escapes (full coefficient range);
+//   - dcesc         : int16 DC-delta escapes.
+// The device undoes the chain with structured vector work only (two
+// in-kernel escape substitutions + one per-component cumsum for DC);
+// see fastdet_tpu/ops/pallas/sparse_ingest.py. Per-block escape counts
+// are capped (kMaxEsc8PerBlock / kMaxEsc16PerBlock) so each level fits
+// one fixed-width kernel window; denser blocks return ERR_CAPACITY
+// (caller retries a bigger tier or falls back to planes).
+int decode_sparse4(Decoder& d, uint8_t* masks, long masks_cap,
+                   int8_t* dc8, long dc_cap,
+                   uint8_t* nib, long nib_cap,
+                   int8_t* esc8, long e8_cap,
+                   int16_t* esc16, long e16_cap,
+                   int16_t* dcesc, long dce_cap,
+                   long counts[4]) {
   int hmax = 1, vmax = 1;
   for (int i = 0; i < d.ncomp; ++i) {
     if (d.comp[i].hs > hmax) hmax = d.comp[i].hs;
@@ -826,9 +838,8 @@ int decode_sparse(Decoder& d, uint8_t* masks, long masks_cap,
     base[i] = total_blocks;
     total_blocks += bw[i] * bh;
   }
-  if (total_blocks * 8 > masks_cap) return ERR_CAPACITY;
-  // Dense staging in block-raster order (the scan emits luma blocks in
-  // MCU order, which differs when luma is subsampled-above-chroma).
+  if (total_blocks * 8 > masks_cap || total_blocks > dc_cap)
+    return ERR_CAPACITY;
   std::vector<int16_t> stage((size_t)total_blocks * 64, 0);
   int rc = d.scan_mcus([&](int ci, long bx, long by, const int16_t* blk,
                            bool) -> int {
@@ -838,35 +849,65 @@ int decode_sparse(Decoder& d, uint8_t* masks, long masks_cap,
   });
   if (rc) return rc;
   memset(masks, 0, (size_t)total_blocks * 8);
-  long nnz = 0, nesc = 0;
-  bool esc_overflow = false;
+  memset(nib, 0, (size_t)nib_cap);
+  long nac = 0, ne8 = 0, ne16 = 0, ndce = 0;
+  bool overflow = false;
+  int comp_next = 1;  // index of the next component boundary in base[]
+  int16_t prev_dc = 0;
   for (long b = 0; b < total_blocks; ++b) {
+    if (comp_next < d.ncomp && b == base[comp_next]) {
+      prev_dc = 0;  // DC prediction restarts per component
+      ++comp_next;
+    }
     const int16_t* blk = &stage[(size_t)b * 64];
     uint8_t* m = masks + b * 8;
-    int blk_esc = 0;
-    for (int k = 0; k < 64; ++k) {
-      int16_t v = blk[k];
-      if (v) {
-        m[k >> 3] |= (uint8_t)(1u << (k & 7));
-        if (v >= -127 && v <= 127) {
-          if (nnz < vals8_cap) vals8[nnz] = (int8_t)v;
-        } else {
-          if (nnz < vals8_cap) vals8[nnz] = -128;  // escape sentinel
-          if (nesc < esc_cap) esc16[nesc] = v;
-          ++nesc;
-          ++blk_esc;
-        }
-        ++nnz;
-      }
+    // DC: int8 delta with int16 escape (delta fits int16: |dc| <= 2048).
+    int delta = (int)blk[0] - (int)prev_dc;
+    prev_dc = blk[0];
+    if (delta >= -127 && delta <= 127) {
+      dc8[b] = (int8_t)delta;
+    } else {
+      dc8[b] = -128;
+      if (ndce < dce_cap) dcesc[ndce] = (int16_t)delta;
+      ++ndce;
     }
-    // TPU-kernel contract: a block's escapes fit one 16-wide window
-    // (fastdet_tpu/ops/pallas/sparse_ingest.py EW). Denser blocks push
-    // the frame to the plane path.
-    if (blk_esc > kMaxEscPerBlock) esc_overflow = true;
+    if (blk[0]) m[0] |= 1u;  // informative only; the device reads dc8
+    int be8 = 0, be16 = 0;
+    for (int k = 1; k < 64; ++k) {
+      int16_t v = blk[k];
+      if (!v) continue;
+      m[k >> 3] |= (uint8_t)(1u << (k & 7));
+      int8_t nv;
+      if (v >= -7 && v <= 7) {
+        nv = (int8_t)v;
+      } else {
+        nv = -8;  // escape sentinel
+        ++be8;
+        if (v >= -127 && v <= 127) {
+          if (ne8 < e8_cap) esc8[ne8] = (int8_t)v;
+        } else {
+          if (ne8 < e8_cap) esc8[ne8] = -128;  // level-2 sentinel
+          if (ne16 < e16_cap) esc16[ne16] = v;
+          ++ne16;
+          ++be16;
+        }
+        ++ne8;
+      }
+      if ((nac >> 1) < nib_cap) {
+        uint8_t n4 = (uint8_t)(nv & 0xF);
+        if (nac & 1) nib[nac >> 1] |= (uint8_t)(n4 << 4);
+        else nib[nac >> 1] = n4;
+      }
+      ++nac;
+    }
+    if (be8 > kMaxEsc8PerBlock || be16 > kMaxEsc16PerBlock) overflow = true;
   }
-  *nnz_out = nnz;
-  *nesc_out = nesc;
-  return (nnz <= vals8_cap && nesc <= esc_cap && !esc_overflow)
+  counts[0] = nac;
+  counts[1] = ne8;
+  counts[2] = ne16;
+  counts[3] = ndce;
+  return ((nac + 1) / 2 <= nib_cap && ne8 <= e8_cap && ne16 <= e16_cap &&
+          ndce <= dce_cap && !overflow)
              ? 0 : ERR_CAPACITY;
 }
 
@@ -961,25 +1002,26 @@ int fd_jpeg_planes420(const uint8_t* data, long n,
   return decode_planes(d, outs, caps, nullptr);
 }
 
-// Entropy-decode into packed sparse form (see decode_sparse above).
-// masks: 8 bytes per block over every component's block grid (caller
-// sizes from fd_jpeg_scan_info); vals8/esc16: nonzero streams with
-// caller-chosen capacities. On ERR_CAPACITY *nnz_out/*nesc_out still
-// report the true counts so the caller can distinguish "frame too dense
-// for my budget" (fall back to the plane path) from a malformed file.
-int fd_jpeg_sparse(const uint8_t* data, long n,
-                   uint8_t* masks, long masks_cap,
-                   int8_t* vals8, long vals8_cap,
-                   int16_t* esc16, long esc_cap,
-                   long* nnz_out, long* nesc_out, uint16_t* qtabs) {
+// Entropy-decode into nibble-packed sparse form (see decode_sparse4
+// above). counts: 4 longs [n_ac_values, n_esc8, n_esc16, n_dcesc],
+// written with the TRUE totals even on ERR_CAPACITY so the caller can
+// size a retry tier.
+int fd_jpeg_sparse4(const uint8_t* data, long n,
+                    uint8_t* masks, long masks_cap,
+                    int8_t* dc8, long dc_cap,
+                    uint8_t* nib, long nib_cap,
+                    int8_t* esc8, long e8_cap,
+                    int16_t* esc16, long e16_cap,
+                    int16_t* dcesc, long dce_cap,
+                    long* counts, uint16_t* qtabs) {
   Decoder d{data, n};
   int rc = d.parse_headers();
   if (rc) return rc;
-  *nnz_out = 0;
-  *nesc_out = 0;
+  counts[0] = counts[1] = counts[2] = counts[3] = 0;
   try {
-    rc = decode_sparse(d, masks, masks_cap, vals8, vals8_cap, esc16, esc_cap,
-                       nnz_out, nesc_out);
+    rc = decode_sparse4(d, masks, masks_cap, dc8, dc_cap, nib, nib_cap,
+                        esc8, e8_cap, esc16, e16_cap, dcesc, dce_cap,
+                        counts);
   } catch (const std::bad_alloc&) {
     return ERR_CAPACITY;  // never unwind through the ctypes boundary
   }
@@ -1018,6 +1060,7 @@ const char* fd_jpeg_version() { return "fd_jpeg 0.3 (baseline sequential)"; }
 // already fails the bind on stale libraries, but a layout change — like
 // fd_jpeg_scan_info growing 13 -> 14 ints — would otherwise go silently
 // wrong). 2 = 14-int scan_info with per-component quant table indices.
-int fd_jpeg_abi() { return 2; }
+// 3 = adds fd_jpeg_sparse4 (nibble-packed sparse format).
+int fd_jpeg_abi() { return 3; }
 
 }  // extern "C"

@@ -154,28 +154,16 @@ def test_shard_map_sparse_kernel_bit_exact(cpu_devices):
     spec, params = _small_spec()
     multi = DetectionEngine(spec, params, mode="f32", buckets=(8,),
                             devices=cpu_devices)
+    from tests.test_sparse_path import _random_v4_case
+
     rng = np.random.RandomState(3)
-    B, NB, VCAP, ECAP = 8, 16, 256, 32
-    masks = np.zeros((B, NB, 8), np.uint8)
-    vals8 = np.zeros((B, VCAP), np.int8)
-    esc16 = np.zeros((B, ECAP), np.int16)
-    for b in range(B):
-        cnt = ecnt = 0
-        for n in range(NB):
-            for p in np.sort(rng.choice(64, rng.randint(0, 20), replace=False)):
-                masks[b, n, p >> 3] |= 1 << (p & 7)
-                if rng.rand() < 0.1 and ecnt < ECAP - 1:
-                    vals8[b, cnt] = -128
-                    esc16[b, ecnt] = rng.randint(128, 1000)
-                    ecnt += 1
-                else:
-                    vals8[b, cnt] = rng.randint(-127, 128)
-                cnt += 1
-    fn = functools.partial(sparse_ingest.sparse_to_coeffs_batch,
-                           interpret=True)
-    m, v, e = jnp.asarray(masks), jnp.asarray(vals8), jnp.asarray(esc16)
-    sharded = np.asarray(multi._shard_map_batch(fn, 3)(m, v, e))
-    plain = np.asarray(fn(m, v, e))
+    arrs = _random_v4_case(rng, B=8, NB=16, NCAPB=160, E8CAP=128,
+                           E16CAP=64, DCECAP=64)
+    fn = functools.partial(sparse_ingest.sparse4_to_coeffs_batch,
+                           yb=8, cb=4, interpret=True)
+    args = tuple(jnp.asarray(a) for a in arrs)
+    sharded = np.asarray(multi._shard_map_batch(fn, 6)(*args))
+    plain = np.asarray(fn(*args))
     assert np.array_equal(sharded, plain)
 
 
@@ -192,7 +180,9 @@ def test_dp_engine_sparse_ingest_matches_single_device(cpu_devices):
                             devices=cpu_devices)
     single = DetectionEngine(spec, params, mode="f32", buckets=(8,),
                              devices=cpu_devices[:1])
-    jpegs = [jpeg.encode_rgb(img, 90) for img in _imgs(8)]
+    from tests.test_sparse_path import _scene
+
+    jpegs = [_scene(i) for i in range(8)]  # camera-clean: std tier
     thrs = [0.5] * 8
     res_m = multi.detect_async_sparse(jpegs, thrs)
     res_s = single.detect_async_sparse(jpegs, thrs)

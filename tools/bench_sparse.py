@@ -84,17 +84,14 @@ def main():
 
 
 def _stage_sparse(engine, native_jpeg, jpegs):
-    data = jpegs[0]
-    w, h, hs, vs = native_jpeg.scan_layout(data)
-    nb, vcap, ecap = engine._sparse_caps((hs, vs))
-    row = engine._sparse_row_bytes(nb, vcap, ecap)
-    packed = np.zeros((len(jpegs), row), np.uint8)
-    mo = nb * 8
-    for j, d in enumerate(jpegs):
-        native_jpeg.decode_sparse_into(
-            d, packed[j, :mo], packed[j, mo:mo + vcap].view(np.int8),
-            packed[j, mo + vcap:mo + vcap + 2 * ecap].view(np.int16))
-    return packed
+    # the engine's own staging: v4 row allocation + entropy decode into
+    # the packed views (per-frame overflow would surface in the result)
+    thr = np.full((len(jpegs),), 0.5, np.float32)
+    w, h, hs, vs = native_jpeg.scan_layout(jpegs[0])
+    groups = {(hs, vs): list(range(len(jpegs)))}
+    staged, jobs = engine._stage_sparse(jpegs, thr, groups, "std")
+    engine._run_sparse_jobs(jobs)
+    return staged
 
 
 if __name__ == "__main__":
