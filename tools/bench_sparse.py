@@ -44,8 +44,8 @@ def main():
     thrs = [0.1] * args.batch
 
     w, h, hs, vs = native_jpeg.scan_layout(data)
-    nb, vcap, ecap = engine._sparse_caps((hs, vs))
-    row = engine._sparse_row_bytes(nb, vcap, ecap)
+    caps = engine._sparse_caps((hs, vs))
+    row = engine._sparse_row_bytes(*caps)
     planes_bytes = h * w + 2 * (h // vs) * (w // hs)
     print(f"layout={hs}{vs} sparse_row={row}B planes_row={planes_bytes}B "
           f"pixels_row={h*w*3}B ratio={planes_bytes/row:.2f}x")
