@@ -184,20 +184,34 @@ class DetectionEngine:
         # 0.23 esc16 per block on rsu2.jpg) retry on the "dense" tier and
         # still ride the sparse wire format instead of degrading to the
         # 4-5x-bigger plane path; only dense-tier overflow does that.
+        # Env names are v4-specific (AC_/ESC8_): the v3 knobs
+        # (FASTDET_SPARSE_BUDGET counted DC+AC values, FASTDET_SPARSE_
+        # ESC_BUDGET counted int16 escapes) have different units, and a
+        # stale v3 value silently mis-sizing a tier would reroute real
+        # photos to the 4-5x-bigger plane path — stale settings are
+        # ignored (defaults apply) rather than reinterpreted.
         self._sparse_budgets = {
             "std": (
-                float(os.environ.get("FASTDET_SPARSE_BUDGET", "14")),
-                float(os.environ.get("FASTDET_SPARSE_ESC_BUDGET", "0.4")),
+                float(os.environ.get("FASTDET_SPARSE_AC_BUDGET", "14")),
+                float(os.environ.get("FASTDET_SPARSE_ESC8_BUDGET", "0.4")),
                 float(os.environ.get("FASTDET_SPARSE_ESC16_BUDGET", "0.03")),
                 float(os.environ.get("FASTDET_SPARSE_DCESC_BUDGET", "0.04")),
             ),
             "dense": (
-                float(os.environ.get("FASTDET_SPARSE_BUDGET_DENSE", "15")),
-                float(os.environ.get("FASTDET_SPARSE_ESC_BUDGET_DENSE", "4.2")),
+                float(os.environ.get("FASTDET_SPARSE_AC_BUDGET_DENSE", "15")),
+                float(os.environ.get("FASTDET_SPARSE_ESC8_BUDGET_DENSE", "4.2")),
                 float(os.environ.get("FASTDET_SPARSE_ESC16_BUDGET_DENSE", "0.3")),
                 float(os.environ.get("FASTDET_SPARSE_DCESC_BUDGET_DENSE", "0.25")),
             ),
         }
+        for stale in ("FASTDET_SPARSE_BUDGET", "FASTDET_SPARSE_ESC_BUDGET",
+                      "FASTDET_SPARSE_BUDGET_DENSE",
+                      "FASTDET_SPARSE_ESC_BUDGET_DENSE"):
+            if stale in os.environ:
+                logger.warning(
+                    "%s is a v3 sparse-format knob and is IGNORED; the v4 "
+                    "budgets use FASTDET_SPARSE_AC_BUDGET / _ESC8_BUDGET / "
+                    "_ESC16_BUDGET / _DCESC_BUDGET (+_DENSE)", stale)
         self.mode = mode
         self.compute_dtype = _COMPUTE_DTYPES.get(mode, jnp.bfloat16)
         self.max_candidates = max_candidates

@@ -379,9 +379,11 @@ def decode_sparse4_into(
     per-component quant tables as (64,) uint16 in natural order (qcb is
     qcr for the common shared-table case, but a legal JPEG may give Cr
     its own table). Raises SparseCapacityExceeded when the frame
-    outgrows any stream budget or a block exceeds 16 escapes per level
-    (caller retries a bigger tier or falls back to the plane path),
-    ValueError for malformed/unsupported files.
+    outgrows any stream budget or a block exceeds the per-block escape
+    caps (32 at level 1, 16 at level 2 — fd_jpeg.cpp kMaxEsc8PerBlock /
+    kMaxEsc16PerBlock, matching the kernel window widths; caller retries
+    a bigger tier or falls back to the plane path), ValueError for
+    malformed/unsupported files.
     """
     lib = _load()
     info = _scan_info(data)   # ONE header parse serves layout + tq needs

@@ -916,7 +916,11 @@ int decode_sparse4(Decoder& d, uint8_t* masks, long masks_cap,
       ++ndce;
     }
     uint64_t mask = nonzero_mask64(blk);  // bit 0 (DC) informative only
-    memcpy(m, &mask, 8);  // little-endian layout == byte k>>3, bit k&7
+    // the LE uint64 byte layout IS the wire layout (byte k>>3, bit k&7);
+    // guarded at compile time so a BE port fails loudly, not silently
+    static_assert(__BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__,
+                  "v4 mask bytes assume a little-endian host");
+    memcpy(m, &mask, 8);
     int be8 = 0, be16 = 0;
     for (uint64_t ac = mask & ~1ull; ac; ac &= ac - 1) {
       int k = __builtin_ctzll(ac);
@@ -1048,8 +1052,12 @@ int fd_jpeg_planes420(const uint8_t* data, long n,
 
 // Entropy-decode into nibble-packed sparse form (see decode_sparse4
 // above). counts: 4 longs [n_ac_values, n_esc8, n_esc16, n_dcesc],
-// written with the TRUE totals even on ERR_CAPACITY so the caller can
-// size a retry tier.
+// written with the TRUE totals even when a STREAM budget returns
+// ERR_CAPACITY, so the caller can size a retry tier. Exception: when
+// the masks/dc8 buffers are too small for the frame's geometry (a
+// caller sizing error, not content density — both are computable from
+// fd_jpeg_scan_info before decoding), the decode is not attempted and
+// counts stay zero.
 int fd_jpeg_sparse4(const uint8_t* data, long n,
                     uint8_t* masks, long masks_cap,
                     int8_t* dc8, long dc_cap,

@@ -44,10 +44,15 @@ def main():
     thrs = [0.1] * args.batch
 
     w, h, hs, vs = native_jpeg.scan_layout(data)
-    caps = engine._sparse_caps((hs, vs))
+    tier = _sparse_tier(engine, native_jpeg, jpegs)
+    if tier is None:
+        print("fixture overflows both sparse tiers (plane path serves it);"
+              " host-sparse staging is skipped")
+    caps = engine._sparse_caps((hs, vs), tier or "std")
     row = engine._sparse_row_bytes(*caps)
     planes_bytes = h * w + 2 * (h // vs) * (w // hs)
-    print(f"layout={hs}{vs} sparse_row={row}B planes_row={planes_bytes}B "
+    print(f"layout={hs}{vs} tier={tier} sparse_row={row}B "
+          f"planes_row={planes_bytes}B "
           f"pixels_row={h*w*3}B ratio={planes_bytes/row:.2f}x")
 
     def timed(label, dispatch):
@@ -70,11 +75,16 @@ def main():
     timed("pixels", lambda: engine.detect_async(imgs, thrs))
 
     # host-side staging cost only (no device)
-    for label, fn in (
-        ("host sparse", lambda: _stage_sparse(engine, native_jpeg, jpegs)),
+    host_rows = []
+    if tier is not None:
+        host_rows.append(
+            ("host sparse",
+             lambda: _stage_sparse(engine, native_jpeg, jpegs, tier)))
+    host_rows += [
         ("host planes", lambda: [native_jpeg.decode_planes(d) for d in jpegs]),
         ("host pixels", lambda: [jpeg.decode_rgb(d) for d in jpegs]),
-    ):
+    ]
+    for label, fn in host_rows:
         fn()
         t0 = time.perf_counter()
         for _ in range(args.iters):
@@ -83,14 +93,30 @@ def main():
         print(f"{label:12s} {dt:6.2f} ms/batch ({dt/args.batch:5.3f} ms/frame)")
 
 
-def _stage_sparse(engine, native_jpeg, jpegs):
-    # the engine's own staging: v4 row allocation + entropy decode into
-    # the packed views (per-frame overflow would surface in the result)
+def _sparse_tier(engine, native_jpeg, jpegs):
+    """The capacity tier these frames actually ride (std -> dense), or
+    None if they overflow both (the plane path would serve them)."""
     thr = np.full((len(jpegs),), 0.5, np.float32)
     w, h, hs, vs = native_jpeg.scan_layout(jpegs[0])
     groups = {(hs, vs): list(range(len(jpegs)))}
-    staged, jobs = engine._stage_sparse(jpegs, thr, groups, "std")
-    engine._run_sparse_jobs(jobs)
+    for tier in ("std", "dense"):
+        _, jobs = engine._stage_sparse(jpegs, thr, groups, tier)
+        overflow = engine._run_sparse_jobs(jobs)
+        if overflow is not None and not overflow:
+            return tier
+    return None
+
+
+def _stage_sparse(engine, native_jpeg, jpegs, tier):
+    # the engine's own staging: v4 row allocation + entropy decode into
+    # the packed views, on the tier this fixture actually rides
+    thr = np.full((len(jpegs),), 0.5, np.float32)
+    w, h, hs, vs = native_jpeg.scan_layout(jpegs[0])
+    groups = {(hs, vs): list(range(len(jpegs)))}
+    staged, jobs = engine._stage_sparse(jpegs, thr, groups, tier)
+    overflow = engine._run_sparse_jobs(jobs)
+    assert overflow is not None and not overflow, \
+        f"fixture overflows the {tier} tier mid-benchmark"
     return staged
 
 

@@ -121,7 +121,6 @@ def fmt_bytes(stats):
 def main():
     from bench import make_jpegs  # noqa: E402  (repo root on path)
 
-    sys.path.insert(0, REPO)
     frames = [("bench%d" % i, d) for i, d in enumerate(make_jpegs(6))]
     for name in ("dog.jpg", "rsu1.jpg", "rsu2.jpg"):
         p = os.path.join("/root/reference/testdata", name)
