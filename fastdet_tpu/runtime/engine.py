@@ -262,6 +262,9 @@ class DetectionEngine:
         self._jit_coeffs = jax.jit(self._pipeline_coeffs)
         self._jit_planes_cache: Dict[Tuple[int, int], Any] = {}
         self._jit_sparse_cache: Dict[Tuple[int, int], Any] = {}
+        # Tier memory: layout -> "dense" when recent traffic of that
+        # layout mostly overflowed the std tier (see detect_async_sparse)
+        self._tier_hint: Dict[Tuple[int, int], str] = {}
         self.max_batch = self.buckets[-1]
 
     def _place(self, arr: np.ndarray):
@@ -581,23 +584,27 @@ class DetectionEngine:
                 ))
         return staged, jobs
 
-    def _run_sparse_jobs(self, jobs) -> Optional[List[int]]:
-        """Entropy-decode each job into its row; returns the indices of
-        frames denser than the tier's budget, or None on decode failure
-        (caller falls back entirely)."""
+    def _run_sparse_jobs(
+        self, jobs
+    ) -> Optional[Tuple[List[int], Dict[int, Tuple[int, int, int, int]]]]:
+        """Entropy-decode each job into its row; returns (overflow
+        indices, {frame index: emitter counts for SUCCESSFUL decodes}),
+        or None on decode failure (caller falls back entirely). The
+        counts feed the tier-memory heuristic (see detect_async_sparse):
+        they tell whether a dense-staged frame would have fit std."""
         from fastdet_tpu.runtime import native_jpeg
 
-        def _decode(job) -> Optional[int]:
+        def _decode(job):
             data, i, masks, dc8, nib, e8, e16, dce, qrow = job
             try:
-                _, qy, qcb, qcr = native_jpeg.decode_sparse4_into(
+                cts, qy, qcb, qcr = native_jpeg.decode_sparse4_into(
                     data, masks, dc8, nib, e8, e16, dce)
             except native_jpeg.SparseCapacityExceeded:
-                return i
+                return i, None
             qrow[:64] = qy
             qrow[64:128] = qcb
             qrow[128:] = qcr
-            return None
+            return i, cts
 
         try:
             pool = _decode_pool() if len(jobs) > 1 else None
@@ -607,7 +614,19 @@ class DetectionEngine:
             )
         except (ValueError, native_jpeg.NativeJpegUnavailable):
             return None
-        return [i for i in outcomes if i is not None]
+        overflow = [i for i, cts in outcomes if cts is None]
+        counts = {i: cts for i, cts in outcomes if cts is not None}
+        return overflow, counts
+
+    def _fits_tier(self, layout: Tuple[int, int], tier: str,
+                   cts: Tuple[int, int, int, int]) -> bool:
+        """Would a frame with these emitter counts fit the tier's
+        stream capacities? (Per-block escape caps are tier-independent,
+        so counts from any successful decode settle them.)"""
+        _, ncap, e8cap, e16cap, dcecap = self._sparse_caps(layout, tier)
+        nac, ne8, ne16, ndce = cts
+        return ((nac + 1) // 2 <= ncap and ne8 <= e8cap
+                and ne16 <= e16cap and ndce <= dcecap)
 
     def detect_async_sparse(
         self, jpegs: Sequence[bytes], thresholds: Sequence[float]
@@ -623,6 +642,17 @@ class DetectionEngine:
         (counts keys: "sparse" = std tier, "sparse_dense", "planes").
         Returns None when the whole batch can't take a native fast path
         (caller decodes pixels on host).
+
+        Tier memory: a std-tier attempt on photo-dense traffic costs a
+        full wasted entropy decode per frame (~2 ms on a 1-core host —
+        real photos overflow std's escape budgets every time), so when
+        MOST of a layout group overflows std, the engine remembers and
+        starts that layout at the dense tier. The emitter's true counts
+        (returned with every successful decode) clear the hint the
+        moment most of a dense-staged group would have fit std again —
+        fully adaptive, no timers, no extra decodes in either steady
+        state. Results are identical either way (the reconstruction is
+        exact on both tiers); only wire bytes and host decode time move.
         """
         import os
 
@@ -650,23 +680,40 @@ class DetectionEngine:
         parts = []
         counts: Dict[str, int] = {}
         tags: List[str] = []
-        pending = groups
+        pending = {lay: idxs for lay, idxs in groups.items()
+                   if self._tier_hint.get(lay) != "dense"}
+        dense_start = {lay: idxs for lay, idxs in groups.items()
+                       if self._tier_hint.get(lay) == "dense"}
         for tier, count_key, tag_fmt in (
             ("std", "sparse", "sparse:%d%d"),
             ("dense", "sparse_dense", "sparse+:%d%d"),
         ):
+            if tier == "dense":
+                for lay, idxs in dense_start.items():
+                    pending.setdefault(lay, []).extend(idxs)
+                    pending[lay].sort()
             if not pending:
-                break
+                continue
             staged, jobs = self._stage_sparse(jpegs, thr_all, pending, tier)
-            overflow = self._run_sparse_jobs(jobs)
-            if overflow is None:
+            decoded = self._run_sparse_jobs(jobs)
+            if decoded is None:
                 return None
+            overflow, frame_cts = decoded
             ov = set(overflow)
             next_pending: Dict[Tuple[int, int], List[int]] = {}
             for layout, idxs, packed, thr in staged:
                 ovl = [i for i in idxs if i in ov]
                 if ovl:
                     next_pending[layout] = ovl
+                if tier == "std" and 2 * len(ovl) > len(idxs):
+                    self._tier_hint[layout] = "dense"
+                elif tier == "dense" and layout in dense_start:
+                    fit = sum(
+                        1 for i in idxs
+                        if i in frame_cts
+                        and self._fits_tier(layout, "std", frame_cts[i]))
+                    if 2 * fit > len(idxs):
+                        self._tier_hint.pop(layout, None)
                 keep = [k for k, i in enumerate(idxs) if i not in ov]
                 if not keep:
                     continue

@@ -337,7 +337,15 @@ def decode_planes420(
 
 class SparseCapacityExceeded(ValueError):
     """The frame has more nonzero coefficients (or escapes) than the
-    caller's budget — fall back to the plane path for this frame."""
+    caller's budget — fall back to the plane path for this frame.
+
+    ``counts`` carries the emitter's true (n_ac, n_esc8, n_esc16,
+    n_dcesc) totals so the caller can size a retry tier.
+    """
+
+    def __init__(self, msg: str, counts: Tuple[int, int, int, int]):
+        super().__init__(msg)
+        self.counts = counts
 
 
 def sparse_geometry(w: int, h: int, hs: int, vs: int) -> Tuple[int, int]:
@@ -421,7 +429,8 @@ def decode_sparse4_into(
     if rc == -5:  # ERR_CAPACITY: valid frame, too dense for the budget
         raise SparseCapacityExceeded(
             f"ac={cts[0]}/{2 * nib.size} esc8={cts[1]}/{esc8.size} "
-            f"esc16={cts[2]}/{esc16.size} dcesc={cts[3]}/{dcesc.size}"
+            f"esc16={cts[2]}/{esc16.size} dcesc={cts[3]}/{dcesc.size}",
+            cts,
         )
     if rc != 0:
         raise ValueError(f"fd_jpeg_sparse4 failed: rc={rc}")

@@ -185,6 +185,7 @@ def test_engine_sparse_matches_dense_coeff_path(engine, native_ready):
     to the dense-coefficient device path (same dequant+IDCT+upsample+
     color math; sparse reconstruction is exact), and sane vs the pixel
     path (the decoders differ by IDCT rounding only)."""
+    engine._tier_hint.clear()  # routing assertions need a clean hint
     data = _scene(0)
     res = engine.detect_async_sparse([data], [0.3])
     assert res is not None
@@ -207,6 +208,7 @@ def test_engine_sparse_matches_dense_coeff_path(engine, native_ready):
 def test_engine_sparse_mixed_layouts(engine, native_ready):
     """A batch mixing 4:2:0 and 4:2:2 dispatches one sparse program per
     layout group and reassembles results in request order."""
+    engine._tier_hint.clear()  # routing assertions need a clean hint
     datas = [_scene(1, subsampling=2), _scene(1, subsampling=1)]
     res = engine.detect_async_sparse(datas, [0.5, 0.5])
     assert res is not None
@@ -253,6 +255,7 @@ def test_engine_sparse_dense_tier_retry(tight_engine, engine, native_ready):
     """A frame over the std value budget but inside the dense tier rides
     the sparse wire format on the DENSE capacity tier — not planes — with
     results identical to the std tier (same reconstruction math)."""
+    tight_engine._tier_hint.clear()
     data = _scene(2)
     res = tight_engine.detect_async_sparse([data], [0.5])
     assert res is not None
@@ -276,6 +279,7 @@ def test_engine_sparse_mixed_overflow_batch(tight_engine, native_ready):
         buf, format="JPEG", quality=90, subsampling=2)
     flat = buf.getvalue()   # DC-only blocks: fits the 5.0 std budget
     normal = _scene(1)
+    tight_engine._tier_hint.clear()  # routing assertions need a clean hint
     res = tight_engine.detect_async_sparse([normal, flat], [0.5, 0.5])
     assert res is not None
     assert res.counts == {"sparse": 1, "sparse_dense": 1}, res.counts
@@ -304,6 +308,7 @@ def test_engine_sparse_partial_overflow_preserves_row_mapping(
     Image.fromarray(noisy).save(buf, format="JPEG", quality=100, subsampling=2)
     dense = buf.getvalue()
     normal = _scene(0)
+    engine._tier_hint.clear()  # routing assertions need a clean hint
     res = engine.detect_async_sparse([dense, normal], [0.5, 0.5])
     assert res is not None
     assert res.counts == {"planes": 1, "sparse": 1}, res.counts
@@ -400,6 +405,7 @@ def test_three_quant_table_jpeg(engine, native_ready):
         native_ready.decode_coefficients(data3)
     assert engine.detect_async_jpeg([data3], [0.3]) is None
 
+    engine._tier_hint.clear()  # routing assertions need a clean hint
     res = engine.detect_async_sparse([data3], [0.3])
     assert res is not None and res.counts == {"sparse": 1}
     got = engine.fetch(res, 1)[0]
@@ -409,6 +415,76 @@ def test_three_quant_table_jpeg(engine, native_ready):
         assert g[0] == r[0]
         assert abs(g[1] - r[1]) < 0.1
         assert all(abs(a - b) < 10 for a, b in zip(g[2:], r[2:]))
+
+
+def _noisy(seed, quality=90, subsampling=2):
+    """Photo-dense frame (bicubic-upsampled noise): ~2.3 int8 escapes
+    per block, matching real photographs — overflows the std tier's
+    escape budget, fits the dense tier."""
+    rng = np.random.RandomState(seed)
+    small = rng.randint(0, 255, (26, 26, 3), np.uint8)
+    from PIL import Image
+
+    img = np.asarray(
+        Image.fromarray(small).resize((416, 416), Image.BICUBIC))
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=quality,
+                              subsampling=subsampling)
+    return buf.getvalue()
+
+
+def test_engine_tier_memory(native_ready):
+    """Photo-dense traffic stops paying the wasted std-tier decode after
+    the first batch (the hint routes the layout straight to dense), and
+    the emitter counts clear the hint as soon as traffic turns clean —
+    with identical results in every hint state."""
+    spec, params = weights.load_model("synthetic:tiny", num_classes=80)
+    eng = DetectionEngine(spec, params, mode="f32", buckets=(1, 2))
+    calls = []
+    orig = eng._stage_sparse
+
+    def spy(jpegs, thr, groups, tier):
+        calls.append(tier)
+        return orig(jpegs, thr, groups, tier)
+
+    eng._stage_sparse = spy
+    photos = [_noisy(1), _noisy(2)]
+    r1 = eng.detect_async_sparse(photos, [0.5, 0.5])
+    assert r1.counts == {"sparse_dense": 2}
+    assert calls == ["std", "dense"]          # first batch pays the probe
+    assert eng._tier_hint == {(2, 2): "dense"}
+    calls.clear()
+    r2 = eng.detect_async_sparse(photos, [0.5, 0.5])
+    assert r2.counts == {"sparse_dense": 2}
+    assert calls == ["dense"]                 # std attempt skipped
+    assert eng.fetch(r1, 2) == eng.fetch(r2, 2)
+    # clean traffic: the dense-staged batch's counts clear the hint...
+    calls.clear()
+    clean = [_scene(0), _scene(1)]
+    r3 = eng.detect_async_sparse(clean, [0.5, 0.5])
+    assert r3.counts == {"sparse_dense": 2}   # this batch still rides dense
+    assert eng._tier_hint == {}
+    ref = [
+        eng.fetch(eng.detect_async_sparse([d], [0.5]), 1)[0] for d in clean
+    ]
+    assert eng.fetch(r3, 2) == ref            # tiers reconstruct identically
+    # ...and the next clean batch is back on std rows
+    calls.clear()
+    r4 = eng.detect_async_sparse(clean, [0.5, 0.5])
+    assert r4.counts == {"sparse": 2}
+    assert eng.fetch(r4, 2) == ref
+
+
+def test_engine_tier_memory_not_set_by_minority(native_ready):
+    """A lone photo-dense frame in clean traffic must NOT flip the whole
+    layout to dense rows (+31% wire bytes for everyone): the hint is
+    majority-gated."""
+    spec, params = weights.load_model("synthetic:tiny", num_classes=80)
+    eng = DetectionEngine(spec, params, mode="f32", buckets=(1, 2))
+    res = eng.detect_async_sparse([_scene(0), _noisy(3)], [0.5, 0.5])
+    assert res.counts == {"sparse": 1, "sparse_dense": 1}
+    assert eng._tier_hint == {}
+    eng.fetch(res, 2)
 
 
 def _random_v4_case(rng, B, NB, NCAPB, E8CAP, E16CAP, DCECAP):

@@ -101,8 +101,8 @@ def _sparse_tier(engine, native_jpeg, jpegs):
     groups = {(hs, vs): list(range(len(jpegs)))}
     for tier in ("std", "dense"):
         _, jobs = engine._stage_sparse(jpegs, thr, groups, tier)
-        overflow = engine._run_sparse_jobs(jobs)
-        if overflow is not None and not overflow:
+        decoded = engine._run_sparse_jobs(jobs)
+        if decoded is not None and not decoded[0]:
             return tier
     return None
 
@@ -114,8 +114,8 @@ def _stage_sparse(engine, native_jpeg, jpegs, tier):
     w, h, hs, vs = native_jpeg.scan_layout(jpegs[0])
     groups = {(hs, vs): list(range(len(jpegs)))}
     staged, jobs = engine._stage_sparse(jpegs, thr, groups, tier)
-    overflow = engine._run_sparse_jobs(jobs)
-    assert overflow is not None and not overflow, \
+    decoded = engine._run_sparse_jobs(jobs)
+    assert decoded is not None and not decoded[0], \
         f"fixture overflows the {tier} tier mid-benchmark"
     return staged
 
