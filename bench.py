@@ -382,15 +382,19 @@ def bench_all(frames: int = 128):
     # 2d: the same loop in int8-through serving mode (the bench headline
     # default) — quantized forward shrinks the device-serialized portion
     spec, params, _k = load_bench_model("full", 80)
-    eng8 = DetectionEngine(spec, params, mode="int8", buckets=(16,),
+    eng8 = DetectionEngine(spec, params, mode="int8", buckets=(1, 8, 16),
                            calibration_images=bench_calibration())
     eng8.warmup()
     detail["full80_batched_int8_fps"] = batched_fps(eng8, frames)
 
-    # 4-5: serving through the real protocol stack
+    # 4-5: serving through the real protocol stack. The 'full' endpoint
+    # serves the SAME int8 engine as the batched headline above — int8
+    # is the serving default, and the multiclient number is read against
+    # full80_batched_int8_fps (serving a bf16 engine here understated
+    # the protocol stack by the int8-vs-bf16 device-time delta).
     import asyncio
 
-    services = {"full": ModelService(engines["full80"], name="full"),
+    services = {"full": ModelService(eng8, name="full"),
                 "rsu": ModelService(engines["rsu9"], name="rsu")}
     server = DetectionServer(services, port=0, host="127.0.0.1")
     loop = asyncio.new_event_loop()
