@@ -1003,17 +1003,15 @@ class DetectionEngine:
             return [r if r is not None else [] for r in out]
         packed = np.asarray(res, dtype=np.float64)  # (B, max_det, 7)
         size = self.spec.image_size
+        # reorder/scale once in numpy and convert via tolist() (C speed);
+        # per-element float(np_scalar) calls here were measurable on the
+        # serving loop at ~100 dets/image under synthetic weights
+        scaled = packed[:, :, [5, 4, 0, 1, 2, 3]]
+        scaled[:, :, 2:] *= size
+        counts_v = (packed[:, :, 6] > 0.5).sum(axis=1)
         out: List[List[ResultTuple]] = []
         for i in range(n):
-            valid = packed[i, :, 6] > 0.5
-            c = int(valid.sum())
-            rows = packed[i, :c]
-            out.append(
-                [
-                    (int(r[5]), float(r[4]),
-                     float(r[0] * size), float(r[1] * size),
-                     float(r[2] * size), float(r[3] * size))
-                    for r in rows
-                ]
-            )
+            rows = scaled[i, : int(counts_v[i])].tolist()
+            out.append([(int(r[0]), r[1], r[2], r[3], r[4], r[5])
+                        for r in rows])
         return out
