@@ -500,6 +500,27 @@ def main():
                     help="engine compute mode: bf16 | f32 | int8")
     args = ap.parse_args()
 
+    # Preflight in a SUBPROCESS with a hard timeout: when the tunneled
+    # TPU backend is down, in-process jax.devices() hangs indefinitely
+    # (observed: >1 h outage 2026-08-17) — emit a diagnosable failure
+    # line instead of stalling the driver's whole round.
+    import subprocess
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            capture_output=True, timeout=180, text=True)
+        ok = probe.returncode == 0 and probe.stdout.strip().isdigit()
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print(json.dumps({
+            "metric": "e2e_frames_per_sec_per_chip_416_yolov3_full",
+            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+            "error": "TPU backend unavailable (preflight jax.devices() "
+                     "failed/timed out); not a code failure",
+        }))
+        sys.exit(1)
+
     if args.all:
         bench_all()
         return

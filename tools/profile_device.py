@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Device-time profile of the serving pipeline via jax.profiler.
+
+`block_until_ready` timings are dishonest on the tunneled axon backend
+(see docs/ROUND3.md), so this traces real executions and sums per-op
+durations from the profiler's JSON trace instead. Reports device time
+per batch bucketed into conv/matmul, ingest (Pallas reconstruction +
+IDCT), postprocess (decode+NMS), and other — the numbers behind the
+"device-only f/s" engine-health figure.
+
+Run on the TPU host:
+    python tools/profile_device.py [--mode int8] [--batch 16] [--iters 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _load_trace_events(trace_dir: str):
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        raise SystemExit(f"no trace written under {trace_dir}")
+    with gzip.open(max(paths, key=os.path.getmtime), "rt") as fp:
+        return json.load(fp).get("traceEvents", [])
+
+
+def _bucket(name: str) -> str:
+    n = name.lower()
+    if "pallas" in n or "sparse4" in n or "custom-call" in n:
+        return "ingest-kernel"
+    if "conv" in n or "dot" in n or "matmul" in n:
+        return "conv/matmul"
+    if "sort" in n or "top-k" in n or "while" in n or "nms" in n:
+        return "postprocess"
+    if "fusion" in n or "scan" in n or "cumsum" in n or "reduce" in n:
+        return "elementwise/scan"
+    return "other"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="int8")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--arch", default="full")
+    args = ap.parse_args()
+
+    from bench import bench_calibration, load_bench_model, make_jpegs
+    from fastdet_tpu.runtime.engine import DetectionEngine
+    from fastdet_tpu.utils.profiling import device_trace
+
+    spec, params, kind = load_bench_model(args.arch, 80)
+    eng = DetectionEngine(
+        spec, params, mode=args.mode, buckets=(args.batch,),
+        calibration_images=bench_calibration())
+    jpegs = make_jpegs(args.batch)
+    thrs = [0.3] * args.batch
+    for _ in range(3):  # warm every program + transfer paths
+        eng.fetch(eng.detect_async_sparse(jpegs, thrs), args.batch)
+
+    trace_dir = tempfile.mkdtemp(prefix="fastdet_trace_")
+    with device_trace(trace_dir):
+        for _ in range(args.iters):
+            eng.fetch(eng.detect_async_sparse(jpegs, thrs), args.batch)
+
+    events = _load_trace_events(trace_dir)
+    # keep complete duration events from device-side tracks (XLA ops
+    # carry 'dur' in microseconds; host python events are filtered by
+    # requiring an HLO-ish name or a TensorFlow Op annotation)
+    buckets: dict = {}
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        name = e.get("name", "")
+        cat = (e.get("args") or {}).get("long_name", "") or name
+        pidname = str(e.get("pid", ""))
+        if not any(k in name.lower() for k in (
+                "fusion", "conv", "dot", "copy", "pallas", "custom",
+                "while", "sort", "reduce", "scan", "dynamic", "transpose",
+                "broadcast", "concatenate", "slice", "iota", "cumsum")):
+            continue
+        b = _bucket(cat if len(cat) > len(name) else name)
+        buckets[b] = buckets.get(b, 0.0) + e["dur"]
+        total += e["dur"]
+    per_batch_ms = total / 1000.0 / args.iters
+    print(f"model={args.arch} mode={args.mode} weights={kind} "
+          f"batch={args.batch} iters={args.iters}")
+    for b, us in sorted(buckets.items(), key=lambda kv: -kv[1]):
+        print(f"  {b:16s} {us / 1000.0 / args.iters:8.2f} ms/batch "
+              f"({100 * us / total:5.1f}%)")
+    if per_batch_ms > 0:
+        print(f"  device total     {per_batch_ms:8.2f} ms/batch "
+              f"-> {1000.0 * args.batch / per_batch_ms:7.1f} f/s device-only")
+    print(f"trace: {trace_dir}")
+
+
+if __name__ == "__main__":
+    main()
