@@ -469,14 +469,23 @@ class DetectionEngine:
         dcecap = max(64, -64 * (math.ceil(nb * dce) // -64))
         return nb, ncap, e8cap, e16cap, dcecap
 
+    @staticmethod
+    def _sparse_offsets(nb: int, ncap: int, e8cap: int,
+                        e16cap: int, dcecap: int) -> np.ndarray:
+        """Field end-offsets of the v4 packed row — the ONE definition
+        of the row layout, shared by host staging (_stage_sparse) and
+        device unpack (_pipeline_sparse):
+        [masks nb*8 | dc8 nb | nib ncap | esc8 e8cap | esc16 2*e16cap
+         | dcesc 2*dcecap | qy,qcb,qcr 3*2*64]
+        (separate Cb/Cr tables: a legal JPEG may quantize Cr with its
+        own table — reference-shape traffic shares one, but the row
+        spends 128 bytes to stay correct for the general case)"""
+        return np.cumsum([nb * 8, nb, ncap, e8cap, 2 * e16cap, 2 * dcecap])
+
     def _sparse_row_bytes(self, nb: int, ncap: int, e8cap: int,
                           e16cap: int, dcecap: int) -> int:
-        # [masks nb*8 | dc8 nb | nib ncap | esc8 e8cap | esc16 2*e16cap
-        #  | dcesc 2*dcecap | qy,qcb,qcr 3*2*64]
-        # (separate Cb/Cr tables: a legal JPEG may quantize Cr with its
-        # own table — reference-shape traffic shares one, but the row
-        # spends 128 bytes to stay correct for the general case)
-        return nb * 9 + ncap + e8cap + 2 * e16cap + 2 * dcecap + 384
+        return int(self._sparse_offsets(
+            nb, ncap, e8cap, e16cap, dcecap)[-1]) + 384
 
     @staticmethod
     def _i16_from_pairs(rowslice: jnp.ndarray) -> jnp.ndarray:
@@ -504,7 +513,7 @@ class DetectionEngine:
         nb, ncap, e8cap, e16cap, dcecap = self._sparse_caps(layout, tier)
         yb, cbn = native_jpeg.sparse_geometry(size, size, hs, vs)
         b = packed.shape[0]
-        bounds = np.cumsum([nb * 8, nb, ncap, e8cap, 2 * e16cap, 2 * dcecap])
+        bounds = self._sparse_offsets(nb, ncap, e8cap, e16cap, dcecap)
         masks = packed[:, :bounds[0]]
         dc8 = lax.bitcast_convert_type(
             packed[:, bounds[0]:bounds[1]], jnp.int8)
@@ -570,7 +579,7 @@ class DetectionEngine:
             thr = np.full((b,), 2.0, np.float32)
             thr[: len(idxs)] = thr_all[idxs]
             staged.append((layout, idxs, packed, thr))
-            bo = np.cumsum([nb * 8, nb, ncap, e8cap, 2 * e16cap, 2 * dcecap])
+            bo = self._sparse_offsets(nb, ncap, e8cap, e16cap, dcecap)
             for j, i in enumerate(idxs):
                 jobs.append((
                     jpegs[i], i,
@@ -588,10 +597,12 @@ class DetectionEngine:
         self, jobs
     ) -> Optional[Tuple[List[int], Dict[int, Tuple[int, int, int, int]]]]:
         """Entropy-decode each job into its row; returns (overflow
-        indices, {frame index: emitter counts for SUCCESSFUL decodes}),
-        or None on decode failure (caller falls back entirely). The
-        counts feed the tier-memory heuristic (see detect_async_sparse):
-        they tell whether a dense-staged frame would have fit std."""
+        indices, {frame index: TRUE emitter counts — for every frame,
+        overflowed or not}), or None on decode failure (caller falls
+        back entirely). The counts feed the tier-memory heuristic and
+        the retry router (see detect_async_sparse): they tell whether a
+        dense-staged frame would have fit std, and whether an overflow
+        frame has any chance on the next tier."""
         from fastdet_tpu.runtime import native_jpeg
 
         def _decode(job):
@@ -599,12 +610,12 @@ class DetectionEngine:
             try:
                 cts, qy, qcb, qcr = native_jpeg.decode_sparse4_into(
                     data, masks, dc8, nib, e8, e16, dce)
-            except native_jpeg.SparseCapacityExceeded:
-                return i, None
+            except native_jpeg.SparseCapacityExceeded as e:
+                return i, False, e.counts
             qrow[:64] = qy
             qrow[64:128] = qcb
             qrow[128:] = qcr
-            return i, cts
+            return i, True, cts
 
         try:
             pool = _decode_pool() if len(jobs) > 1 else None
@@ -614,8 +625,8 @@ class DetectionEngine:
             )
         except (ValueError, native_jpeg.NativeJpegUnavailable):
             return None
-        overflow = [i for i, cts in outcomes if cts is None]
-        counts = {i: cts for i, cts in outcomes if cts is not None}
+        overflow = [i for i, ok, _ in outcomes if not ok]
+        counts = {i: cts for i, ok, cts in outcomes}
         return overflow, counts
 
     def _fits_tier(self, layout: Tuple[int, int], tier: str,
@@ -684,6 +695,7 @@ class DetectionEngine:
                    if self._tier_hint.get(lay) != "dense"}
         dense_start = {lay: idxs for lay, idxs in groups.items()
                        if self._tier_hint.get(lay) == "dense"}
+        to_planes: List[int] = []  # overflow frames with no viable tier
         for tier, count_key, tag_fmt in (
             ("std", "sparse", "sparse:%d%d"),
             ("dense", "sparse_dense", "sparse+:%d%d"),
@@ -703,14 +715,27 @@ class DetectionEngine:
             next_pending: Dict[Tuple[int, int], List[int]] = {}
             for layout, idxs, packed, thr in staged:
                 ovl = [i for i in idxs if i in ov]
-                if ovl:
+                if ovl and tier == "std":
+                    # Retry routing from the TRUE emitter counts: frames
+                    # with no chance on the dense tier skip straight to
+                    # planes instead of paying a second wasted entropy
+                    # decode (~2 ms/frame on a 1-core serving host).
+                    retry = [i for i in ovl
+                             if self._fits_tier(layout, "dense",
+                                                frame_cts[i])]
+                    if retry:
+                        next_pending[layout] = retry
+                    hopeless = [i for i in ovl if i not in set(retry)]
+                    if hopeless:
+                        to_planes.extend(hopeless)
+                elif ovl:
                     next_pending[layout] = ovl
                 if tier == "std" and 2 * len(ovl) > len(idxs):
                     self._tier_hint[layout] = "dense"
                 elif tier == "dense" and layout in dense_start:
                     fit = sum(
                         1 for i in idxs
-                        if i in frame_cts
+                        if i not in ov
                         and self._fits_tier(layout, "std", frame_cts[i]))
                     if 2 * fit > len(idxs):
                         self._tier_hint.pop(layout, None)
@@ -719,10 +744,16 @@ class DetectionEngine:
                     continue
                 if len(keep) != len(idxs):
                     # fetch() maps result ROW j to the j-th kept index, so
-                    # the kept frames' rows must be compacted to the front;
-                    # the vacated tail rows (partially-written overflow
-                    # frames) get threshold 2.0, outputs never read
+                    # the kept frames' rows must be compacted to the front.
+                    # The vacated tail rows must be ZEROED, not just given
+                    # threshold 2.0: an overflow frame's row carries its
+                    # full masks with truncated streams, and on TPU the
+                    # Pallas kernel's stream-window reads would chase
+                    # those mask offsets far past the row's VMEM buffers
+                    # (threshold only discards the OUTPUT). Zero rows are
+                    # gray frames with in-bounds (all-zero) offsets.
                     packed[: len(keep)] = packed[keep]
+                    packed[len(keep):len(idxs)] = 0
                     thr[: len(keep)] = thr[keep]
                     thr[len(keep):] = 2.0
                 res = self._sparse_jit(layout, tier)(
@@ -732,10 +763,11 @@ class DetectionEngine:
                 counts[count_key] = counts.get(count_key, 0) + len(keep)
                 tags.append(tag_fmt % layout)
             pending = next_pending
-        if pending:
+        if pending or to_planes:
             # Too dense even for the dense tier: those frames re-decode
             # via the plane path (still a native fast path, 1.5-2 B/px).
-            ovidx = sorted(i for idxs in pending.values() for i in idxs)
+            ovidx = sorted(set(to_planes).union(
+                i for idxs in pending.values() for i in idxs))
             sub = self.detect_async_planes(
                 [jpegs[i] for i in ovidx], [thr_all[i] for i in ovidx]
             )
@@ -1001,7 +1033,7 @@ class DetectionEngine:
                 for j, i in enumerate(idxs):
                     out[i] = part[j]
             return [r if r is not None else [] for r in out]
-        packed = np.asarray(res, dtype=np.float64)  # (B, max_det, 7)
+        packed = np.asarray(res, dtype=np.float64)[:n]  # (n, max_det, 7)
         size = self.spec.image_size
         # reorder/scale once in numpy and convert via tolist() (C speed);
         # per-element float(np_scalar) calls here were measurable on the

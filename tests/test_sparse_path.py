@@ -475,6 +475,34 @@ def test_engine_tier_memory(native_ready):
     assert eng.fetch(r4, 2) == ref
 
 
+def test_engine_hopeless_overflow_skips_dense_retry(native_ready):
+    """A frame whose TRUE emitter counts (reported with the std-tier
+    overflow) cannot fit the dense tier either goes straight to planes —
+    no second wasted entropy decode on the dense tier."""
+    from PIL import Image
+
+    spec, params = weights.load_model("synthetic:tiny", num_classes=80)
+    eng = DetectionEngine(spec, params, mode="f32", buckets=(1, 2))
+    calls = []
+    orig = eng._stage_sparse
+
+    def spy(jpegs, thr, groups, tier):
+        calls.append(tier)
+        return orig(jpegs, thr, groups, tier)
+
+    eng._stage_sparse = spy
+    rng = np.random.RandomState(7)
+    noisy = rng.randint(0, 255, (416, 416, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(noisy).save(buf, format="JPEG", quality=100,
+                                subsampling=2)
+    res = eng.detect_async_sparse([buf.getvalue()], [0.5])
+    assert res is not None
+    assert res.counts == {"planes": 1}
+    assert calls == ["std"]  # dense never attempted
+    eng.fetch(res, 1)
+
+
 def test_engine_tier_memory_not_set_by_minority(native_ready):
     """A lone photo-dense frame in clean traffic must NOT flip the whole
     layout to dense rows (+31% wire bytes for everyone): the hint is
