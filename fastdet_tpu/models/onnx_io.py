@@ -376,17 +376,7 @@ def _conv_shape_chain(spec) -> List[Tuple[int, int, int]]:
     """
     from fastdet_tpu.models import yolov3
 
-    chain: List[Tuple[int, int, int]] = []
-    chans: List[int] = []      # per-layer output channels
-    cur = 3
-    for l in spec.layers:
-        if isinstance(l, yolov3.Conv):
-            chain.append((cur, l.filters, l.ksize))
-            cur = l.filters
-        elif isinstance(l, yolov3.Route):
-            cur = sum(chans[i] for i in l.sources)
-        chans.append(cur)
-    return chain
+    return yolov3.conv_io_channels(spec)
 
 
 def load_onnx(
@@ -401,9 +391,11 @@ def load_onnx(
       against the spec's channel chain (`_conv_shape_chain`) — a clear
       error replaces silent misassignment on exotic node orderings;
     - BN may appear as a BatchNormalization node after the conv OR be
-      pre-folded by the exporter into conv weight+bias (entry becomes
-      {"w","b"}; layers.fold_conv_bn passes it through — inference only,
-      such params can't resume BN training);
+      pre-folded by the exporter into conv weight+bias (materialized as
+      an exact identity-BN entry so the {'w','bn'} contract holds for
+      every consumer — numerically bit-identical after fold_conv_bn);
+      a BN node whose params are NOT plain initializers is refused
+      loudly rather than silently treated as folded;
     - structural nodes (Resize vs Upsample vs ConvTranspose upsampling,
       Concat, Add, activations) are not interpreted — weights define the
       model and the spec defines the structure, so any upsample spelling
@@ -435,6 +427,7 @@ def load_onnx(
         if len(node.inputs) > 2 and node.inputs[2] in init:
             bias = init[node.inputs[2]]
         bn = None
+        bn_unreadable = False
         nxt = consumer.get(node.outputs[0])
         if nxt is not None and nxt.op_type == "BatchNormalization":
             names = nxt.inputs[1:5]
@@ -445,7 +438,14 @@ def load_onnx(
                     "mean": init[names[2]],
                     "var": init[names[3]],
                 }
-        convs.append((w, bias, bn))
+            else:
+                # A BN node EXISTS but its params aren't plain
+                # initializers (Constant/Identity-wrapped by some
+                # exporters). Silently treating the conv as BN-folded
+                # would discard gamma/beta/mean/var and load garbage
+                # with no shape error — refuse loudly instead.
+                bn_unreadable = True
+        convs.append((w, bias, bn, bn_unreadable))
 
     if arch is None:
         arch = {13: "tiny", 75: "full"}.get(len(convs))
@@ -470,7 +470,8 @@ def load_onnx(
 
     chain = _conv_shape_chain(spec)
     params: Dict[str, Any] = {}
-    for i, (cspec, (w, bias, bn)) in enumerate(zip(spec.conv_specs(), convs)):
+    for i, (cspec, (w, bias, bn, bn_unreadable)) in enumerate(
+            zip(spec.conv_specs(), convs)):
         in_ch, filters, k = chain[i]
         if w.shape != (filters, in_ch, k, k):
             raise ValueError(
@@ -487,10 +488,29 @@ def load_onnx(
         if cspec.bn:
             if bn is not None:
                 entry["bn"] = {k2: jnp.asarray(v) for k2, v in bn.items()}
+            elif bn_unreadable:
+                raise ValueError(
+                    f"onnx: conv {cspec.name}'s BatchNormalization params "
+                    f"are not plain initializers (Constant/Identity-"
+                    f"wrapped export?) — refusing to guess; re-export with "
+                    f"constant folding or fold BN before export"
+                )
             elif bias is not None:
-                # BN-folded export: the exporter already folded BN into
-                # conv weight+bias (inference-only import)
-                entry["b"] = jnp.asarray(bias)
+                # BN-folded export: materialize an EXACT identity BN
+                # (inv = gamma/sqrt(var+eps) = 1/sqrt(1-eps+eps) = 1)
+                # so the entry honors the documented {'w','bn'} contract
+                # — save_darknet and every bn-keyed consumer keep
+                # working — while fold_conv_bn reproduces w'=w, b'=bias
+                # bit-for-bit.
+                from fastdet_tpu.models.layers import BN_EPS
+
+                f = np.float32
+                entry["bn"] = {
+                    "gamma": jnp.ones(cspec.filters, f),
+                    "beta": jnp.asarray(bias, f),
+                    "mean": jnp.zeros(cspec.filters, f),
+                    "var": jnp.full(cspec.filters, 1.0 - BN_EPS, f),
+                }
             else:
                 raise ValueError(
                     f"onnx: conv {cspec.name} has neither a "

@@ -193,18 +193,29 @@ def apply_int8(
                     # XLA:CPU has no vectorized int8 conv — the int32-
                     # accumulating form below lowers to scalar loops,
                     # measured ~100x slower than f32 (113 s/image for
-                    # tiny@416). Compute in f32 and round back: the
-                    # integer products are exact in f32 and the
-                    # accumulation error (~1e-4 relative on these layer
-                    # sizes) is far below the quantization noise floor
-                    # the tests bound — though not guaranteed bit-equal
-                    # to int32 accumulation in the last ulp. TPU keeps
-                    # the true int8 MXU path.
-                    y = jnp.round(jax.lax.conv_general_dilated(
-                        xq.astype(jnp.float32), p["w_q"].astype(jnp.float32),
-                        (l.stride, l.stride), [(pad, pad), (pad, pad)],
-                        dimension_numbers=dn,
-                    )).astype(jnp.int32)
+                    # tiny@416). A single f32 conv is fast but NOT
+                    # value-safe: a wide 3x3x1024 layer can accumulate
+                    # past 2^24 where f32 drops integer precision, so
+                    # CPU could diverge from the TPU int32 path by whole
+                    # counts. Split both operands into 4-bit halves —
+                    # every partial conv's accumulator stays below 2^22
+                    # (exact in f32) — and recombine in int32: BIT-EXACT
+                    # vs int32 accumulation at 4 f32 convs' cost. TPU
+                    # keeps the true int8 MXU path.
+                    xh = jnp.right_shift(xq.astype(jnp.int32), 4)
+                    xl = xq.astype(jnp.int32) - (xh << 4)   # in [0, 15]
+                    wh = jnp.right_shift(p["w_q"].astype(jnp.int32), 4)
+                    wl = p["w_q"].astype(jnp.int32) - (wh << 4)
+
+                    def _c(a, b):
+                        return jnp.round(jax.lax.conv_general_dilated(
+                            a.astype(jnp.float32), b.astype(jnp.float32),
+                            (l.stride, l.stride), [(pad, pad), (pad, pad)],
+                            dimension_numbers=dn,
+                        )).astype(jnp.int32)
+
+                    y = ((_c(xh, wh) << 8) + ((_c(xh, wl) + _c(xl, wh)) << 4)
+                         + _c(xl, wl))
                 else:
                     y = jax.lax.conv_general_dilated(
                         xq, p["w_q"], (l.stride, l.stride),

@@ -223,23 +223,39 @@ def get_spec(arch: str, num_classes: int = 80) -> ModelSpec:
 # Parameter init and the spec interpreter
 # ---------------------------------------------------------------------------
 
-def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32) -> Dict[str, Any]:
-    """Random-init parameter pytree {conv_name: {'w', 'b'|'bn'}}."""
-    params: Dict[str, Any] = {}
-    in_ch = 3
+def conv_io_channels(spec: ModelSpec) -> List[Tuple[int, int, int]]:
+    """(in_channels, filters, ksize) per conv in spec order, simulating
+    channel flow through the layer graph (Route concatenates;
+    MaxPool/Upsample/Shortcut/YoloHead preserve channels).
+
+    The single channel-flow walker: init_params sizes weights from it
+    and models/onnx_io verifies imported conv assignment against it, so
+    a new layer type changes the flow in exactly one place.
+    """
+    out: List[Tuple[int, int, int]] = []
     channels: List[int] = []  # output channels per layer index
+    in_ch = 3
     for l in spec.layers:
         if isinstance(l, Conv):
-            key, sub = jax.random.split(key)
-            params[l.name] = layers.init_conv_params(
-                sub, l.ksize, in_ch, l.filters, l.bn, dtype
-            )
+            out.append((in_ch, l.filters, l.ksize))
             in_ch = l.filters
         elif isinstance(l, Route):
             in_ch = sum(channels[i] for i in l.sources)
         elif isinstance(l, (MaxPool, Upsample, Shortcut, YoloHead)):
             pass
         channels.append(in_ch)
+    return out
+
+
+def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32) -> Dict[str, Any]:
+    """Random-init parameter pytree {conv_name: {'w', 'b'|'bn'}}."""
+    params: Dict[str, Any] = {}
+    convs = [l for l in spec.layers if isinstance(l, Conv)]
+    for l, (in_ch, filters, ksize) in zip(convs, conv_io_channels(spec)):
+        key, sub = jax.random.split(key)
+        params[l.name] = layers.init_conv_params(
+            sub, ksize, in_ch, filters, l.bn, dtype
+        )
     return params
 
 

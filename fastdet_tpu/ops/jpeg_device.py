@@ -310,7 +310,8 @@ def decode_sparse4(
     esc16: jnp.ndarray,   # (E16CAP,) int16
     dcesc: jnp.ndarray,   # (DCECAP,) int16
     qy: jnp.ndarray,      # (64,) f32/int
-    qc: jnp.ndarray,
+    qcb: jnp.ndarray,
+    qcr: jnp.ndarray,     # may differ from qcb (3-table JPEGs are legal)
     height: int,
     width: int,
     hs: int,
@@ -319,7 +320,10 @@ def decode_sparse4(
     """Full device decode of one nibble-sparse frame -> (H, W, 3) RGB [0,1].
 
     Blocks ordered Y raster, Cb raster, Cr raster (native_jpeg
-    sparse_geometry); any PLANE_LAYOUTS subsampling."""
+    sparse_geometry); any PLANE_LAYOUTS subsampling. Takes all three
+    per-component quant tables — collapsing Cr onto Cb here would
+    silently misdecode legal 3-table JPEGs (the engine path ships all
+    three; this convenience entry must too)."""
     yb_h, yb_w = height // 8, width // 8
     cb_h, cb_w = height // vs // 8, width // hs // 8
     yb, cbn = yb_h * yb_w, cb_h * cb_w
@@ -327,4 +331,4 @@ def decode_sparse4(
     coeff = sparse4_to_coeffs(
         masks.reshape(nb, 8), dc8, unpack_nibbles(nib), esc8, esc16,
         dcesc, yb, cbn)
-    return coeffs_to_rgb01(coeff, qy, qc, qc, height, width, hs, vs)
+    return coeffs_to_rgb01(coeff, qy, qcb, qcr, height, width, hs, vs)

@@ -150,6 +150,13 @@ def _reconstruct(bits, rank, off, eoff1, eoff2, vals32, esc8_32, esc16_32,
     """(B, NB, 64) bits/rank + (B, rows, 128) streams -> (B, NB, 64) i32."""
     b, nb, _ = bits.shape
     bt = _pick_bt(nb)
+    if nb % bt:
+        # grid = nb // bt would silently skip the trailing blocks and
+        # leave their output rows uninitialized — refuse instead (every
+        # supported layout has nb % 8 == 0; callers with other block
+        # counts must use the XLA formulation)
+        raise ValueError(f"nb={nb} is not a multiple of the sublane "
+                         f"tile; sparse4 kernel needs nb % 8 == 0")
     vr = vals32.shape[1]
     e1r = esc8_32.shape[1]
     e2r = esc16_32.shape[1]

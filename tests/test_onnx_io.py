@@ -186,8 +186,9 @@ def test_torch_exported_onnx_loads_and_matches(tmp_path):
     _torch_export(m, p)
     spec, params = onnx_io.load_onnx(p)
     assert (spec.name, spec.num_classes) == ("yolov3-tiny", 4)
-    # torch folded BN at export: entries carry a plain bias
-    assert "bn" not in params["conv0"] and "b" in params["conv0"]
+    # torch folded BN at export: the reader materializes identity-BN
+    # entries so the {'w','bn'} contract holds for bn-flagged convs
+    assert "bn" in params["conv0"] and "b" not in params["conv0"]
 
     x = np.random.RandomState(0).rand(1, 416, 416, 3).astype(np.float32)
     with torch.no_grad():
@@ -201,9 +202,11 @@ def test_torch_exported_onnx_loads_and_matches(tmp_path):
 
 
 def test_bn_folded_own_writer_roundtrip(tmp_path):
-    """Our writer can also emit the folded dialect ({'w','b'} entries,
-    no BatchNormalization nodes), and the reader accepts it with
-    identical forward results."""
+    """Our writer can also emit the folded dialect (no
+    BatchNormalization nodes); the reader materializes EXACT identity-BN
+    entries — so the documented {'w','bn'} contract holds for every
+    downstream consumer (e.g. save_darknet) — with bit-identical
+    forward results."""
     import jax.numpy as jnp
 
     spec = yolov3.get_spec("tiny", 80)
@@ -212,13 +215,27 @@ def test_bn_folded_own_writer_roundtrip(tmp_path):
     p = str(tmp_path / "folded.onnx")
     onnx_io.save_onnx(p, spec, folded)
     spec2, params2 = onnx_io.load_onnx(p, num_classes=80)
-    assert all("bn" not in e for e in params2.values())
+    # contract: bn-flagged convs carry a bn entry even on folded imports
+    for cs in spec2.conv_specs():
+        assert ("bn" in params2[cs.name]) == cs.bn
+    # and the identity-BN must fold back to the exact folded bias
+    from fastdet_tpu.models import layers as L
+
+    for cs in spec2.conv_specs():
+        refolded = L.fold_conv_bn(params2[cs.name])
+        np.testing.assert_array_equal(
+            np.asarray(refolded["w"]), np.asarray(params2[cs.name]["w"]))
+        np.testing.assert_array_equal(
+            np.asarray(refolded["b"]), np.asarray(folded[cs.name]["b"]))
     x = jnp.asarray(np.random.RandomState(1).rand(1, 416, 416, 3), jnp.float32)
     h1 = yolov3.apply(spec, folded, x, compute_dtype=jnp.float32)
     h2 = yolov3.apply(spec2, yolov3.fold_params(spec2, params2), x,
                       compute_dtype=jnp.float32)
     for a, b in zip(h1, h2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ...and a bn-keyed consumer accepts the import (old contract broke
+    # save_darknet with KeyError 'bn')
+    weights.save_darknet(str(tmp_path / "refolded.weights"), spec2, params2)
 
 
 def test_conv_order_mismatch_rejected(tmp_path):

@@ -104,6 +104,7 @@ class SparseFrame:
             jnp.asarray(self.esc16), jnp.asarray(self.dcesc),
             jnp.asarray(self.qy, jnp.float32),
             jnp.asarray(self.qcb, jnp.float32),
+            jnp.asarray(self.qcr, jnp.float32),
             self.h, self.w, self.hs, self.vs)
 
 
