@@ -122,6 +122,44 @@ def bench_calibration(n: int = 6):
     return np.stack([jpeg.decode_rgb(d) for d in make_jpegs(n)])
 
 
+def _threaded_fps(engine, submit, n_batches: int, batch: int,
+                  inflight: int) -> float:
+    """Pipelined dispatch/fetch: a producer thread runs ``submit(i)`` ->
+    device result per batch index while this thread fetches — the same
+    overlap structure the serving batcher uses. Effective pipeline
+    depth: ``inflight`` queued batches + one in the blocked producer +
+    one mid-fetch here. Any producer exception re-raises on this thread
+    (a swallowed failure would record a silently-partial fps number).
+    Returns frames/sec."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=inflight)
+    err = []
+
+    def producer():
+        try:
+            for i in range(n_batches):
+                q.put(submit(i))
+        except BaseException as e:   # surface on the main thread
+            err.append(e)
+        finally:
+            q.put(None)
+
+    t0 = time.time()
+    threading.Thread(target=producer, daemon=True).start()
+    done = 0
+    while True:
+        res = q.get()
+        if res is None:
+            break
+        engine.fetch(res, batch)
+        done += batch
+    if err:
+        raise err[0]
+    return done / (time.time() - t0)
+
+
 def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 32,
               mode: str = "bf16"):
     from fastdet_tpu.models import weights
@@ -162,43 +200,18 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 32,
     # pipelines completion tasks against the dispatch loop). On one
     # host core this roughly doubles throughput over a lockstep loop
     # because host decode no longer serializes with fetch waits.
-    import queue
-    import threading
-
     ingest = {"path": None}
 
+    def submit(i):
+        bjpegs = [jpegs[(i * batch + j) % len(jpegs)]
+                  for j in range(batch)]
+        res, path = dispatch(bjpegs, thresholds)
+        ingest["path"] = path
+        return res
+
     def run(n_frames):
-        # NOTE effective pipeline depth: the queue holds `inflight`
-        # dispatched batches, plus one in the blocked producer and one
-        # mid-fetch on this thread — up to inflight+2 on the device.
-        q = queue.Queue(maxsize=inflight)
-        err = []
-
-        def producer():
-            try:
-                for i in range(n_frames // batch):
-                    bjpegs = [jpegs[(i * batch + j) % len(jpegs)]
-                              for j in range(batch)]
-                    res, path = dispatch(bjpegs, thresholds)
-                    ingest["path"] = path
-                    q.put(res)
-            except BaseException as e:   # surface on the main thread
-                err.append(e)
-            finally:
-                q.put(None)
-
-        t0 = time.time()
-        threading.Thread(target=producer, daemon=True).start()
-        done = 0
-        while True:
-            res = q.get()
-            if res is None:
-                break
-            engine.fetch(res, batch)
-            done += batch
-        if err:
-            raise err[0]
-        return done / (time.time() - t0)
+        return _threaded_fps(engine, submit, n_frames // batch, batch,
+                             inflight)
 
     run(warm_frames)             # steady-state warm
     # median of 3 passes: the dev tunnel's bandwidth fluctuates
@@ -340,42 +353,20 @@ def bench_all(frames: int = 128):
 
     # 2b: full batched throughput (same threaded-producer methodology as
     # the headline run(): decode+dispatch overlaps fetch waits).
-    import queue
-
     def batched_fps(eng, n_frames):
         bsz = eng.max_batch
-        q: "queue.Queue" = queue.Queue(maxsize=3)
-        err = []
 
-        def producer():
-            try:
-                for i in range(n_frames // bsz):
-                    bj = [fixtures[(i * bsz + j) % 3] for j in range(bsz)]
-                    res = (eng.detect_async_sparse(bj, [BENCH_THRESHOLD] * bsz)
-                           or eng.detect_async_planes(bj,
-                                                      [BENCH_THRESHOLD] * bsz))
-                    if res is None:
-                        res = eng.detect_async(
-                            [jpeg.decode_rgb(d) for d in bj],
-                            [BENCH_THRESHOLD] * bsz)
-                    q.put(res)
-            except BaseException as e:   # surface on the main thread: a
-                err.append(e)            # swallowed failure would record
-            finally:                     # a silently-partial fps number
-                q.put(None)
-
-        t0 = time.time()
-        threading.Thread(target=producer, daemon=True).start()
-        done = 0
-        while True:
-            res = q.get()
+        def submit(i):
+            bj = [fixtures[(i * bsz + j) % 3] for j in range(bsz)]
+            res = (eng.detect_async_sparse(bj, [BENCH_THRESHOLD] * bsz)
+                   or eng.detect_async_planes(bj, [BENCH_THRESHOLD] * bsz))
             if res is None:
-                break
-            eng.fetch(res, bsz)
-            done += bsz
-        if err:
-            raise err[0]
-        return round(done / (time.time() - t0), 1)
+                res = eng.detect_async(
+                    [jpeg.decode_rgb(d) for d in bj],
+                    [BENCH_THRESHOLD] * bsz)
+            return res
+
+        return round(_threaded_fps(eng, submit, n_frames // bsz, bsz, 3), 1)
 
     detail["full80_batched_fps"] = batched_fps(engines["full80"], frames)
 
@@ -437,14 +428,26 @@ def bench_all(frames: int = 128):
             c.open()
             sent = 0
             done = 0
+            last_progress = time.time()
             while done < n_frames:
                 while sent - done < window and sent < n_frames:
                     sent += 1
                     c.request(sent, BENCH_THRESHOLD, fixtures[(ci + sent) % 3])
                 c.poll(0.02)
+                advanced = False
                 while (done + 1) in c.responses:
                     done += 1
                     c.responses.pop(done)
+                    advanced = True
+                if advanced:
+                    last_progress = time.time()
+                elif time.time() - last_progress > 30:
+                    # a lost UDP response (rcvbuf overflow, reassembly
+                    # drop) must abort the client, not spin the whole
+                    # benchmark forever on an untimed join
+                    raise RuntimeError(
+                        f"client {ci} stalled at {done}/{n_frames} "
+                        f"(response for reqid {done + 1} never arrived)")
             c.close()
         except Exception as e:  # pragma: no cover
             errs.append(repr(e))

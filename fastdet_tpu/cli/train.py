@@ -130,7 +130,14 @@ def main(argv):
     optimizer = train_lib.make_optimizer(args.lr)
     step_fn, state = train_lib.make_sharded_train_step(spec, mesh, optimizer, params)
     if args.resume and args.ckpt and os.path.exists(args.ckpt):
-        state = ckpt_lib.restore(args.ckpt, state)
+        restored = ckpt_lib.restore(args.ckpt, state)
+        # restore() returns host arrays — re-commit every leaf with the
+        # sharding the freshly-initialized state carries (params AND
+        # optimizer moments), or the first step would compile with
+        # default placement and silently drop the tp layout the mesh
+        # module exists to provide
+        state = jax.tree_util.tree_map(
+            lambda t, r: jax.device_put(r, t.sharding), state, restored)
         logger.info("resumed at step %d", int(jax.device_get(state.step)))
 
     items = None if args.synthetic else load_dataset(args.data_dir, spec.image_size)

@@ -20,6 +20,7 @@ All loaders return *unfolded* parameter pytrees (BN separate); fold with
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -143,7 +144,13 @@ def save_npz(path: str, spec: ModelSpec, params: Dict[str, Any]) -> None:
     )
     flat = _flatten(params)
     flat["__meta__"] = np.frombuffer(meta.encode("utf-8"), dtype=np.uint8).copy()
-    np.savez(path, **flat)
+    # write-then-rename: a process killed mid-save must never leave a
+    # truncated .npz at the target path (conversion caches read it back
+    # by mtime and a corrupt file would otherwise poison every restart).
+    # The .npz suffix on the temp name keeps np.savez from appending one.
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
 
 
 def load_npz(path: str) -> Tuple[ModelSpec, Dict[str, Any]]:

@@ -14,6 +14,7 @@ loaded at startup (SURVEY.md §5). Here:
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Dict, Optional, Tuple
 
@@ -22,6 +23,8 @@ import jax
 from fastdet_tpu.models import weights as weights_io
 from fastdet_tpu.models import yolov3
 from fastdet_tpu.parallel.train import TrainState
+
+logger = logging.getLogger(__name__)
 
 
 def save(path: str, state: TrainState) -> None:
@@ -61,7 +64,13 @@ def cached_import(
         return weights_io.load_model(path, arch=arch, num_classes=num_classes)
     cache = path + ".npz"
     if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(path):
-        return weights_io.load_npz(cache)
+        try:
+            return weights_io.load_npz(cache)
+        except Exception:  # noqa: BLE001 — corrupt/stale-format cache
+            # a bad cache must never brick startup: fall through to a
+            # fresh conversion, which rewrites it (atomically)
+            logger.warning("conversion cache %s unreadable; reconverting",
+                           cache)
     spec, params = weights_io.load_model(path, arch=arch, num_classes=num_classes)
     try:
         weights_io.save_npz(cache, spec, params)

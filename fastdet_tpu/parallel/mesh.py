@@ -41,8 +41,11 @@ def make_mesh(
     devs = list(devices if devices is not None else jax.devices())
     n = len(devs)
     if tp is None:
-        # default: tp=2 whenever we have an even device count > 1
-        tp = 2 if (dp is None and n % 2 == 0 and n > 1) else 1
+        if dp is not None:
+            tp = n // dp            # pin only the data-parallel degree
+        else:
+            # default: tp=2 whenever we have an even device count > 1
+            tp = 2 if (n % 2 == 0 and n > 1) else 1
     if dp is None:
         dp = n // tp
     assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"

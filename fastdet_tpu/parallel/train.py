@@ -64,6 +64,15 @@ def build_targets(
         boxes = np.asarray(gt_boxes[i], np.float32).reshape(-1, 4)
         labels = np.asarray(gt_labels[i]).reshape(-1)
         for (cx, cy, w, h), lab in zip(boxes, labels):
+            if lab < 0:
+                continue   # negative label = ignore marker (darknet -1)
+            if lab >= spec.num_classes:
+                # an out-of-range label would either IndexError deep in
+                # numpy or (e.g. -1 via wraparound) silently overwrite
+                # the objectness channel — fail with context instead
+                raise ValueError(
+                    f"label {int(lab)} out of range for "
+                    f"{spec.num_classes}-class model (image {i})")
             wh = np.array([w, h], np.float32) * spec.image_size
             inter = np.minimum(flat, wh).prod(axis=1)
             union = flat.prod(axis=1) + wh.prod() - inter
@@ -234,8 +243,7 @@ def make_sharded_train_step(
     from fastdet_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()   # fwd+bwd+optimizer is the repo's biggest graph
-    p_sh = mesh_lib.param_shardings(spec, mesh, params)
-    sharded_params = jax.tree_util.tree_map(jax.device_put, params, p_sh)
+    sharded_params = mesh_lib.shard_params(spec, mesh, params)
 
     @jax.jit
     def init_fn(p):

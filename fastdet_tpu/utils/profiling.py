@@ -78,8 +78,21 @@ class StageTimer:
             logger.info("stage %s: %s", name, self.summary_line(name))
 
 
+def _log_every_env() -> Optional[int]:
+    """FASTDET_STAGE_LOG_EVERY, tolerantly: a typo'd value must not
+    crash the whole serving stack at import time (this module is
+    imported by runtime/server.py)."""
+    raw = os.environ.get("FASTDET_STAGE_LOG_EVERY", "0")
+    try:
+        return int(raw) or None
+    except ValueError:
+        logger.warning(
+            "FASTDET_STAGE_LOG_EVERY=%r is not an integer; disabled", raw)
+        return None
+
+
 #: process-global timer used by the serving runtime
-GLOBAL = StageTimer(log_every=int(os.environ.get("FASTDET_STAGE_LOG_EVERY", "0")) or None)
+GLOBAL = StageTimer(log_every=_log_every_env())
 
 
 @contextlib.contextmanager
