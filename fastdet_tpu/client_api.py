@@ -77,8 +77,13 @@ def letterbox(image: np.ndarray,
     """
     h, w = image.shape[:2]
     if detect_area is not None:
+        # clamp to the frame: slightly out-of-range UV areas (float
+        # jitter in the app layer) must not wrap to negative indices
+        # (silently wrong crop) or produce an empty slice (cv2.resize
+        # raises on empty input)
         x0, y0, aw, ah = detect_area
-        xi, yi = int(x0 * w), int(y0 * h)
+        xi = min(max(int(x0 * w), 0), w - 1)
+        yi = min(max(int(y0 * h), 0), h - 1)
         image = image[yi : yi + max(1, int(ah * h)),
                       xi : xi + max(1, int(aw * w))]
     try:
@@ -258,14 +263,17 @@ class DummyDetector(ObjectDetector):
         self._queue.append(reqid)
 
     def _drain(self):
-        for reqid in self._queue:
+        # swap out first: an on_result callback may submit the NEXT frame
+        # (the standard streaming pattern), and iterating the live list
+        # would deliver it immediately and never return from update()
+        queue, self._queue = self._queue, []
+        for reqid in queue:
             # same numbers the server-side DummyDetector puts on the wire
             # (center-coded, reproducing the reference's dummy quirk), so
             # local-dummy and remote-dummy deliver identical results
             self._deliver(reqid, 0.0,
                           [(16, 1.0, 0.5 * IMAGE_SIZE, 0.5 * IMAGE_SIZE,
                             0.4 * IMAGE_SIZE, 0.4 * IMAGE_SIZE)])
-        self._queue.clear()
 
 
 class RemoteDetector(ObjectDetector):

@@ -39,13 +39,24 @@ class DetectClient:
         self.on_response: Optional[Callable[[int, int, ResponseRecords], None]] = None
 
     def open(self, timeout: float = 5.0) -> None:
+        # fresh stream state: a re-opened client must not prepend stale
+        # partial chunks from a previous session to the new stream
+        self.sender = wire.FrameSender(chunk_size=wire.CLIENT_CHUNK_SIZE)
+        self.reasm = wire.Reassembler()
         self.sock_udp = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self.sock_udp.setblocking(False)
         self.sock_udp.bind(("", 0))
         lport = self.sock_udp.getsockname()[1]
         self.sock_tcp = socket.create_connection((self.host, self.port), timeout)
-        self.sock_tcp.send(wire.pack_feed(lport, self.path))
-        resp = self.sock_tcp.recv(65536)
+        self.sock_tcp.sendall(wire.pack_feed(lport, self.path))
+        # the +OK line may arrive split across TCP segments: read to \n
+        self.sock_tcp.settimeout(timeout)
+        resp = b""
+        while b"\n" not in resp:
+            part = self.sock_tcp.recv(65536)
+            if not part:
+                raise OSError("server closed the connection mid-handshake")
+            resp += part
         self.rtp_port, self.session_id = wire.parse_ok(resp)  # raises on !ERR
         logger.info(
             "open: lport=%s rtp_port=%s session=%s",
@@ -54,7 +65,6 @@ class DetectClient:
         # initiation packet; both sides start their data stream at seqno 1
         self.sock_udp.sendto(wire.EMPTY_PACKET, (self.host, self.rtp_port))
         self.sender.seqno = 1
-        self.reasm._expected = None  # accept the server's first seqno
 
     def request(self, reqid: int, threshold: float, jpeg: bytes) -> None:
         if self.sock_udp is None:

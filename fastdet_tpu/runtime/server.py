@@ -89,6 +89,18 @@ class ModelService:
             self._task = None
         for t in list(self._fetches):
             t.cancel()
+        # requests still queued (or deferred by the bucket trim) would
+        # otherwise hang their awaiting submitters forever
+        pending = list(self._carry)
+        self._carry = []
+        while True:
+            try:
+                pending.append(self.queue.get_nowait())
+            except asyncio.QueueEmpty:
+                break
+        for _, _, fut in pending:
+            if not fut.done():
+                fut.cancel()
 
     def submit_nowait(self, jpeg: bytes, threshold: float) -> asyncio.Future:
         """Enqueue one request; the returned future resolves with its
@@ -426,6 +438,12 @@ class ControlConnection(asyncio.Protocol):
         self.buf = b""
         self.session: Optional[DetectSession] = None
         self.peer: Optional[Tuple[str, int]] = None
+        self._closed = False
+        # FEED handling awaits endpoint creation; pipelined FEED lines
+        # must run their handlers SEQUENTIALLY or both observe
+        # session=None, leak one endpoint, and interleave +OK replies
+        # (asyncio.Lock wakes waiters FIFO, preserving line order)
+        self._cmd_lock = asyncio.Lock()
 
     def connection_made(self, transport) -> None:
         self.transport = transport
@@ -452,6 +470,7 @@ class ControlConnection(asyncio.Protocol):
 
     def connection_lost(self, exc) -> None:
         logger.info("closed: %s", self.peer)
+        self._closed = True
         self.server.connections.discard(self)
         if self.session is not None:
             self.server.drop_session(self.session)
@@ -466,6 +485,10 @@ class ControlConnection(asyncio.Protocol):
             logger.error("unknown command: req=%r", line)
 
     async def _startfeed(self, args: bytes) -> None:
+        async with self._cmd_lock:
+            await self._startfeed_locked(args)
+
+    async def _startfeed_locked(self, args: bytes) -> None:
         parsed = wire.parse_feed_args(args)
         service = None
         if parsed is not None:
@@ -512,6 +535,13 @@ class ControlConnection(asyncio.Protocol):
         sock.setblocking(False)
         sock.bind(("0.0.0.0", 0))
         await loop.create_datagram_endpoint(lambda: session, sock=sock)
+        if self._closed:
+            # the TCP connection died while the endpoint was being
+            # created: connection_lost already ran (session was None
+            # then), so nothing will ever drop this session — close it
+            # now instead of pinning a buffered UDP socket on the reaper
+            session.close()
+            return
         self.session = session
         self.server.sessions.append(session)
         port = session.udp_port

@@ -50,16 +50,24 @@ def parse_command(line: bytes) -> Tuple[bytes, bytes]:
 def parse_feed_args(args: bytes) -> Optional[Tuple[int, str]]:
     """Parse ``<lport> <path>`` FEED arguments; None if invalid.
 
-    Mirrors RTSPService.startfeed validation (server.py:287-299): at least
-    two whitespace-separated fields, first an int, second utf-8.
+    Mirrors RTSPService.startfeed validation (server.py:287-299): at
+    least two whitespace-separated fields, first an int, second utf-8.
+    Documented divergence: the port must be a usable UDP port (1-65535);
+    the reference accepts any int and then crashes per-send with
+    OverflowError while the client hangs on a 'successful' handshake —
+    we answer !INVALID up front.
     """
     flds = args.split()
     if len(flds) < 2:
         return None
     try:
-        return int(flds[0]), flds[1].decode("utf-8")
+        port = int(flds[0])
+        path = flds[1].decode("utf-8")
     except (UnicodeError, ValueError):
         return None
+    if not 1 <= port <= 65535:
+        return None
+    return port, path
 
 
 def pack_ok(udp_port: int, session_id: bytes) -> bytes:

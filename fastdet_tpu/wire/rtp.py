@@ -33,7 +33,7 @@ in-flight payload (buffer becomes invalid until the next marker packet).
 from __future__ import annotations
 
 import struct
-from typing import Callable, Iterator, List, Optional
+from typing import Iterator, List, Optional
 
 RTP_HEADER = struct.Struct(">BBH")
 RTP_FLAGS = 0x80          # V=2, P=0, X=0, CC=0
@@ -82,10 +82,6 @@ def chunk_payload(
         i0 = i1
 
 
-def num_chunks(payload_len: int, chunk_size: int) -> int:
-    return max(0, -(-payload_len // chunk_size))
-
-
 class FrameSender:
     """Stateful sender: tracks the outgoing sequence counter.
 
@@ -126,7 +122,7 @@ class Reassembler:
     boundary (the reference server drops one there, server.py:222).
     """
 
-    def __init__(self, on_payload: Optional[Callable[[bytes], None]] = None):
+    def __init__(self):
         # In-flight chunk bodies (None = invalidated by a gap). Kept as a
         # list of zero-copy views joined once at the marker: a 100 KB
         # request arrives as ~4 chunks, and incremental bytes-concat would
@@ -134,7 +130,6 @@ class Reassembler:
         # all on the event-loop thread.
         self._buf: Optional[List[memoryview]] = []
         self._expected: Optional[int] = None  # None = accept any first seqno
-        self.on_payload = on_payload
         self.drops = 0          # number of detected gaps
         self.delivered = 0      # number of completed payloads
 
@@ -164,8 +159,6 @@ class Reassembler:
                 payload = b"".join(self._buf)
                 completed.append(payload)
                 self.delivered += 1
-                if self.on_payload is not None:
-                    self.on_payload(payload)
             self._buf = []
         self._expected = (seqno + 1) & 0xFFFF
         return completed

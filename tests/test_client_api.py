@@ -44,6 +44,36 @@ def test_dummy_detector_events():
                                         0.4 * 0.6, 0.4 * 0.6), rtol=1e-6)
 
 
+def test_dummy_submit_from_callback_terminates():
+    """The standard streaming pattern — on_result submits the NEXT
+    frame — must deliver exactly the already-queued requests per
+    update() call, not loop forever on the live queue (regression:
+    _drain iterated self._queue while the callback appended to it)."""
+    det = DummyDetector()
+    delivered = []
+
+    def resubmit(result):
+        delivered.append(result.request_id)
+        det.process_image(_frame())   # submit next frame from callback
+
+    det.on_result = resubmit
+    det.process_image(_frame())
+    det.update()                      # must return, delivering exactly 1
+    assert len(delivered) == 1
+    det.update()
+    assert len(delivered) == 2        # the callback-submitted one
+
+
+def test_letterbox_clamps_out_of_range_area():
+    """Slightly out-of-range UV detect areas (float jitter upstream)
+    must not wrap to negative indices or produce an empty crop."""
+    img = _frame()
+    out = letterbox(img, detect_area=(-0.05, -0.02, 1.1, 1.1))
+    assert out.shape == (416, 416, 3)
+    out2 = letterbox(img, detect_area=(1.5, 1.5, 0.5, 0.5))
+    assert out2.shape == (416, 416, 3)
+
+
 def test_timeout_event(monkeypatch):
     det = DummyDetector()
     det._queue.clear()  # suppress reply delivery

@@ -105,6 +105,90 @@ def test_dummy_end_to_end(dummy_server):
     c.close()
 
 
+def test_pipelined_feeds_serialized(dummy_server):
+    """Two FEED lines arriving in ONE TCP segment must be handled
+    sequentially: exactly one live session survives (the first is
+    closed), and the two +OK replies arrive in line order (regression:
+    each line spawned an unserialized task; both observed session=None,
+    one endpoint leaked, and replies could interleave)."""
+    srv = dummy_server.server
+    s1 = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s1.bind(("", 0))
+    s2 = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s2.bind(("", 0))
+    tcp = socket.create_connection(("127.0.0.1", dummy_server.port), 5)
+    try:
+        tcp.sendall(wire.pack_feed(s1.getsockname()[1], "detect")
+                    + wire.pack_feed(s2.getsockname()[1], "detect"))
+        tcp.settimeout(5)
+        buf = b""
+        while buf.count(b"\n") < 2:
+            part = tcp.recv(65536)
+            assert part, "server closed mid-handshake"
+            buf += part
+        lines = buf.split(b"\r\n")[:2]
+        port1, sid1 = wire.parse_ok(lines[0] + b"\r\n")
+        port2, sid2 = wire.parse_ok(lines[1] + b"\r\n")
+        assert sid1 != sid2 and port1 != port2
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            live = [s for s in srv.sessions if not s.closed]
+            if len(live) == 1 and srv.sessions[-1].udp_port == port2:
+                break
+            time.sleep(0.01)
+        live = [s for s in srv.sessions if not s.closed]
+        assert len(live) == 1, "exactly one session must survive"
+        assert live[0].udp_port == port2, "the SECOND feed's session wins"
+    finally:
+        tcp.close()
+        s1.close()
+        s2.close()
+
+
+def test_feed_invalid_port_rejected(dummy_server):
+    """FEED with an out-of-range port answers !INVALID up front
+    (documented divergence: the reference accepts it and then crashes
+    per-send with OverflowError while the client hangs)."""
+    for bad in (0, 70000, -5):
+        tcp = socket.create_connection(("127.0.0.1", dummy_server.port), 5)
+        try:
+            tcp.sendall(f"FEED {bad} detect\r\n".encode())
+            tcp.settimeout(5)
+            assert tcp.recv(65536).startswith(b"!INVALID")
+        finally:
+            tcp.close()
+
+
+def test_client_handshake_survives_split_ok():
+    """The +OK reply split across TCP segments must not break open()
+    (regression: a single recv() parsed a partial line)."""
+    lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    port = lsock.getsockname()[1]
+
+    def fake_server():
+        conn, _ = lsock.accept()
+        conn.recv(65536)                   # the FEED line
+        conn.sendall(b"+OK 51")            # partial
+        time.sleep(0.1)
+        conn.sendall(b"234 a1b2c3d4\r\n")  # rest of the line
+        time.sleep(0.5)
+        conn.close()
+
+    th = threading.Thread(target=fake_server, daemon=True)
+    th.start()
+    c = DetectClient("127.0.0.1", port, "detect")
+    try:
+        c.open(timeout=5)
+        assert c.rtp_port == 51234
+        assert c.session_id == bytes.fromhex("a1b2c3d4")
+    finally:
+        c.close()
+        lsock.close()
+        th.join(timeout=2)
+
+
 def test_refeed_closes_previous_session(dummy_server):
     """A second FEED on one control connection must CLOSE the first
     DetectSession (documented divergence: the reference overwrites its
