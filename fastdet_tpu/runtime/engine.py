@@ -597,12 +597,13 @@ class DetectionEngine:
         self, jobs
     ) -> Optional[Tuple[List[int], Dict[int, Tuple[int, int, int, int]]]]:
         """Entropy-decode each job into its row; returns (overflow
-        indices, {frame index: TRUE emitter counts — for every frame,
-        overflowed or not}), or None on decode failure (caller falls
-        back entirely). The counts feed the tier-memory heuristic and
-        the retry router (see detect_async_sparse): they tell whether a
-        dense-staged frame would have fit std, and whether an overflow
-        frame has any chance on the next tier."""
+        indices, {frame index: TRUE emitter counts, or None for frames
+        that violated a per-block cap}), or None on decode failure
+        (caller falls back entirely). The counts feed the tier-memory
+        heuristic and the retry router (see detect_async_sparse): they
+        tell whether a dense-staged frame would have fit std, and
+        whether an overflow frame has any chance on the next tier
+        (None = no tier can ever fit it)."""
         from fastdet_tpu.runtime import native_jpeg
 
         def _decode(job):
@@ -611,7 +612,9 @@ class DetectionEngine:
                 cts, qy, qcb, qcr = native_jpeg.decode_sparse4_into(
                     data, masks, dc8, nib, e8, e16, dce)
             except native_jpeg.SparseCapacityExceeded as e:
-                return i, False, e.counts
+                # None counts = per-block cap violated: identical on
+                # every tier, so no retry tier can ever fit this frame
+                return i, False, (None if e.block_cap_violated else e.counts)
             qrow[:64] = qy
             qrow[64:128] = qcb
             qrow[128:] = qcr
@@ -721,8 +724,9 @@ class DetectionEngine:
                     # planes instead of paying a second wasted entropy
                     # decode (~2 ms/frame on a 1-core serving host).
                     retry = [i for i in ovl
-                             if self._fits_tier(layout, "dense",
-                                                frame_cts[i])]
+                             if frame_cts[i] is not None
+                             and self._fits_tier(layout, "dense",
+                                                 frame_cts[i])]
                     if retry:
                         next_pending[layout] = retry
                     hopeless = [i for i in ovl if i not in set(retry)]

@@ -122,8 +122,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.fd_jpeg_abi.restype = ctypes.c_int
     lib.fd_jpeg_abi.argtypes = []
     abi = lib.fd_jpeg_abi()
-    if abi != 3:
-        raise AttributeError(f"fd_jpeg ABI {abi} != expected 3")
+    if abi != 4:
+        raise AttributeError(f"fd_jpeg ABI {abi} != expected 4")
     return lib
 
 
@@ -340,12 +340,17 @@ class SparseCapacityExceeded(ValueError):
     caller's budget — fall back to the plane path for this frame.
 
     ``counts`` carries the emitter's true (n_ac, n_esc8, n_esc16,
-    n_dcesc) totals so the caller can size a retry tier.
+    n_dcesc) totals so the caller can size a retry tier;
+    ``block_cap_violated`` means a per-block/structural cap failed —
+    those caps are identical on every tier, so retrying a bigger tier
+    is pointless (route straight to the plane path).
     """
 
-    def __init__(self, msg: str, counts: Tuple[int, int, int, int]):
+    def __init__(self, msg: str, counts: Tuple[int, int, int, int],
+                 block_cap_violated: bool = False):
         super().__init__(msg)
         self.counts = counts
+        self.block_cap_violated = block_cap_violated
 
 
 def sparse_geometry(w: int, h: int, hs: int, vs: int) -> Tuple[int, int]:
@@ -412,7 +417,7 @@ def decode_sparse4_into(
         raise ValueError("esc16 must be contiguous int16")
     if dcesc.dtype != np.int16 or not dcesc.flags.c_contiguous:
         raise ValueError("dcesc must be contiguous int16")
-    counts = (ctypes.c_long * 4)()
+    counts = (ctypes.c_long * 5)()
     q = np.zeros((4, 64), np.uint16)
     rc = lib.fd_jpeg_sparse4(
         data, len(data),
@@ -429,8 +434,10 @@ def decode_sparse4_into(
     if rc == -5:  # ERR_CAPACITY: valid frame, too dense for the budget
         raise SparseCapacityExceeded(
             f"ac={cts[0]}/{2 * nib.size} esc8={cts[1]}/{esc8.size} "
-            f"esc16={cts[2]}/{esc16.size} dcesc={cts[3]}/{dcesc.size}",
+            f"esc16={cts[2]}/{esc16.size} dcesc={cts[3]}/{dcesc.size} "
+            f"blockcap={counts[4]}",
             cts,
+            block_cap_violated=bool(counts[4]),
         )
     if rc != 0:
         raise ValueError(f"fd_jpeg_sparse4 failed: rc={rc}")

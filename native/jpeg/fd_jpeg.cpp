@@ -65,19 +65,25 @@ struct HuffTable {
   uint16_t fast[256];
   bool present = false;
 
-  void build() {
+  // Returns false for oversubscribed code counts (Kraft inequality
+  // violated): the DHT parser's total<=256 check alone does NOT bound
+  // the codes, and a crafted bits[] (e.g. bits[1]=255) would drive the
+  // fast-table fill's `prefix | fill` index far past the 256-entry
+  // array — an attacker-controlled OOB write from untrusted input.
+  bool build() {
     int code = 0, k = 0;
     for (int l = 1; l <= 16; ++l) {
       valptr[l] = k;
       mincode[l] = code;
       code += bits[l];
       k += bits[l];
+      if (code > (1 << l)) return false;   // more codes than length-l space
       maxcode[l] = code - 1;
       code <<= 1;
     }
     maxcode[17] = 0x7fffffff;
     for (int i = 0; i < 256; ++i) fast[i] = 0;
-    // populate fast table
+    // populate fast table (in-bounds: code < 2^l was just validated)
     code = 0; k = 0;
     for (int l = 1; l <= 8; ++l) {
       for (int i = 0; i < bits[l]; ++i, ++k, ++code) {
@@ -88,6 +94,7 @@ struct HuffTable {
       code <<= 1;
     }
     present = true;
+    return true;
   }
 };
 
@@ -433,7 +440,7 @@ struct Decoder {
             if (total > 256 || p + 17 + total > segend) return ERR_BAD_DATA;
             for (int i = 1; i <= 16; ++i) h.bits[i] = data[p + i];
             for (int i = 0; i < total; ++i) h.values[i] = data[p + 17 + i];
-            h.build();
+            if (!h.build()) return ERR_BAD_DATA;  // oversubscribed codes
             p += 17 + total;
           }
           break;
@@ -866,7 +873,9 @@ int decode_sparse4(Decoder& d, uint8_t* masks, long masks_cap,
                    int8_t* esc8, long e8_cap,
                    int16_t* esc16, long e16_cap,
                    int16_t* dcesc, long dce_cap,
-                   long counts[4]) {
+                   long counts[5]) {
+  if (nib_cap < 0 || e8_cap < 0 || e16_cap < 0 || dce_cap < 0)
+    return ERR_CAPACITY;
   int hmax = 1, vmax = 1;
   for (int i = 0; i < d.ncomp; ++i) {
     if (d.comp[i].hs > hmax) hmax = d.comp[i].hs;
@@ -892,10 +901,12 @@ int decode_sparse4(Decoder& d, uint8_t* masks, long masks_cap,
     return 0;
   });
   if (rc) return rc;
-  // masks need no memset: every block memcpy's its full 8 bytes below
-  memset(nib, 0, (size_t)nib_cap);
+  // masks need no memset (every block memcpy's its full 8 bytes below),
+  // and neither does nib: each consumed byte is fully assigned by its
+  // even-entry write before the odd-entry OR, and bytes past the last
+  // value are never selected by the device (masked by the bits)
   long nac = 0, ne8 = 0, ne16 = 0, ndce = 0;
-  bool overflow = false;
+  bool overflow = false;       // per-block escape caps (tier-independent)
   int comp_next = 1;  // index of the next component boundary in base[]
   int16_t prev_dc = 0;
   for (long b = 0; b < total_blocks; ++b) {
@@ -905,9 +916,16 @@ int decode_sparse4(Decoder& d, uint8_t* masks, long masks_cap,
     }
     const int16_t* blk = &stage[(size_t)b * 64];
     uint8_t* m = masks + b * 8;
-    // DC: int8 delta with int16 escape (delta fits int16: |dc| <= 2048).
+    // DC as int8 delta with int16 escape. Encoder-legal baseline DC is
+    // 12-bit (|dc| <= 2047) so real deltas always fit int16, but
+    // decode_block's unclamped dc_pred lets a CRAFTED stream stage DC
+    // anywhere in int16 — a delta outside int16 would silently wrap in
+    // the escape stream and offset every later block's device-side
+    // cumsum. Reject such frames to the plane path (whose dense
+    // staging has no delta chain to corrupt).
     int delta = (int)blk[0] - (int)prev_dc;
     prev_dc = blk[0];
+    if (delta < -32768 || delta > 32767) overflow = true;
     if (delta >= -127 && delta <= 127) {
       dc8[b] = (int8_t)delta;
     } else {
@@ -954,6 +972,12 @@ int decode_sparse4(Decoder& d, uint8_t* masks, long masks_cap,
   counts[1] = ne8;
   counts[2] = ne16;
   counts[3] = ndce;
+  // counts[4]: per-block/structural violation flag. These caps are
+  // compile-time constants identical on EVERY tier, so a caller's
+  // retry router must distinguish them from stream-budget overflow —
+  // retrying a bigger tier for a per-block violation is a guaranteed
+  // second wasted entropy decode.
+  counts[4] = overflow ? 1 : 0;
   return ((nac + 1) / 2 <= nib_cap && ne8 <= e8_cap && ne16 <= e16_cap &&
           ndce <= dce_cap && !overflow)
              ? 0 : ERR_CAPACITY;
@@ -1051,7 +1075,8 @@ int fd_jpeg_planes420(const uint8_t* data, long n,
 }
 
 // Entropy-decode into nibble-packed sparse form (see decode_sparse4
-// above). counts: 4 longs [n_ac_values, n_esc8, n_esc16, n_dcesc],
+// above). counts: 5 longs [n_ac_values, n_esc8, n_esc16, n_dcesc,
+// per_block_cap_violated],
 // written with the TRUE totals even when a STREAM budget returns
 // ERR_CAPACITY, so the caller can size a retry tier. Exception: when
 // the masks/dc8 buffers are too small for the frame's geometry (a
@@ -1069,7 +1094,7 @@ int fd_jpeg_sparse4(const uint8_t* data, long n,
   Decoder d{data, n};
   int rc = d.parse_headers();
   if (rc) return rc;
-  counts[0] = counts[1] = counts[2] = counts[3] = 0;
+  counts[0] = counts[1] = counts[2] = counts[3] = counts[4] = 0;
   try {
     rc = decode_sparse4(d, masks, masks_cap, dc8, dc_cap, nib, nib_cap,
                         esc8, e8_cap, esc16, e16_cap, dcesc, dce_cap,
@@ -1113,6 +1138,7 @@ const char* fd_jpeg_version() { return "fd_jpeg 0.3 (baseline sequential)"; }
 // fd_jpeg_scan_info growing 13 -> 14 ints — would otherwise go silently
 // wrong). 2 = 14-int scan_info with per-component quant table indices.
 // 3 = adds fd_jpeg_sparse4 (nibble-packed sparse format).
-int fd_jpeg_abi() { return 3; }
+// 4 = fd_jpeg_sparse4 counts grows 4 -> 5 longs (per-block-cap flag).
+int fd_jpeg_abi() { return 4; }
 
 }  // extern "C"

@@ -54,7 +54,7 @@ uint16_t qtabs[4 * 64];
 
 void exercise(const uint8_t* data, long n) {
   int w, h, comps, info[14], layout[4];
-  long counts[4];
+  long counts[5];
   fd_jpeg_info(data, n, &w, &h, &comps);
   fd_jpeg_scan_info(data, n, info);
   fd_jpeg_decode_rgb(data, n, rgb.data(), (long)rgb.size());
