@@ -26,3 +26,39 @@ def cpu_devices():
     if len(devs) < 8 or devs[0].platform != "cpu":
         pytest.skip("virtual 8-device CPU mesh unavailable")
     return devs
+
+
+@pytest.fixture(scope="session")
+def native_ready():
+    """The native JPEG module, built on demand.
+
+    ONE build-or-skip fixture for every module (five copies previously
+    diverged: some skipped without trying `make`, so a fresh checkout
+    silently dropped the sparse/planes ingest coverage when those
+    modules ran in isolation).
+    """
+    import subprocess
+
+    from fastdet_tpu.runtime import native_jpeg
+
+    if not native_jpeg.available():
+        subprocess.run(
+            ["make", "-C", str(REPO_ROOT / "native" / "jpeg")],
+            capture_output=True,
+        )
+        if not native_jpeg.available():
+            pytest.skip("native jpeg library unavailable (build failed)")
+    return native_jpeg
+
+
+@pytest.fixture(scope="session")
+def tiny_f32_engine():
+    """Shared synthetic:tiny f32 engine, buckets (1, 2) — the standard
+    test engine, previously compiled separately by four modules on the
+    1-core host. Tests asserting TIER ROUTING must clear _tier_hint
+    first (they do); the engine is otherwise stateless across tests."""
+    from fastdet_tpu.models import weights
+    from fastdet_tpu.runtime.engine import DetectionEngine
+
+    spec, params = weights.load_model("synthetic:tiny", num_classes=80)
+    return DetectionEngine(spec, params, mode="f32", buckets=(1, 2))

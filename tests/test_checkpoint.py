@@ -38,8 +38,18 @@ def test_bn_running_stats_updated_by_training():
     state, _ = step(state, images, *targets)
     after = np.asarray(state.params["conv0"]["bn"]["mean"])
     assert not np.allclose(before, after)
-    # EMA moves at most (1 - momentum) of the way toward batch stats
-    assert np.abs(after - before).max() > 0
+    # the exact EMA contract, checked against an INDEPENDENTLY computed
+    # batch statistic: new = m*old + (1-m)*batch_mean(conv0 output).
+    # (A momentum bug jumping 100% of the way — or updating from the
+    # wrong tensor — fails here; 'mean changed at all' would not.)
+    from fastdet_tpu.models import layers as L
+
+    conv0 = [l for l in spec.layers if isinstance(l, yolov3.Conv)][0]
+    y = L.conv2d(images, params["conv0"]["w"], conv0.stride)
+    batch_mean = np.asarray(y.mean(axis=(0, 1, 2)))
+    expected = (train.BN_MOMENTUM * before
+                + (1 - train.BN_MOMENTUM) * batch_mean)
+    np.testing.assert_allclose(after, expected, rtol=1e-4, atol=1e-5)
 
 
 def test_weight_decay_excludes_bn_and_bias():

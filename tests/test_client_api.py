@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from fastdet_tpu import client_api
+from tests.conftest import REPO_ROOT
 from fastdet_tpu.client_api import (
     DummyDetector, LocalDetector, RemoteDetector, letterbox,
 )
@@ -76,7 +77,6 @@ def test_letterbox_clamps_out_of_range_area():
 
 def test_timeout_event(monkeypatch):
     det = DummyDetector()
-    det._queue.clear()  # suppress reply delivery
 
     timeouts = []
     det.on_timeout = timeouts.append
@@ -234,6 +234,7 @@ def test_demo_stream_mode(tmp_path):
         [_sys.executable, "-m", "fastdet_tpu.cli.demo", "--dummy", "--stream",
          "-n", "6", "--interval", "0.05", "-o", str(outdir), str(src)],
         capture_output=True, text=True, timeout=120,
+        cwd=str(REPO_ROOT),   # child needs the repo on its import path
     )
     assert r.returncode == 0, r.stderr
     frames = sorted(outdir.glob("frame_*.jpg"))

@@ -72,11 +72,11 @@ def test_tcp_fuzz_lines(dummy_server):
 def test_oversized_feed_port(dummy_server):
     s = socket.create_connection(("127.0.0.1", dummy_server.port), 5)
     s.send(b"FEED 99999999999999999999 detect\r\n")
-    # huge int parses in python; session init then fails on sendto -> the
-    # server must answer *something* and stay alive (either +OK with a
-    # broken session or !INVALID)
+    # out-of-range ports are rejected UP FRONT (documented divergence;
+    # pinned exactly — the loose '+OK or !INVALID' form would also pass
+    # if validation regressed to the reference's accept-then-crash)
     resp = s.recv(100)
-    assert resp.startswith((b"+OK", b"!INVALID"))
+    assert resp.startswith(b"!INVALID")
     s.close()
     c = DetectClient("127.0.0.1", dummy_server.port, "detect")
     c.open()

@@ -39,6 +39,8 @@ class _Stub:
         self.loop.call_soon_threadsafe(
             lambda: [t.cancel() for t in asyncio.all_tasks(self.loop)])
         self.thread.join(timeout=5)
+        if not self.thread.is_alive():
+            self.loop.close()   # release the epoll/self-pipe fds
 
     @property
     def base(self):

@@ -52,7 +52,10 @@ def test_both_endpoints_route_to_their_model(two_model_server):
         _, records = c.wait_response(1, timeout=30)
         results[path] = records
         c.close()
-    # 80-class model can emit classes >9; 9-class model never does
+    # 80-class model can emit classes >9; 9-class model never does —
+    # and both endpoints must actually DETECT (an empty rsu list would
+    # satisfy the class-range check vacuously)
+    assert results["full"] and results["rsu"]
     assert all(1 <= r[0] <= 9 for r in results["rsu"])
     assert results["full"] != results["rsu"]
 
@@ -99,10 +102,9 @@ def test_concurrent_clients_both_models(two_model_server):
         t.join(timeout=60)
     assert errors == []
     assert len(counts) == n_clients * 3
-    # the continuous batcher actually batched (fewer device calls than
-    # frames) on at least one model under this concurrency
-    svc_frames = sum(s.frames for s in
-                     [v for v in st.server.services.values()])
-    svc_batches = sum(s.batches for s in
-                      [v for v in st.server.services.values()])
-    assert svc_frames >= svc_batches  # sanity
+    # the continuous batcher actually batched: strictly fewer device
+    # calls than frames (frames >= batches is TRUE BY CONSTRUCTION and
+    # would pass with batching completely broken)
+    svc_frames = sum(s.frames for s in st.server.services.values())
+    svc_batches = sum(s.batches for s in st.server.services.values())
+    assert svc_frames > svc_batches, (svc_frames, svc_batches)

@@ -11,17 +11,8 @@ from tests.conftest import REPO_ROOT
 
 
 @pytest.fixture(scope="module")
-def native():
-    from fastdet_tpu.runtime import native_jpeg
-
-    if not native_jpeg.available():
-        rc = subprocess.run(
-            ["make", "-C", str(REPO_ROOT / "native" / "jpeg")],
-            capture_output=True,
-        ).returncode
-        if rc != 0 or not native_jpeg.available():
-            pytest.skip("native jpeg library not buildable here")
-    return native_jpeg
+def native(native_ready):
+    return native_ready  # session-shared build-or-skip (see conftest)
 
 
 def _image():

@@ -12,6 +12,7 @@ import sys
 import numpy as np
 import pytest
 
+from tests.conftest import REPO_ROOT
 from fastdet_tpu.models import onnx_io, weights, yolov3
 
 
@@ -266,7 +267,7 @@ def test_inspect_cli_raw_dump(tmp_path):
     onnx_io.save_onnx(p, spec, params)
     out = subprocess.run(
         [sys.executable, "-m", "fastdet_tpu.cli.inspect_weights", "-r", p],
-        capture_output=True, text=True, timeout=120,
+        capture_output=True, text=True, timeout=120, cwd=str(REPO_ROOT),
     )
     assert out.returncode == 0, out.stderr
     assert "Conv" in out.stdout and "BatchNormalization" in out.stdout
@@ -274,7 +275,7 @@ def test_inspect_cli_raw_dump(tmp_path):
     # and the yolo-aware path also reads it
     out2 = subprocess.run(
         [sys.executable, "-m", "fastdet_tpu.cli.inspect_weights", p],
-        capture_output=True, text=True, timeout=120,
+        capture_output=True, text=True, timeout=120, cwd=str(REPO_ROOT),
     )
     assert out2.returncode == 0, out2.stderr
     assert "total parameters" in out2.stdout

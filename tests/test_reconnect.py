@@ -16,17 +16,26 @@ def test_reconnect_after_server_restart(monkeypatch):
     frame = np.random.RandomState(0).randint(0, 255, (480, 640, 3), np.uint8)
 
     st1 = ServerThread(build_services([])).__enter__()
-    port = st1.port
-    det = RemoteDetector(f"rtsp://127.0.0.1:{port}/detect")
-    got = []
-    det.on_result = got.append
+    det = None
+    try:
+        port = st1.port
+        det = RemoteDetector(f"rtsp://127.0.0.1:{port}/detect")
+        got = []
+        det.on_result = got.append
 
-    det.process_image(frame)
-    deadline = time.time() + 5
-    while not got and time.time() < deadline:
-        det.update()
-        time.sleep(0.02)
-    assert len(got) == 1
+        det.process_image(frame)
+        deadline = time.time() + 5
+        while not got and time.time() < deadline:
+            det.update()
+            time.sleep(0.02)
+        assert len(got) == 1
+    except BaseException:
+        # an early failure must not leak st1's loop/port (a later bind
+        # on the same port would fail with EADDRINUSE, masking it)
+        if det is not None:
+            det.close()
+        st1.__exit__()
+        raise
 
     # kill the server: requests now time out; after RECONNECT_AFTER
     # timeouts the client re-opens... against a new server on the SAME port

@@ -65,7 +65,10 @@ class ServerThread:
 
         self.loop.call_soon_threadsafe(_stop)
         self.thread.join(timeout=5)
-        assert not self.thread.is_alive(), "server loop failed to shut down"
+        alive = self.thread.is_alive()
+        if not alive:
+            self.loop.close()   # release the epoll/self-pipe fds
+        assert not alive, "server loop failed to shut down"
 
     @property
     def port(self):

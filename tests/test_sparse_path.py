@@ -20,18 +20,8 @@ from fastdet_tpu.runtime.engine import DetectionEngine
 
 
 @pytest.fixture(scope="module")
-def native_ready():
-    from fastdet_tpu.runtime import native_jpeg
-
-    if not native_jpeg.available():
-        pytest.skip("native jpeg library unavailable")
-    return native_jpeg
-
-
-@pytest.fixture(scope="module")
-def engine():
-    spec, params = weights.load_model("synthetic:tiny", num_classes=80)
-    return DetectionEngine(spec, params, mode="f32", buckets=(1, 2))
+def engine(tiny_f32_engine):
+    return tiny_f32_engine  # session-shared (see conftest)
 
 
 def _jpeg(seed, quality=90, subsampling=2):
