@@ -87,15 +87,12 @@ def _kernel(off_ref, eoff1_ref, eoff2_ref, bits_ref, rank_ref, vals_ref,
             esc8_ref, esc16_ref, slt_ref, out_ref, win_ref, ewin1_ref,
             ewin2_ref, *, bt):
     t = pl.program_id(1)
+    base = t * bt
     lanes_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    # Assemble the tile's value/escape windows.
+    # Assemble the tile's value windows.
     for j in range(bt):
-        start = off_ref[0, t * bt + j]
+        start = off_ref[0, base + j]
         win_ref[j, :] = _load_window(vals_ref, start, 64, lanes_iota)
-        e1 = eoff1_ref[0, t * bt + j]
-        ewin1_ref[j, :EW1] = _load_window(esc8_ref, e1, EW1, lanes_iota)
-        e2 = eoff2_ref[0, t * bt + j]
-        ewin2_ref[j, :EW2] = _load_window(esc16_ref, e2, EW2, lanes_iota)
 
     bits = bits_ref[:]                      # (bt, 64) i32, 0/1, AC only
     rank = rank_ref[:]                      # (bt, 64) i32, exclusive
@@ -107,25 +104,69 @@ def _kernel(off_ref, eoff1_ref, eoff2_ref, bits_ref, rank_ref, vals_ref,
         acc = acc + jnp.where(rank == k, win[:, k][:, None], 0)
     acc = acc * bits
 
-    # level-1 escapes: -8 slots take the next esc8-window entry
-    esc1 = (acc == -8) & (bits > 0)
-    erank1 = jnp.dot(esc1.astype(jnp.float32), slt_ref[:],
-                     preferred_element_type=jnp.float32).astype(jnp.int32)
-    ewin1 = ewin1_ref[:]                    # (bt, 128) i32, escapes in :EW1
-    eacc1 = jnp.zeros((bt, 64), jnp.int32)
-    for k in range(EW1):
-        eacc1 = eacc1 + jnp.where(erank1 == k, ewin1[:, k][:, None], 0)
-    c1 = jnp.where(esc1, eacc1, acc)
+    # Escapes are RARE (0.06-0.27/block at camera quality, zero on most
+    # blocks), so every escape stage is predicated on the actual counts,
+    # read as adjacent differences of the (nb+1)-entry exclusive offset
+    # arrays in SMEM: skip the whole substitution machinery for
+    # escape-free tiles and the per-block window load+roll (the dominant
+    # per-block cost) for escape-free blocks. Skipped blocks leave stale
+    # scratch in ewin*_ref — harmless: the one-hot substitution only
+    # keeps lanes where esc1/esc2 is set, and those exist only in blocks
+    # whose windows were loaded this step.
+    tile_e1 = eoff1_ref[0, base + bt] - eoff1_ref[0, base]
 
-    # level-2 escapes: -128 slots take the next esc16-window entry
-    esc2 = esc1 & (c1 == -128)
-    erank2 = jnp.dot(esc2.astype(jnp.float32), slt_ref[:],
-                     preferred_element_type=jnp.float32).astype(jnp.int32)
-    ewin2 = ewin2_ref[:]                    # (bt, 128) i32, escapes in :EW2
-    eacc2 = jnp.zeros((bt, 64), jnp.int32)
-    for k in range(EW2):
-        eacc2 = eacc2 + jnp.where(erank2 == k, ewin2[:, k][:, None], 0)
-    out_ref[:] = jnp.where(esc2, eacc2, c1)
+    @pl.when(tile_e1 == 0)
+    def _no_escapes():
+        out_ref[:] = acc
+
+    @pl.when(tile_e1 > 0)
+    def _esc1_stage():
+        for j in range(bt):
+            e1 = eoff1_ref[0, base + j]
+            c1j = eoff1_ref[0, base + j + 1] - e1
+
+            @pl.when(c1j > 0)
+            def _load1(e1=e1, j=j):
+                ewin1_ref[j, :EW1] = _load_window(
+                    esc8_ref, e1, EW1, lanes_iota)
+
+        # level-1 escapes: -8 slots take the next esc8-window entry
+        esc1 = (acc == -8) & (bits > 0)
+        erank1 = jnp.dot(esc1.astype(jnp.float32), slt_ref[:],
+                         preferred_element_type=jnp.float32).astype(jnp.int32)
+        ewin1 = ewin1_ref[:]                # (bt, 128) i32, escapes in :EW1
+        eacc1 = jnp.zeros((bt, 64), jnp.int32)
+        for k in range(EW1):
+            eacc1 = eacc1 + jnp.where(erank1 == k, ewin1[:, k][:, None], 0)
+        c1 = jnp.where(esc1, eacc1, acc)
+
+        tile_e2 = eoff2_ref[0, base + bt] - eoff2_ref[0, base]
+
+        @pl.when(tile_e2 == 0)
+        def _no_esc16():
+            out_ref[:] = c1
+
+        @pl.when(tile_e2 > 0)
+        def _esc2_stage():
+            for j in range(bt):
+                e2 = eoff2_ref[0, base + j]
+                c2j = eoff2_ref[0, base + j + 1] - e2
+
+                @pl.when(c2j > 0)
+                def _load2(e2=e2, j=j):
+                    ewin2_ref[j, :EW2] = _load_window(
+                        esc16_ref, e2, EW2, lanes_iota)
+
+            # level-2 escapes: -128 slots take the next esc16-window entry
+            esc2 = esc1 & (c1 == -128)
+            erank2 = jnp.dot(
+                esc2.astype(jnp.float32), slt_ref[:],
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            ewin2 = ewin2_ref[:]            # (bt, 128) i32, escapes in :EW2
+            eacc2 = jnp.zeros((bt, 64), jnp.int32)
+            for k in range(EW2):
+                eacc2 = eacc2 + jnp.where(erank2 == k, ewin2[:, k][:, None], 0)
+            out_ref[:] = jnp.where(esc2, eacc2, c1)
 
 
 def _rows128(stream32, extra_rows=2):
@@ -147,7 +188,12 @@ def _rows128(stream32, extra_rows=2):
 
 def _reconstruct(bits, rank, off, eoff1, eoff2, vals32, esc8_32, esc16_32,
                  *, interpret=False):
-    """(B, NB, 64) bits/rank + (B, rows, 128) streams -> (B, NB, 64) i32."""
+    """(B, NB, 64) bits/rank + (B, rows, 128) streams -> (B, NB, 64) i32.
+
+    ``eoff1``/``eoff2`` are (B, NB+1): the exclusive escape-stream
+    offsets EXTENDED with the total count, so the kernel reads per-block
+    and per-tile escape counts as adjacent differences (they gate the
+    escape stages)."""
     b, nb, _ = bits.shape
     bt = _pick_bt(nb)
     if nb % bt:
@@ -167,9 +213,9 @@ def _reconstruct(bits, rank, off, eoff1, eoff2, vals32, esc8_32, esc16_32,
         in_specs=[
             pl.BlockSpec((None, 1, nb), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.SMEM),                 # off
-            pl.BlockSpec((None, 1, nb), lambda i, t: (i, 0, 0),
+            pl.BlockSpec((None, 1, nb + 1), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.SMEM),                 # eoff1
-            pl.BlockSpec((None, 1, nb), lambda i, t: (i, 0, 0),
+            pl.BlockSpec((None, 1, nb + 1), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.SMEM),                 # eoff2
             pl.BlockSpec((None, bt, 64), lambda i, t: (i, t, 0)),  # bits
             pl.BlockSpec((None, bt, 64), lambda i, t: (i, t, 0)),  # rank
@@ -192,19 +238,20 @@ def _reconstruct(bits, rank, off, eoff1, eoff2, vals32, esc8_32, esc16_32,
 
 def _stream_counts(flags_s, off, nnz):
     """Per-block counts of flagged entries inside [off, off+nnz) of a
-    stream, from STREAM space: S = inclusive scan of flags; count =
-    S[off+nnz-1] - S[off-1]. One NB-sized element probe pair — tiny next
-    to the NB*64-sized gathers this module replaces."""
+    stream, from STREAM space: S = inclusive scan of flags, probed once
+    per block BOUNDARY. Blocks are contiguous in the stream
+    (off[k] + nnz[k] == off[k+1]), so the upper probe of block k is the
+    lower probe of block k+1: ONE (B, NB+1)-sized gather instead of two
+    NB-sized ones — TPU gathers cost ~10 ns/element, so at NB=4056 each
+    probe eliminated is ~0.6 ms/batch-16."""
     cap = flags_s.shape[-1]
     s = jnp.cumsum(flags_s, axis=-1)                     # (B, CAP)
     take = jax.vmap(jnp.take)
-    hi = jnp.clip(off + nnz - 1, 0, cap - 1)
-    lo = jnp.clip(off - 1, 0, cap - 1)
-    return jnp.where(
-        nnz > 0,
-        take(s, hi) - jnp.where(off > 0, take(s, lo), 0),
-        0,
-    )
+    ends = jnp.concatenate([off, off[:, -1:] + nnz[:, -1:]], axis=-1)
+    probe = jnp.where(
+        ends > 0, take(s, jnp.clip(ends - 1, 0, cap - 1)), 0
+    )                                                    # (B, NB+1)
+    return probe[:, 1:] - probe[:, :-1]
 
 
 def sparse4_to_coeffs_batch(masks, dc8, nib, esc8, esc16, dcesc, yb, cb,
@@ -233,8 +280,12 @@ def sparse4_to_coeffs_batch(masks, dc8, nib, esc8, esc16, dcesc, yb, cb,
     ecnt2 = _stream_counts(
         (esc8 == -128).astype(jnp.int32), eoff1, ecnt1)
     eoff2 = (jnp.cumsum(ecnt2, axis=-1) - ecnt2).astype(jnp.int32)
+    # extend with totals: the kernel derives per-block/per-tile escape
+    # counts from adjacent differences (see _reconstruct)
+    eoff1x = jnp.concatenate([eoff1, eoff1[:, -1:] + ecnt1[:, -1:]], -1)
+    eoff2x = jnp.concatenate([eoff2, eoff2[:, -1:] + ecnt2[:, -1:]], -1)
     ac = _reconstruct(
-        bits, rank, off, eoff1, eoff2,
+        bits, rank, off, eoff1x, eoff2x,
         _rows128(vals),
         _rows128(esc8.astype(jnp.int32)),
         _rows128(esc16.astype(jnp.int32)),
