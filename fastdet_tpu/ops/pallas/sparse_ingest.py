@@ -45,10 +45,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Blocks per grid step: chosen per layout as the largest multiple of 8
-# (sublane alignment) that divides the block count — 4:2:0's 4056 -> 24,
-# 4:2:2's 5408 -> 32, 4:4:4's 8112 -> 48, all exactly 169 grid steps.
-# Bigger tiles amortize the per-tile unrolled select over more rows.
+# Blocks per grid step: the batch wrapper pads the block axis to a
+# multiple of 64 (pad blocks have zero mask bits and start offsets at
+# the stream totals — the _rows128 pad rows absorb their window reads),
+# so every layout runs the full 64-block tile: 4:2:0 pads 4056 -> 4096
+# (64 grid steps/frame where the old divisor rule gave 169 steps of 24).
+# Bigger tiles amortize the per-tile unrolled select and per-step grid
+# overhead over more rows.
 def _pick_bt(nb: int) -> int:
     for bt in range(64, 7, -8):
         if nb % bt == 0:
@@ -83,7 +86,7 @@ def _load_window(ref, start, width, lanes_iota):
     return win[0, :width]
 
 
-def _kernel(off_ref, eoff1_ref, eoff2_ref, bits_ref, rank_ref, vals_ref,
+def _kernel(off_ref, eoff1_ref, eoff2_ref, masks_ref, vals_ref,
             esc8_ref, esc16_ref, slt_ref, out_ref, win_ref, ewin1_ref,
             ewin2_ref, *, bt):
     t = pl.program_id(1)
@@ -94,8 +97,21 @@ def _kernel(off_ref, eoff1_ref, eoff2_ref, bits_ref, rank_ref, vals_ref,
         start = off_ref[0, base + j]
         win_ref[j, :] = _load_window(vals_ref, start, 64, lanes_iota)
 
-    bits = bits_ref[:]                      # (bt, 64) i32, 0/1, AC only
-    rank = rank_ref[:]                      # (bt, 64) i32, exclusive
+    # Expand the 8 mask bytes to the (bt, 64) bit plane and derive the
+    # exclusive in-block ranks with the same strict-lower-triangular
+    # matmul the escape stages use. Shipping bits/rank precomputed
+    # instead costs two (B, NB, 64) i32 HBM arrays + their relayout
+    # copies into the kernel's minor-to-major order (~0.55 ms/batch-16
+    # measured) — 16x the DMA of the masks they encode.
+    mb = masks_ref[:]                       # (bt, 8) i32 mask bytes
+    pos64 = jax.lax.broadcasted_iota(jnp.int32, (bt, 64), 1)
+    bysel = jnp.zeros((bt, 64), jnp.int32)
+    for b8 in range(8):
+        bysel = bysel + jnp.where((pos64 >> 3) == b8, mb[:, b8][:, None], 0)
+    bits = (bysel >> (pos64 & 7)) & 1
+    bits = jnp.where(pos64 == 0, 0, bits)   # (bt, 64) i32, 0/1, AC only
+    rank = jnp.dot(bits.astype(jnp.float32), slt_ref[:],
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
     win = win_ref[:]                        # (bt, 64) i32 nibble values
 
     # value placement: dense[p] = window[rank[p]] where bit set
@@ -186,15 +202,16 @@ def _rows128(stream32, extra_rows=2):
         b, rows + extra_rows, LANES)
 
 
-def _reconstruct(bits, rank, off, eoff1, eoff2, vals32, esc8_32, esc16_32,
+def _reconstruct(masks32, off, eoff1, eoff2, vals32, esc8_32, esc16_32,
                  *, interpret=False):
-    """(B, NB, 64) bits/rank + (B, rows, 128) streams -> (B, NB, 64) i32.
+    """(B, NB, 8) mask bytes + (B, rows, 128) streams -> (B, NB, 64) i32.
 
     ``eoff1``/``eoff2`` are (B, NB+1): the exclusive escape-stream
     offsets EXTENDED with the total count, so the kernel reads per-block
     and per-tile escape counts as adjacent differences (they gate the
-    escape stages)."""
-    b, nb, _ = bits.shape
+    escape stages). Bit plane and in-block ranks are derived in-kernel
+    from the mask bytes."""
+    b, nb, _ = masks32.shape
     bt = _pick_bt(nb)
     if nb % bt:
         # grid = nb // bt would silently skip the trailing blocks and
@@ -217,8 +234,7 @@ def _reconstruct(bits, rank, off, eoff1, eoff2, vals32, esc8_32, esc16_32,
                          memory_space=pltpu.SMEM),                 # eoff1
             pl.BlockSpec((None, 1, nb + 1), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.SMEM),                 # eoff2
-            pl.BlockSpec((None, bt, 64), lambda i, t: (i, t, 0)),  # bits
-            pl.BlockSpec((None, bt, 64), lambda i, t: (i, t, 0)),  # rank
+            pl.BlockSpec((None, bt, 8), lambda i, t: (i, t, 0)),   # masks
             pl.BlockSpec((None, vr, LANES), lambda i, t: (i, 0, 0)),  # vals
             pl.BlockSpec((None, e1r, LANES), lambda i, t: (i, 0, 0)),  # esc8
             pl.BlockSpec((None, e2r, LANES), lambda i, t: (i, 0, 0)),  # esc16
@@ -232,7 +248,7 @@ def _reconstruct(bits, rank, off, eoff1, eoff2, vals32, esc8_32, esc16_32,
             pltpu.VMEM((bt, LANES), jnp.int32),   # esc16 windows (:EW2)
         ],
         interpret=interpret,
-    )(off[:, None, :], eoff1[:, None, :], eoff2[:, None, :], bits, rank,
+    )(off[:, None, :], eoff1[:, None, :], eoff2[:, None, :], masks32,
       vals32, esc8_32, esc16_32, jnp.asarray(_slt64()))
 
 
@@ -268,12 +284,20 @@ def sparse4_to_coeffs_batch(masks, dc8, nib, esc8, esc16, dcesc, yb, cb,
     from fastdet_tpu.ops import jpeg_device
 
     b, nb, _ = masks.shape
-    bits = jnp.unpackbits(masks, axis=-1, bitorder="little").astype(jnp.int32)
-    pos = jax.lax.broadcasted_iota(jnp.int32, bits.shape, 2)
-    bits = jnp.where(pos == 0, 0, bits)                  # AC only
-    nnz = bits.sum(-1)                                   # (B, NB)
+    # Pad the block axis to a full 64-block tile (see _pick_bt): pad
+    # blocks carry zero mask bits, their start offsets land on the
+    # stream totals (cumsum of zero counts), and their output rows are
+    # sliced away below — bit-exact, ~1% extra kernel rows.
+    nb_pad = -64 * (nb // -64)
+    if nb_pad != nb:
+        masks = jnp.pad(masks, ((0, 0), (0, nb_pad - nb), (0, 0)))
+    # Per-block AC counts straight from the mask bytes — the 64-wide bit
+    # plane and the in-block ranks are derived inside the kernel (mask
+    # bytes are 16x less HBM traffic than bits+rank, and dodge their
+    # relayout copies at the pallas boundary).
+    pc = jax.lax.population_count(masks).astype(jnp.int32)   # (B, NB, 8)
+    nnz = pc.sum(-1) - (masks[..., 0] & 1).astype(jnp.int32)  # AC only
     off = (jnp.cumsum(nnz, axis=-1) - nnz).astype(jnp.int32)
-    rank = jnp.cumsum(bits, axis=-1) - bits              # (B, NB, 64)
     vals = jpeg_device.unpack_nibbles(nib)               # (B, 2*NCAP) i32
     ecnt1 = _stream_counts((vals == -8).astype(jnp.int32), off, nnz)
     eoff1 = (jnp.cumsum(ecnt1, axis=-1) - ecnt1).astype(jnp.int32)
@@ -285,12 +309,13 @@ def sparse4_to_coeffs_batch(masks, dc8, nib, esc8, esc16, dcesc, yb, cb,
     eoff1x = jnp.concatenate([eoff1, eoff1[:, -1:] + ecnt1[:, -1:]], -1)
     eoff2x = jnp.concatenate([eoff2, eoff2[:, -1:] + ecnt2[:, -1:]], -1)
     ac = _reconstruct(
-        bits, rank, off, eoff1x, eoff2x,
+        masks.astype(jnp.int32), off, eoff1x, eoff2x,
         _rows128(vals),
         _rows128(esc8.astype(jnp.int32)),
         _rows128(esc16.astype(jnp.int32)),
         interpret=interpret,
-    )
+    )[:, :nb]
     dc = jax.vmap(jpeg_device.dc_reconstruct, in_axes=(0, 0, None, None))(
         dc8, dcesc, yb, cb)                              # (B, NB)
+    pos = jax.lax.broadcasted_iota(jnp.int32, ac.shape, 2)
     return jnp.where(pos == 0, dc[:, :, None], ac)
