@@ -6,7 +6,7 @@ import pytest
 import jax
 
 from fastdet_tpu.models import weights
-from fastdet_tpu.runtime.engine import DetectionEngine
+from fastdet_tpu.runtime.engine import DetectionEngine, device_result
 
 
 def _imgs(n):
@@ -116,7 +116,8 @@ def test_dp_sparse_pallas_shard_map_bit_exact(cpu_devices, monkeypatch):
         # ingest is bit-exact (test below); the conv tail differs by f32
         # accumulation order under GSPMD batch partitioning
         np.testing.assert_allclose(
-            np.asarray(rm), np.asarray(rs), rtol=1e-4, atol=1e-5)
+            np.asarray(device_result(rm)), np.asarray(device_result(rs)),
+            rtol=1e-4, atol=1e-5)
 
 
 def test_dp_planes_pallas_shard_map_bit_exact(cpu_devices, monkeypatch):
@@ -137,7 +138,8 @@ def test_dp_planes_pallas_shard_map_bit_exact(cpu_devices, monkeypatch):
     for (rm, idx_m), (rs, idx_s) in zip(res_m.parts, res_s.parts):
         assert idx_m == idx_s
         np.testing.assert_allclose(
-            np.asarray(rm), np.asarray(rs), rtol=1e-4, atol=1e-5)
+            np.asarray(device_result(rm)), np.asarray(device_result(rs)),
+            rtol=1e-4, atol=1e-5)
 
 
 def test_shard_map_sparse_kernel_bit_exact(cpu_devices):
