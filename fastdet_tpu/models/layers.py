@@ -35,18 +35,36 @@ Params = Dict[str, Any]
 _DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
 
 
-def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
-    """2-D convolution, NHWC/HWIO, Darknet-style symmetric padding."""
-    k = w.shape[0]
-    pad = (k - 1) // 2
+def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
+           pad=None) -> jnp.ndarray:
+    """2-D convolution, NHWC/HWIO; Darknet-style symmetric padding
+    unless an explicit ((top, bottom), (left, right)) ``pad`` is given
+    (the s2d stem's 2x2 convs need asymmetric (1, 0) pads)."""
+    if pad is None:
+        k = w.shape[0]
+        p = (k - 1) // 2
+        pad = ((p, p), (p, p))
     return jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(stride, stride),
-        padding=[(pad, pad), (pad, pad)],
+        padding=list(pad),
         dimension_numbers=_DIMENSION_NUMBERS,
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
+
+
+def space_to_depth(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """NHWC (..., H, W, C) -> (..., H/f, W/f, f*f*C), phase-major
+    channel order: out channel = p*(f*C) + q*C + c for row phase p, col
+    phase q. Pure relayout (reshape/transpose) — dtype-preserving."""
+    f = factor
+    *lead, h, w, c = x.shape
+    y = x.reshape(*lead, h // f, f, w // f, f, c)
+    nd = len(lead)
+    perm = tuple(range(nd)) + tuple(
+        nd + i for i in (0, 2, 1, 3, 4))
+    return y.transpose(perm).reshape(*lead, h // f, w // f, f * f * c)
 
 
 def leaky_relu(x: jnp.ndarray) -> jnp.ndarray:
@@ -58,13 +76,14 @@ def conv_block(
     x: jnp.ndarray,
     stride: int = 1,
     act: bool = True,
+    pad=None,
 ) -> jnp.ndarray:
     """Inference conv block: conv + bias (+ LeakyReLU).
 
     ``params`` must be folded ({'w','b'}); use :func:`fold_conv_bn` on
     BN-carrying params first. XLA fuses bias+activation into the conv.
     """
-    y = conv2d(x, params["w"], stride)
+    y = conv2d(x, params["w"], stride, pad)
     y = y + params["b"].astype(y.dtype)
     return leaky_relu(y) if act else y
 

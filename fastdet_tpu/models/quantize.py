@@ -39,7 +39,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from fastdet_tpu.models import layers, yolov3
-from fastdet_tpu.models.yolov3 import Conv, MaxPool, ModelSpec, Route, Shortcut, Upsample, YoloHead
+from fastdet_tpu.models.yolov3 import (
+    Conv, MaxPool, ModelSpec, Route, Shortcut, SpaceToDepth, Upsample,
+    YoloHead)
 
 
 def _walk(spec: ModelSpec, params, x, conv_fn):
@@ -50,6 +52,8 @@ def _walk(spec: ModelSpec, params, x, conv_fn):
     for l in spec.layers:
         if isinstance(l, Conv):
             cur = conv_fn(l, params[l.name], cur)
+        elif isinstance(l, SpaceToDepth):
+            cur = layers.space_to_depth(cur, l.factor)
         elif isinstance(l, MaxPool):
             cur = layers.maxpool2d(cur, l.size, l.stride)
         elif isinstance(l, Upsample):
@@ -73,7 +77,7 @@ def emits_int8(spec: ModelSpec) -> Dict[str, bool]:
     for i, l in enumerate(ls):
         if isinstance(l, Conv) and l.bn:
             nxt = ls[i + 1] if i + 1 < len(ls) else None
-            out[l.name] = isinstance(nxt, MaxPool) or (
+            out[l.name] = isinstance(nxt, (MaxPool, SpaceToDepth)) or (
                 isinstance(nxt, Conv) and nxt.bn
             )
     return out
@@ -89,7 +93,7 @@ def collect_act_absmax(
 
     def conv_fn(l: Conv, p, x):
         stats_in[l.name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
-        y = layers.conv_block(p, x, l.stride, l.act)
+        y = layers.conv_block(p, x, l.stride, l.act, l.pad)
         if l.bn:
             stats_out[l.name] = jnp.max(jnp.abs(y.astype(jnp.float32)))
         return y
@@ -177,7 +181,8 @@ def apply_int8(
         if isinstance(l, Conv):
             p = qparams[l.name]
             if "w_q" not in p:  # float head conv
-                cur, cs = layers.conv_block(p, deq(cur, cs), l.stride, l.act), None
+                cur, cs = layers.conv_block(
+                    p, deq(cur, cs), l.stride, l.act, l.pad), None
             else:
                 if cs is None:
                     s_in = p["x_scale"]
@@ -188,7 +193,8 @@ def apply_int8(
                 else:
                     # int8-through: consume the producer's tensor directly
                     s_in, xq = cs, cur
-                pad = (l.ksize - 1) // 2
+                padding = (l.pad if l.pad is not None else
+                           (((l.ksize - 1) // 2,) * 2,) * 2)
                 if jax.default_backend() == "cpu":
                     # XLA:CPU has no vectorized int8 conv — the int32-
                     # accumulating form below lowers to scalar loops,
@@ -210,7 +216,7 @@ def apply_int8(
                     def _c(a, b):
                         return jnp.round(jax.lax.conv_general_dilated(
                             a.astype(jnp.float32), b.astype(jnp.float32),
-                            (l.stride, l.stride), [(pad, pad), (pad, pad)],
+                            (l.stride, l.stride), list(padding),
                             dimension_numbers=dn,
                         )).astype(jnp.int32)
 
@@ -219,7 +225,7 @@ def apply_int8(
                 else:
                     y = jax.lax.conv_general_dilated(
                         xq, p["w_q"], (l.stride, l.stride),
-                        [(pad, pad), (pad, pad)],
+                        list(padding),
                         dimension_numbers=dn,
                         preferred_element_type=jnp.int32,
                     )
@@ -235,6 +241,8 @@ def apply_int8(
                     cs = p["y_scale"]
                 else:
                     cur, cs = yf, None
+        elif isinstance(l, SpaceToDepth):
+            cur = layers.space_to_depth(cur, l.factor)  # relayout: int8-safe
         elif isinstance(l, MaxPool):
             cur = layers.maxpool2d(cur, l.size, l.stride)  # int8-capable
         elif isinstance(l, Upsample):

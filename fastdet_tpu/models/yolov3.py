@@ -58,12 +58,26 @@ class Conv:
     bn: bool = True
     act: bool = True           # LeakyReLU(0.1) when True, linear when False
     name: str = ""             # filled in by _finalize
+    # Explicit ((top, bottom), (left, right)) padding override; None =
+    # Darknet SAME ((k-1)//2 each side). Used by the space-to-depth stem
+    # rewrite (models/s2d.py), whose phase algebra needs asymmetric pads.
+    pad: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
 
 
 @dataclass(frozen=True)
 class MaxPool:
     size: int = 2
     stride: int = 2
+
+
+@dataclass(frozen=True)
+class SpaceToDepth:
+    """NHWC (H, W, C) -> (H/f, W/f, f*f*C), phase-major channel order
+    (row phase, col phase, source channel). Pure relayout — inserted by
+    the inference-only stem rewrite in models/s2d.py to turn the
+    MXU-starved first convolutions (3 input channels) into well-shaped
+    GEMMs. Value-preserving, so int8 tensors pass through unchanged."""
+    factor: int = 2
 
 
 @dataclass(frozen=True)
@@ -118,7 +132,8 @@ def _finalize(name: str, num_classes: int, specs: List[Spec], anchors) -> ModelS
     ci = 0
     for s in specs:
         if isinstance(s, Conv):
-            out.append(Conv(s.filters, s.ksize, s.stride, s.bn, s.act, f"conv{ci}"))
+            out.append(Conv(s.filters, s.ksize, s.stride, s.bn, s.act,
+                            f"conv{ci}", s.pad))
             ci += 1
         else:
             out.append(s)
@@ -291,7 +306,7 @@ def apply(
         if isinstance(l, Conv):
             p = params[l.name]
             if train and "bn" in p:
-                y = layers.conv2d(cur, p["w"], l.stride)
+                y = layers.conv2d(cur, p["w"], l.stride, l.pad)
                 y, bmean, bvar = layers.batch_norm_train_stats(p["bn"], y)
                 if bn_stats is not None:
                     bn_stats[l.name] = {"mean": bmean, "var": bvar}
@@ -299,7 +314,9 @@ def apply(
             elif train:
                 cur = layers.conv_bn_block_train(p, cur, l.stride, l.act)
             else:
-                cur = layers.conv_block(p, cur, l.stride, l.act)
+                cur = layers.conv_block(p, cur, l.stride, l.act, l.pad)
+        elif isinstance(l, SpaceToDepth):
+            cur = layers.space_to_depth(cur, l.factor)
         elif isinstance(l, MaxPool):
             cur = layers.maxpool2d(cur, l.size, l.stride)
         elif isinstance(l, Upsample):

@@ -228,10 +228,17 @@ class DetectionEngine:
         self.max_det = max_det
         self.params = params if folded else yolov3.fold_params(spec, params)
 
+        scales = None
         if mode == "int8":
             # Post-training quantization: per-channel int8 weights +
             # statically calibrated activation scales -> ~1.5x conv
             # throughput on the v5e int8 MXU (models/quantize.py).
+            # Calibration runs on the CANONICAL graph, BEFORE the s2d
+            # stem rewrite below: the float calibration forward's
+            # accumulation order differs between the two graph forms, so
+            # calibrating post-rewrite would shift y_scales by an ulp and
+            # the ±1-count requant differences would avalanche — with
+            # canonical scales the rewrite stays bit-exact in int8.
             from fastdet_tpu.models import quantize
 
             calib = calibration_images
@@ -240,6 +247,23 @@ class DetectionEngine:
             if calib is None:
                 calib = _default_calibration_images(spec.image_size)
             scales = quantize.calibrate(spec, self.params, calib)
+
+        # Space-to-depth stem rewrite (models/s2d.py): the 3-channel
+        # first conv is MXU-starved (K=27 on a 128-wide array; 1.4 ms of
+        # a 14.5 ms int8 batch-16 measured); on the 2x-decimated grid the
+        # stem pair becomes well-shaped GEMMs with identical outputs
+        # (bit-exact in int8 given the canonical scales above,
+        # float-tolerance in bf16/f32). Engine-local: training,
+        # checkpoints, and import keep the canonical spec.
+        if os.environ.get("FASTDET_S2D_STEM", "1") != "0":
+            from fastdet_tpu.models import s2d
+
+            rewritten = s2d.stem_to_s2d(spec, self.params)
+            if rewritten is not None:
+                self.spec, self.params = rewritten
+                spec = self.spec
+
+        if mode == "int8":
             self.params = quantize.quantize_params(spec, self.params, scales)
 
         # Multi-chip serving: with >1 device, batches shard over a 'dp'

@@ -1,6 +1,7 @@
 """First-party C++ JPEG decoder vs the PIL/libjpeg stack."""
 
 import io
+import os
 import subprocess
 import sys
 
@@ -313,9 +314,14 @@ def test_sanitizer_fuzz_harness(native):
     dog = pathlib.Path("/root/reference/testdata/dog.jpg")
     if dog.exists():
         fixtures.append(str(dog))
+    # The harness links libasan DYNAMICALLY (gcc default); an inherited
+    # LD_PRELOAD (something in the full-suite process tree sets one)
+    # makes ASan abort at startup with "runtime does not come first in
+    # initial library list" before any fuzzing runs. Scrub it.
+    env = {k: v for k, v in os.environ.items() if k != "LD_PRELOAD"}
     out = subprocess.run(
         [str(jpeg_dir / "fd_jpeg_fuzz"), "-n", "400"] + fixtures,
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=300, env=env,
     )
     assert out.returncode == 0, (out.stdout[-500:], out.stderr[-500:])
     assert "fuzz ok" in out.stdout
