@@ -180,21 +180,36 @@ def decode420_batch(ycoef, cbcoef, crcoef, qy, qc, height: int, width: int):
 
 
 # ---------------------------------------------------------------------------
-# Nibble-packed sparse coefficient ingest (native fd_jpeg_sparse4 format)
+# Nibble-packed sparse coefficient ingest (native fd_jpeg_sparse5 format)
 # ---------------------------------------------------------------------------
 #
-# The host ships, per frame: an 8-byte-per-block bitmask over the 64
-# natural-order coefficient positions (bit k&7 of byte k>>3), a 4-bit
-# two's-complement AC value stream (2 per byte, -8 = "take the next esc8
-# entry"), an int8 escape stream (-128 = "take the next esc16 entry"),
-# an int16 escape stream, and the DC column as int8 per-component raster
-# DELTAS with their own int16 escapes. Measured at camera quality
-# (tools/measure_sparse_stats.py): ~98.5% of nonzero AC values fit 4
-# bits, so this is ~0.16 B/px vs 0.22 for the older int8-stream format
-# and 1.5 for raw 4:2:0 planes. Reconstruction stays structured vector
-# work: per-axis prefix sums + NB-sized gathers + one per-component
-# cumsum (DC prediction); the IDCT that follows is the same single MXU
-# matmul as the dense-coefficient path.
+# The host ships, per frame (format v5, fd_jpeg.cpp decode_sparse5): a
+# 4-bit per-block mask LENGTH stream (packed two per byte), a
+# variable-length mask-byte stream (per block, the first plen bytes of
+# its 64-bit nonzero bitmask in ZIGZAG order, bit 0/DC always clear), a
+# 4-bit two's-complement AC value stream in ZIGZAG order (2 per byte,
+# -8 = "take the next esc8 entry"), an int8 escape stream (-128 = "take
+# the next esc16 entry"), an int16 escape stream, and the DC column as
+# int8 per-component raster DELTAS with their own int16 escapes.
+# Measured at camera quality (tools/measure_sparse_stats.py): ~98.5% of
+# nonzero AC values fit 4 bits and the nonzero POSITIONS cluster at low
+# zigzag indices (mean 4.4 occupied zigzag mask bytes vs the 8 a fixed
+# natural-order mask ships), so this is ~0.13 B/px vs 0.16 for the v4
+# fixed-mask format and 1.5 for raw 4:2:0 planes. Reconstruction stays
+# structured vector work: per-axis prefix sums + NB-sized gathers + one
+# per-component cumsum (DC prediction); the zigzag->natural reorder is
+# one constant (64,64) permutation folded into the reconstruction
+# output; the IDCT that follows is the same single MXU matmul as the
+# dense-coefficient path.
+
+# ZZ[j] = natural-order position of the j-th zigzag coefficient
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int32)
+NAT2ZZ = np.argsort(ZIGZAG).astype(np.int32)  # natural pos -> zigzag idx
 
 
 def unpack_nibbles(nib: jnp.ndarray) -> jnp.ndarray:
@@ -208,6 +223,15 @@ def unpack_nibbles(nib: jnp.ndarray) -> jnp.ndarray:
     hi = x >> 4
     pair = jnp.stack([lo, hi], axis=-1).reshape(*nib.shape[:-1], -1)
     return (pair ^ 8) - 8
+
+
+def unpack_nibbles_u(nib: jnp.ndarray) -> jnp.ndarray:
+    """(N,) uint8 -> (2N,) int32 in [0, 15] — UNSIGNED nibble unpack.
+
+    Entry 2i is the low nibble of byte i. Used for the v5 per-block mask
+    byte-counts (each 0..8)."""
+    x = nib.astype(jnp.int32)
+    return jnp.stack([x & 15, x >> 4], axis=-1).reshape(*nib.shape[:-1], -1)
 
 
 def dc_reconstruct(dc8: jnp.ndarray, dcesc: jnp.ndarray,
@@ -230,15 +254,18 @@ def dc_reconstruct(dc8: jnp.ndarray, dcesc: jnp.ndarray,
     ])
 
 
-def sparse4_to_coeffs(masks: jnp.ndarray, dc8: jnp.ndarray,
+def sparse5_to_coeffs(plen: jnp.ndarray, maskstream: jnp.ndarray,
+                      dc8: jnp.ndarray,
                       nibvals: jnp.ndarray, esc8: jnp.ndarray,
                       esc16: jnp.ndarray, dcesc: jnp.ndarray,
                       yb: int, cb: int) -> jnp.ndarray:
-    """v4 streams -> (NB, 64) int32 coefficients (XLA formulation).
+    """v5 streams -> (NB, 64) int32 NATURAL-order coefficients (XLA).
 
-    ``nibvals`` is the already-unpacked int32 nibble stream (see
+    ``plen`` is the packed per-block mask byte-count stream (uint8, two
+    4-bit counts per byte); ``maskstream`` the zigzag-order mask bytes;
+    ``nibvals`` the already-unpacked int32 nibble stream (see
     unpack_nibbles); ``esc8``/``esc16``/``dcesc`` may be their native
-    dtypes. Bit-exact inverse of fd_jpeg.cpp decode_sparse4.
+    dtypes. Bit-exact inverse of fd_jpeg.cpp decode_sparse5.
 
     TPU note: every offset is built as (per-block scan over the NB axis)
     + (in-block scan over the 64-lane axis) — both cheap on the VPU. An
@@ -249,10 +276,21 @@ def sparse4_to_coeffs(masks: jnp.ndarray, dc8: jnp.ndarray,
     gathers below are still ~10 ns/element on TPU — the Pallas kernel
     replaces exactly those; this path serves CPU and differential tests.)
     """
-    bits = jnp.unpackbits(masks, axis=-1, bitorder="little")   # (NB, 64)
+    nb = dc8.shape[0]
+    ln = unpack_nibbles_u(plen)[:nb]                           # (NB,)
+    moff = jnp.cumsum(ln) - ln                                 # exclusive
+    j8 = jnp.arange(8, dtype=jnp.int32)
+    midx = jnp.clip(moff[:, None] + j8[None, :], 0,
+                    maskstream.shape[0] - 1)
+    # bytes past a block's plen belong to the NEXT block — zero them
+    mb = jnp.where(j8[None, :] < ln[:, None],
+                   jnp.take(maskstream, midx), 0).astype(jnp.uint8)
+    # bits are in ZIGZAG order (bit 0 = DC, always clear on the wire; no
+    # re-zeroing here — offsets below derive from these same bits, and
+    # they must agree even on corrupt input)
+    bits = jnp.unpackbits(mb, axis=-1, bitorder="little")      # (NB, 64)
     b32 = bits.astype(jnp.int32)
     pos = jax.lax.broadcasted_iota(jnp.int32, b32.shape, 1)
-    b32 = jnp.where(pos == 0, 0, b32)                          # AC only
     nnz_blk = b32.sum(-1)
     block_off = jnp.cumsum(nnz_blk) - nnz_blk                  # exclusive
     rank = jnp.cumsum(b32, axis=-1) - b32                      # exclusive
@@ -275,7 +313,10 @@ def sparse4_to_coeffs(masks: jnp.ndarray, dc8: jnp.ndarray,
     eidx2 = jnp.clip(eoff2[:, None] + erank2, 0, esc16.shape[0] - 1)
     c2 = jnp.where(esc2, jnp.take(esc16, eidx2).astype(jnp.int32), c1)
     dc = dc_reconstruct(dc8, dcesc, yb, cb)
-    return jnp.where(pos == 0, dc[:, None], c2)
+    # zigzag lane 0 IS the DC position (ZIGZAG[0] == 0); the final
+    # column permutation restores natural order (static gather)
+    coeff_zz = jnp.where(pos == 0, dc[:, None], c2)
+    return coeff_zz[:, NAT2ZZ]
 
 
 def coeffs_to_rgb01(
@@ -302,8 +343,9 @@ def coeffs_to_rgb01(
     return ycbcr_to_rgb01(ypix, cbu, cru)
 
 
-def decode_sparse4(
-    masks: jnp.ndarray,   # (NB*8,) or (NB, 8) uint8
+def decode_sparse5(
+    plen: jnp.ndarray,    # (ceil(NB/2),) uint8 packed mask byte-counts
+    maskstream: jnp.ndarray,  # (MCAP,) uint8 zigzag mask bytes
     dc8: jnp.ndarray,     # (NB,) int8 DC deltas
     nib: jnp.ndarray,     # (NCAP_BYTES,) uint8 packed nibbles
     esc8: jnp.ndarray,    # (E8CAP,) int8
@@ -327,8 +369,7 @@ def decode_sparse4(
     yb_h, yb_w = height // 8, width // 8
     cb_h, cb_w = height // vs // 8, width // hs // 8
     yb, cbn = yb_h * yb_w, cb_h * cb_w
-    nb = yb + 2 * cbn
-    coeff = sparse4_to_coeffs(
-        masks.reshape(nb, 8), dc8, unpack_nibbles(nib), esc8, esc16,
+    coeff = sparse5_to_coeffs(
+        plen, maskstream, dc8, unpack_nibbles(nib), esc8, esc16,
         dcesc, yb, cbn)
     return coeffs_to_rgb01(coeff, qy, qcb, qcr, height, width, hs, vs)

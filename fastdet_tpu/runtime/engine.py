@@ -184,17 +184,19 @@ class DetectionEngine:
         # and the traced device programs must agree for the engine's whole
         # lifetime, and compensating env edits could otherwise reuse a
         # cached program with a stale vals/esc split.
-        # Two AOT capacity tiers, each four per-block budgets for the v4
-        # nibble-sparse row: (AC values, esc8, esc16, dcesc). "std" is
-        # sized just above measured camera-quality content (AC 13.2-13.4
-        # values and 0.16-0.21 int8 escapes per block on the committed
-        # fixtures — tools/measure_sparse_stats.py) — every padded byte
-        # is lost throughput on the link-bound serving path. Frames
-        # denser than "std" (the reference's photos: up to 3.9 esc8 and
-        # 0.23 esc16 per block on rsu2.jpg) retry on the "dense" tier and
-        # still ride the sparse wire format instead of degrading to the
-        # 4-5x-bigger plane path; only dense-tier overflow does that.
-        # Env names are v4-specific (AC_/ESC8_): the v3 knobs
+        # Two AOT capacity tiers, each five per-block budgets for the v5
+        # nibble-sparse row: (mask bytes, AC values, esc8, esc16, dcesc).
+        # "std" is sized just above measured camera-quality content
+        # (4.4-4.5 zigzag mask bytes, AC 13.2-13.4 values and 0.16-0.21
+        # int8 escapes per block on the committed fixtures —
+        # tools/measure_sparse_stats.py) — every padded byte is lost
+        # throughput on the link-bound serving path. Frames denser than
+        # "std" (the reference's photos: up to 3.9 esc8 and 0.23 esc16
+        # per block on rsu2.jpg — though only ~3.3 mask bytes: photo
+        # energy concentrates at LOW zigzag) retry on the "dense" tier
+        # and still ride the sparse wire format instead of degrading to
+        # the 4-5x-bigger plane path; only dense-tier overflow does that.
+        # Env names are v4/v5-specific (AC_/ESC8_): the v3 knobs
         # (FASTDET_SPARSE_BUDGET counted DC+AC values, FASTDET_SPARSE_
         # ESC_BUDGET counted int16 escapes) have different units, and a
         # stale v3 value silently mis-sizing a tier would reroute real
@@ -202,12 +204,15 @@ class DetectionEngine:
         # ignored (defaults apply) rather than reinterpreted.
         self._sparse_budgets = {
             "std": (
+                float(os.environ.get("FASTDET_SPARSE_MASK_BUDGET", "5.0")),
                 float(os.environ.get("FASTDET_SPARSE_AC_BUDGET", "14")),
                 float(os.environ.get("FASTDET_SPARSE_ESC8_BUDGET", "0.4")),
                 float(os.environ.get("FASTDET_SPARSE_ESC16_BUDGET", "0.03")),
                 float(os.environ.get("FASTDET_SPARSE_DCESC_BUDGET", "0.04")),
             ),
             "dense": (
+                float(os.environ.get(
+                    "FASTDET_SPARSE_MASK_BUDGET_DENSE", "6.0")),
                 float(os.environ.get("FASTDET_SPARSE_AC_BUDGET_DENSE", "15")),
                 float(os.environ.get("FASTDET_SPARSE_ESC8_BUDGET_DENSE", "4.2")),
                 float(os.environ.get("FASTDET_SPARSE_ESC16_BUDGET_DENSE", "0.3")),
@@ -219,7 +224,7 @@ class DetectionEngine:
                       "FASTDET_SPARSE_ESC_BUDGET_DENSE"):
             if stale in os.environ:
                 logger.warning(
-                    "%s is a v3 sparse-format knob and is IGNORED; the v4 "
+                    "%s is a v3 sparse-format knob and is IGNORED; the v5 "
                     "budgets use FASTDET_SPARSE_AC_BUDGET / _ESC8_BUDGET / "
                     "_ESC16_BUDGET / _DCESC_BUDGET (+_DENSE)", stale)
         self.mode = mode
@@ -480,11 +485,12 @@ class DetectionEngine:
     # Packed sparse coefficient ingest (the fewest-bytes path)
     # ------------------------------------------------------------------
     #
-    # Host does ONLY entropy decode (native fd_jpeg_sparse4); the wire
-    # format is per-block nonzero bitmasks + a 4-bit AC value stream with
-    # two escape levels (int8, then int16) + the DC column as int8
+    # Host does ONLY entropy decode (native fd_jpeg_sparse5); the wire
+    # format is per-block variable-length ZIGZAG-order mask prefixes
+    # (4-bit length stream + mask-byte stream) + a 4-bit AC value stream
+    # with two escape levels (int8, then int16) + the DC column as int8
     # per-component raster deltas with int16 escapes (ops/jpeg_device.py
-    # sparse4_to_coeffs). At camera quality that is ~0.16 B/px vs 1.5
+    # sparse5_to_coeffs). At camera quality that is ~0.13 B/px vs 1.5
     # B/px for 4:2:0 planes — ~9x fewer h2d bytes, which is the serving
     # bottleneck on bandwidth-limited links — and the host also skips
     # IDCT + upsample + color (the device does them; IDCT is one MXU
@@ -497,10 +503,11 @@ class DetectionEngine:
     # per frame — a tight budget costs a per-frame fallback, never
     # correctness.
 
-    def _sparse_caps(self, layout: Tuple[int, int],
-                     tier: str = "std") -> Tuple[int, int, int, int, int]:
-        """(total_blocks, nibble_bytes, esc8_cap, esc16_cap, dcesc_cap)
-        for a layout.
+    def _sparse_caps(
+        self, layout: Tuple[int, int], tier: str = "std"
+    ) -> Tuple[int, int, int, int, int, int]:
+        """(total_blocks, mask_bytes, nibble_bytes, esc8_cap, esc16_cap,
+        dcesc_cap) for a layout.
 
         Budgets are the engine-construction-time snapshots (see __init__):
         the packed row layout and the traced device programs must agree.
@@ -513,31 +520,34 @@ class DetectionEngine:
         hs, vs = layout
         yb, cb = native_jpeg.sparse_geometry(size, size, hs, vs)
         nb = yb + 2 * cb
-        ac, e8, e16, dce = self._sparse_budgets[tier]
+        mk, ac, e8, e16, dce = self._sparse_budgets[tier]
+        mcap = -128 * (math.ceil(nb * mk) // -128)
         # nibble capacity in BYTES (2 values/byte), 128-byte aligned
         ncap = -128 * (math.ceil(nb * ac / 2) // -128)
         e8cap = max(128, -128 * (math.ceil(nb * e8) // -128))
         e16cap = max(64, -64 * (math.ceil(nb * e16) // -64))
         dcecap = max(64, -64 * (math.ceil(nb * dce) // -64))
-        return nb, ncap, e8cap, e16cap, dcecap
+        return nb, mcap, ncap, e8cap, e16cap, dcecap
 
     @staticmethod
-    def _sparse_offsets(nb: int, ncap: int, e8cap: int,
+    def _sparse_offsets(nb: int, mcap: int, ncap: int, e8cap: int,
                         e16cap: int, dcecap: int) -> np.ndarray:
-        """Field end-offsets of the v4 packed row — the ONE definition
+        """Field end-offsets of the v5 packed row — the ONE definition
         of the row layout, shared by host staging (_stage_sparse) and
         device unpack (_pipeline_sparse):
-        [masks nb*8 | dc8 nb | nib ncap | esc8 e8cap | esc16 2*e16cap
-         | dcesc 2*dcecap | qy,qcb,qcr 3*2*64]
+        [plen ceil(nb/2) | maskstream mcap | dc8 nb | nib ncap
+         | esc8 e8cap | esc16 2*e16cap | dcesc 2*dcecap
+         | qy,qcb,qcr 3*2*64]
         (separate Cb/Cr tables: a legal JPEG may quantize Cr with its
         own table — reference-shape traffic shares one, but the row
         spends 128 bytes to stay correct for the general case)"""
-        return np.cumsum([nb * 8, nb, ncap, e8cap, 2 * e16cap, 2 * dcecap])
+        return np.cumsum([(nb + 1) // 2, mcap, nb, ncap, e8cap,
+                          2 * e16cap, 2 * dcecap])
 
-    def _sparse_row_bytes(self, nb: int, ncap: int, e8cap: int,
+    def _sparse_row_bytes(self, nb: int, mcap: int, ncap: int, e8cap: int,
                           e16cap: int, dcecap: int) -> int:
         return int(self._sparse_offsets(
-            nb, ncap, e8cap, e16cap, dcecap)[-1]) + 384
+            nb, mcap, ncap, e8cap, e16cap, dcecap)[-1]) + 384
 
     @staticmethod
     def _i16_from_pairs(rowslice: jnp.ndarray) -> jnp.ndarray:
@@ -562,19 +572,21 @@ class DetectionEngine:
 
         hs, vs = layout
         size = self.spec.image_size
-        nb, ncap, e8cap, e16cap, dcecap = self._sparse_caps(layout, tier)
+        nb, mcap, ncap, e8cap, e16cap, dcecap = self._sparse_caps(
+            layout, tier)
         yb, cbn = native_jpeg.sparse_geometry(size, size, hs, vs)
         b = packed.shape[0]
-        bounds = self._sparse_offsets(nb, ncap, e8cap, e16cap, dcecap)
-        masks = packed[:, :bounds[0]]
+        bounds = self._sparse_offsets(nb, mcap, ncap, e8cap, e16cap, dcecap)
+        plen = packed[:, :bounds[0]]
+        maskstream = packed[:, bounds[0]:bounds[1]]
         dc8 = lax.bitcast_convert_type(
-            packed[:, bounds[0]:bounds[1]], jnp.int8)
-        nib = packed[:, bounds[1]:bounds[2]]
+            packed[:, bounds[1]:bounds[2]], jnp.int8)
+        nib = packed[:, bounds[2]:bounds[3]]
         esc8 = lax.bitcast_convert_type(
-            packed[:, bounds[2]:bounds[3]], jnp.int8)
-        esc16 = self._i16_from_pairs(packed[:, bounds[3]:bounds[4]])
-        dcesc = self._i16_from_pairs(packed[:, bounds[4]:bounds[5]])
-        qb = packed[:, bounds[5]:].reshape(b, 3, 64, 2)
+            packed[:, bounds[3]:bounds[4]], jnp.int8)
+        esc16 = self._i16_from_pairs(packed[:, bounds[4]:bounds[5]])
+        dcesc = self._i16_from_pairs(packed[:, bounds[5]:bounds[6]])
+        qb = packed[:, bounds[6]:].reshape(b, 3, 64, 2)
         qb = qb.astype(jnp.float32)
         q = qb[..., 0] + qb[..., 1] * 256.0
         qy, qcb, qcr = q[:, 0], q[:, 1], q[:, 2]
@@ -594,16 +606,16 @@ class DetectionEngine:
             from fastdet_tpu.ops.pallas import sparse_ingest
 
             fn = functools.partial(
-                sparse_ingest.sparse4_to_coeffs_batch,
+                sparse_ingest.sparse5_to_coeffs_batch,
                 yb=yb, cb=cbn, interpret=(mode == "interpret"))
-            coeff = self._shard_map_batch(fn, 6)(
-                masks.reshape(b, nb, 8), dc8, nib, esc8, esc16, dcesc)
+            coeff = self._shard_map_batch(fn, 7)(
+                plen, maskstream, dc8, nib, esc8, esc16, dcesc)
         else:
             coeff = jax.vmap(
-                lambda m, d, nv, e8, e16, de: jpeg_device.sparse4_to_coeffs(
-                    m, d, jpeg_device.unpack_nibbles(nv), e8, e16, de,
+                lambda p, m, d, nv, e8, e16, de: jpeg_device.sparse5_to_coeffs(
+                    p, m, d, jpeg_device.unpack_nibbles(nv), e8, e16, de,
                     yb, cbn)
-            )(masks.reshape(b, nb, 8), dc8, nib, esc8, esc16, dcesc)
+            )(plen, maskstream, dc8, nib, esc8, esc16, dcesc)
         x = jax.vmap(
             lambda c, q1, q2, q3: jpeg_device.coeffs_to_rgb01(
                 c, q1, q2, q3, size, size, hs, vs)
@@ -624,24 +636,27 @@ class DetectionEngine:
         staged = []
         jobs = []
         for layout, idxs in groups.items():
-            nb, ncap, e8cap, e16cap, dcecap = self._sparse_caps(layout, tier)
-            row = self._sparse_row_bytes(nb, ncap, e8cap, e16cap, dcecap)
+            nb, mcap, ncap, e8cap, e16cap, dcecap = self._sparse_caps(
+                layout, tier)
+            row = self._sparse_row_bytes(
+                nb, mcap, ncap, e8cap, e16cap, dcecap)
             b = self.bucket_for(len(idxs))
             packed = np.zeros((b, row), np.uint8)  # zero rows = gray frames
             thr = np.full((b,), 2.0, np.float32)
             thr[: len(idxs)] = thr_all[idxs]
             staged.append((layout, idxs, packed, thr))
-            bo = self._sparse_offsets(nb, ncap, e8cap, e16cap, dcecap)
+            bo = self._sparse_offsets(nb, mcap, ncap, e8cap, e16cap, dcecap)
             for j, i in enumerate(idxs):
                 jobs.append((
                     jpegs[i], i,
-                    packed[j, :bo[0]],                          # masks
-                    packed[j, bo[0]:bo[1]].view(np.int8),       # dc8
-                    packed[j, bo[1]:bo[2]],                     # nib
-                    packed[j, bo[2]:bo[3]].view(np.int8),       # esc8
-                    packed[j, bo[3]:bo[4]].view(np.int16),      # esc16
-                    packed[j, bo[4]:bo[5]].view(np.int16),      # dcesc
-                    packed[j, bo[5]:].view(np.uint16),          # q tables
+                    packed[j, :bo[0]],                          # plen
+                    packed[j, bo[0]:bo[1]],                     # maskstream
+                    packed[j, bo[1]:bo[2]].view(np.int8),       # dc8
+                    packed[j, bo[2]:bo[3]],                     # nib
+                    packed[j, bo[3]:bo[4]].view(np.int8),       # esc8
+                    packed[j, bo[4]:bo[5]].view(np.int16),      # esc16
+                    packed[j, bo[5]:bo[6]].view(np.int16),      # dcesc
+                    packed[j, bo[6]:].view(np.uint16),          # q tables
                 ))
         return staged, jobs
 
@@ -659,10 +674,10 @@ class DetectionEngine:
         from fastdet_tpu.runtime import native_jpeg
 
         def _decode(job):
-            data, i, masks, dc8, nib, e8, e16, dce, qrow = job
+            data, i, plen, ms, dc8, nib, e8, e16, dce, qrow = job
             try:
-                cts, qy, qcb, qcr = native_jpeg.decode_sparse4_into(
-                    data, masks, dc8, nib, e8, e16, dce)
+                cts, qy, qcb, qcr = native_jpeg.decode_sparse5_into(
+                    data, plen, ms, dc8, nib, e8, e16, dce)
             except native_jpeg.SparseCapacityExceeded as e:
                 # None counts = per-block cap violated: identical on
                 # every tier, so no retry tier can ever fit this frame
@@ -685,14 +700,15 @@ class DetectionEngine:
         return overflow, counts
 
     def _fits_tier(self, layout: Tuple[int, int], tier: str,
-                   cts: Tuple[int, int, int, int]) -> bool:
+                   cts: Tuple[int, int, int, int, int]) -> bool:
         """Would a frame with these emitter counts fit the tier's
         stream capacities? (Per-block escape caps are tier-independent,
         so counts from any successful decode settle them.)"""
-        _, ncap, e8cap, e16cap, dcecap = self._sparse_caps(layout, tier)
-        nac, ne8, ne16, ndce = cts
+        _, mcap, ncap, e8cap, e16cap, dcecap = self._sparse_caps(
+            layout, tier)
+        nac, ne8, ne16, ndce, nmask = cts
         return ((nac + 1) // 2 <= ncap and ne8 <= e8cap
-                and ne16 <= e16cap and ndce <= dcecap)
+                and ne16 <= e16cap and ndce <= dcecap and nmask <= mcap)
 
     def detect_async_sparse(
         self, jpegs: Sequence[bytes], thresholds: Sequence[float]
@@ -803,7 +819,7 @@ class DetectionEngine:
                     # the kept frames' rows must be compacted to the front.
                     # The vacated tail rows must be ZEROED, not just given
                     # threshold 2.0: an overflow frame's row carries its
-                    # full masks with truncated streams, and on TPU the
+                    # plen/mask prefix with truncated streams, and on TPU the
                     # Pallas kernel's stream-window reads would chase
                     # those mask offsets far past the row's VMEM buffers
                     # (threshold only discards the OUTPUT). Zero rows are

@@ -104,16 +104,17 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int16), ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint16),
     ]
-    lib.fd_jpeg_sparse4.restype = ctypes.c_int
-    lib.fd_jpeg_sparse4.argtypes = [
+    lib.fd_jpeg_sparse5.restype = ctypes.c_int
+    lib.fd_jpeg_sparse5.argtypes = [
         ctypes.c_char_p, ctypes.c_long,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,   # masks
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,   # plen
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,   # maskstream
         ctypes.POINTER(ctypes.c_int8), ctypes.c_long,    # dc8
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,   # nib
         ctypes.POINTER(ctypes.c_int8), ctypes.c_long,    # esc8
         ctypes.POINTER(ctypes.c_int16), ctypes.c_long,   # esc16
         ctypes.POINTER(ctypes.c_int16), ctypes.c_long,   # dcesc
-        ctypes.POINTER(ctypes.c_long),                   # counts[4]
+        ctypes.POINTER(ctypes.c_long),                   # counts[6]
         ctypes.POINTER(ctypes.c_uint16),                 # qtabs
     ]
     # Output-contract check: a stale prebuilt library missing this symbol
@@ -122,8 +123,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.fd_jpeg_abi.restype = ctypes.c_int
     lib.fd_jpeg_abi.argtypes = []
     abi = lib.fd_jpeg_abi()
-    if abi != 4:
-        raise AttributeError(f"fd_jpeg ABI {abi} != expected 4")
+    if abi != 5:
+        raise AttributeError(f"fd_jpeg ABI {abi} != expected 5")
     return lib
 
 
@@ -367,31 +368,38 @@ def sparse_geometry(w: int, h: int, hs: int, vs: int) -> Tuple[int, int]:
     return yb, cb
 
 
-def decode_sparse4_into(
+def decode_sparse5_into(
     data: bytes,
-    masks: np.ndarray,
+    plen: np.ndarray,
+    maskstream: np.ndarray,
     dc8: np.ndarray,
     nib: np.ndarray,
     esc8: np.ndarray,
     esc16: np.ndarray,
     dcesc: np.ndarray,
-) -> Tuple[Tuple[int, int, int, int], np.ndarray, np.ndarray, np.ndarray]:
-    """Entropy-decode into caller-provided nibble-sparse (v4) views.
+) -> Tuple[Tuple[int, int, int, int, int], np.ndarray, np.ndarray,
+           np.ndarray]:
+    """Entropy-decode into caller-provided nibble-sparse (v5) views.
 
-    ``masks``: (NB*8,) uint8 — 8 bytes per block, bit k&7 of byte k>>3
-    set when natural-order coefficient k is nonzero (bit 0 informative
-    only), blocks ordered Y raster, Cb raster, Cr raster. ``dc8``: (NB,)
-    int8 — quantized DC as a raster delta per component (-128 = take the
-    next ``dcesc`` int16 entry). ``nib``: (NCAP_BYTES,) uint8 — nonzero
-    AC values in increasing natural order, 4-bit two's complement packed
-    two per byte (entry 2i = low nibble of byte i), 0x8 (-8) = take the
-    next ``esc8`` entry. ``esc8``: (E8CAP,) int8 (-128 = take the next
-    ``esc16`` entry). ``esc16``/``dcesc``: int16 streams. All views may
-    alias one batch row (no per-frame allocation). Returns
-    ((n_ac, n_esc8, n_esc16, n_dcesc), qy, qcb, qcr) with the
-    per-component quant tables as (64,) uint16 in natural order (qcb is
-    qcr for the common shared-table case, but a legal JPEG may give Cr
-    its own table). Raises SparseCapacityExceeded when the frame
+    ``plen``: (ceil(NB/2),) uint8 — per-block mask byte-counts, 4-bit
+    unsigned packed two per byte (block 2i = low nibble of byte i), each
+    0..8. ``maskstream``: (MCAP,) uint8 — per block, the first plen
+    bytes of its 64-bit nonzero bitmask in ZIGZAG coefficient order
+    (bit j of the reconstructed little-endian word = zigzag index j),
+    truncated after the highest set bit; bit 0 (DC) is always clear, so
+    popcount(maskstream) is exactly the AC value count. Blocks ordered Y
+    raster, Cb raster, Cr raster. ``dc8``: (NB,) int8 — quantized DC as
+    a raster delta per component (-128 = take the next ``dcesc`` int16
+    entry). ``nib``: (NCAP_BYTES,) uint8 — nonzero AC values in
+    increasing ZIGZAG order, 4-bit two's complement packed two per byte
+    (entry 2i = low nibble of byte i), 0x8 (-8) = take the next ``esc8``
+    entry. ``esc8``: (E8CAP,) int8 (-128 = take the next ``esc16``
+    entry). ``esc16``/``dcesc``: int16 streams. All views may alias one
+    batch row (no per-frame allocation). Returns
+    ((n_ac, n_esc8, n_esc16, n_dcesc, n_mask_bytes), qy, qcb, qcr) with
+    the per-component quant tables as (64,) uint16 in natural order (qcb
+    is qcr for the common shared-table case, but a legal JPEG may give
+    Cr its own table). Raises SparseCapacityExceeded when the frame
     outgrows any stream budget or a block exceeds the per-block escape
     caps (32 at level 1, 16 at level 2 — fd_jpeg.cpp kMaxEsc8PerBlock /
     kMaxEsc16PerBlock, matching the kernel window widths; caller retries
@@ -403,10 +411,12 @@ def decode_sparse4_into(
     w, h, hs, vs = _layout_from_info(info)
     yb, cb = sparse_geometry(w, h, hs, vs)
     nb = yb + 2 * cb
-    if masks.dtype != np.uint8 or not masks.flags.c_contiguous:
-        raise ValueError("masks must be contiguous uint8")
-    if masks.shape != (nb * 8,):
-        raise ValueError(f"masks shape {masks.shape} != ({nb * 8},)")
+    if plen.dtype != np.uint8 or not plen.flags.c_contiguous:
+        raise ValueError("plen must be contiguous uint8")
+    if plen.shape != ((nb + 1) // 2,):
+        raise ValueError(f"plen shape {plen.shape} != ({(nb + 1) // 2},)")
+    if maskstream.dtype != np.uint8 or not maskstream.flags.c_contiguous:
+        raise ValueError("maskstream must be contiguous uint8")
     if dc8.dtype != np.int8 or dc8.shape != (nb,) or not dc8.flags.c_contiguous:
         raise ValueError(f"dc8 must be contiguous ({nb},) int8")
     if nib.dtype != np.uint8 or not nib.flags.c_contiguous:
@@ -417,11 +427,13 @@ def decode_sparse4_into(
         raise ValueError("esc16 must be contiguous int16")
     if dcesc.dtype != np.int16 or not dcesc.flags.c_contiguous:
         raise ValueError("dcesc must be contiguous int16")
-    counts = (ctypes.c_long * 5)()
+    counts = (ctypes.c_long * 6)()
     q = np.zeros((4, 64), np.uint16)
-    rc = lib.fd_jpeg_sparse4(
+    rc = lib.fd_jpeg_sparse5(
         data, len(data),
-        masks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), masks.size,
+        plen.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), plen.size,
+        maskstream.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        maskstream.size,
         dc8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), dc8.size,
         nib.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nib.size,
         esc8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), esc8.size,
@@ -430,17 +442,17 @@ def decode_sparse4_into(
         counts,
         q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
     )
-    cts = (counts[0], counts[1], counts[2], counts[3])
+    cts = (counts[0], counts[1], counts[2], counts[3], counts[4])
     if rc == -5:  # ERR_CAPACITY: valid frame, too dense for the budget
         raise SparseCapacityExceeded(
             f"ac={cts[0]}/{2 * nib.size} esc8={cts[1]}/{esc8.size} "
             f"esc16={cts[2]}/{esc16.size} dcesc={cts[3]}/{dcesc.size} "
-            f"blockcap={counts[4]}",
+            f"mask={cts[4]}/{maskstream.size} blockcap={counts[5]}",
             cts,
-            block_cap_violated=bool(counts[4]),
+            block_cap_violated=bool(counts[5]),
         )
     if rc != 0:
-        raise ValueError(f"fd_jpeg_sparse4 failed: rc={rc}")
+        raise ValueError(f"fd_jpeg_sparse5 failed: rc={rc}")
     return cts, q[info[11]], q[info[12]], q[info[13]]
 
 

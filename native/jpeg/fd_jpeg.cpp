@@ -46,7 +46,7 @@ constexpr int ERR_CAPACITY = -5;
 // 416x416; this bounds allocations against crafted headers).
 constexpr long kMaxPixels = 64L * 1024 * 1024;
 constexpr int kMaxDim = 1 << 16;
-// Nibble emitter (v4) per-block escape caps: the kernel reads level-1
+// Nibble emitter (v5) per-block escape caps: the kernel reads level-1
 // (|v| > 7 -> esc8) escapes through a 32-wide window (measured worst
 // real-photo block: 28) and level-2 (|v| > 127 -> esc16) through a
 // 16-wide one (measured worst: 6). Denser blocks -> ERR_CAPACITY.
@@ -802,18 +802,30 @@ int decode_planes(Decoder& d, uint8_t* outs[3], const long caps[3],
   return 0;
 }
 
-// Nibble-packed sparse coefficients (format v4), sized by MEASURED
-// content (tools/
-// measure_sparse_stats.py): at camera quality ~98.5% of nonzero AC
-// values fit 4 bits, so the int8 value stream spent half its bytes on
-// sign extension, and the DC column (always nonzero, often > 127)
-// forced escapes. The v4 row ships, per frame:
-//   - masks   nb*8  : unchanged nonzero bitmask (natural order);
+// Nibble-packed sparse coefficients (format v5), sized by MEASURED
+// content (tools/measure_sparse_stats.py): at camera quality ~98.5% of
+// nonzero AC values fit 4 bits (hence the nibble value stream of v4),
+// and the nonzero POSITIONS cluster at low zigzag indices — the v4
+// fixed 8-byte natural-order mask spent ~48% of the wire on mostly-zero
+// high bytes (mean occupied zigzag mask bytes: 4.4 on camera-clean
+// frames, 3.1-3.3 on the reference photos). v5 therefore ships the mask
+// as a variable-length ZIGZAG-order prefix. Per frame:
+//   - plen    ceil(nb/2) : mask byte-counts, 4-bit unsigned packed two
+//                     per byte (block 2i = low nibble of byte i), each
+//                     0..8 = number of maskstream bytes for that block;
+//   - maskstream    : the first plen bytes of each block's 64-bit
+//                     nonzero bitmask in ZIGZAG coefficient order
+//                     (bit j of the reconstructed word = zigzag index j;
+//                     little-endian byte order), truncated after the
+//                     highest set bit. Bit 0 (DC) is ALWAYS CLEAR — DC
+//                     travels in dc8 — so popcount(maskstream) is
+//                     exactly the AC value count (the device derives
+//                     every stream offset from one cumsum over it);
 //   - dc8     nb    : quantized DC as an int8 RASTER DELTA per component
 //                     (prev resets to 0 at each component's first block;
 //                     JPEG's own DC prediction, re-applied), sentinel
 //                     -128 -> next int16 entry of the dcesc stream;
-//   - nib           : nonzero AC values in increasing natural order,
+//   - nib           : nonzero AC values in increasing ZIGZAG order,
 //                     4-bit two's complement packed 2 per byte (entry 2i
 //                     = low nibble of byte i), sentinel -8 (0x8) -> next
 //                     esc8 entry;
@@ -821,7 +833,8 @@ int decode_planes(Decoder& d, uint8_t* outs[3], const long caps[3],
 //   - esc16         : int16 AC escapes (full coefficient range);
 //   - dcesc         : int16 DC-delta escapes.
 // The device undoes the chain with structured vector work only (two
-// in-kernel escape substitutions + one per-component cumsum for DC);
+// in-kernel escape substitutions + one per-component cumsum for DC; the
+// zigzag->natural reorder folds into one constant 64x64 MXU matmul);
 // see fastdet_tpu/ops/pallas/sparse_ingest.py. Per-block escape counts
 // are capped (kMaxEsc8PerBlock / kMaxEsc16PerBlock) so each level fits
 // one fixed-width kernel window; denser blocks return ERR_CAPACITY
@@ -867,14 +880,26 @@ static uint64_t nonzero_mask64(const int16_t* blk) {
   return nonzero_mask64_scalar(blk);
 }
 
-int decode_sparse4(Decoder& d, uint8_t* masks, long masks_cap,
+// natural position -> zigzag index (inverse of kZigzag), for the v5
+// zigzag-order wire masks
+struct Nat2zzTable {
+  int t[64];
+  Nat2zzTable() {
+    for (int j = 0; j < 64; ++j) t[kZigzag[j]] = j;
+  }
+};
+static const Nat2zzTable kNat2zz;
+
+int decode_sparse5(Decoder& d, uint8_t* plen, long plen_cap,
+                   uint8_t* maskstream, long mask_cap,
                    int8_t* dc8, long dc_cap,
                    uint8_t* nib, long nib_cap,
                    int8_t* esc8, long e8_cap,
                    int16_t* esc16, long e16_cap,
                    int16_t* dcesc, long dce_cap,
-                   long counts[5]) {
-  if (nib_cap < 0 || e8_cap < 0 || e16_cap < 0 || dce_cap < 0)
+                   long counts[6]) {
+  if (mask_cap < 0 || nib_cap < 0 || e8_cap < 0 || e16_cap < 0 ||
+      dce_cap < 0)
     return ERR_CAPACITY;
   int hmax = 1, vmax = 1;
   for (int i = 0; i < d.ncomp; ++i) {
@@ -891,7 +916,7 @@ int decode_sparse4(Decoder& d, uint8_t* masks, long masks_cap,
     base[i] = total_blocks;
     total_blocks += bw[i] * bh;
   }
-  if (total_blocks * 8 > masks_cap || total_blocks > dc_cap)
+  if ((total_blocks + 1) / 2 > plen_cap || total_blocks > dc_cap)
     return ERR_CAPACITY;
   std::vector<int16_t> stage((size_t)total_blocks * 64, 0);
   int rc = d.scan_mcus([&](int ci, long bx, long by, const int16_t* blk,
@@ -901,11 +926,11 @@ int decode_sparse4(Decoder& d, uint8_t* masks, long masks_cap,
     return 0;
   });
   if (rc) return rc;
-  // masks need no memset (every block memcpy's its full 8 bytes below),
-  // and neither does nib: each consumed byte is fully assigned by its
-  // even-entry write before the odd-entry OR, and bytes past the last
-  // value are never selected by the device (masked by the bits)
-  long nac = 0, ne8 = 0, ne16 = 0, ndce = 0;
+  // plen/nib need no memset: each consumed byte is fully assigned by
+  // its even-entry write before the odd-entry OR, and bytes past the
+  // last entry are never selected by the device (offsets derive from
+  // the plen/mask content itself)
+  long nac = 0, ne8 = 0, ne16 = 0, ndce = 0, nmask = 0;
   bool overflow = false;       // per-block escape caps (tier-independent)
   int comp_next = 1;  // index of the next component boundary in base[]
   int16_t prev_dc = 0;
@@ -915,7 +940,6 @@ int decode_sparse4(Decoder& d, uint8_t* masks, long masks_cap,
       ++comp_next;
     }
     const int16_t* blk = &stage[(size_t)b * 64];
-    uint8_t* m = masks + b * 8;
     // DC as int8 delta with int16 escape. Encoder-legal baseline DC is
     // 12-bit (|dc| <= 2047) so real deltas always fit int16, but
     // decode_block's unclamped dc_pred lets a CRAFTED stream stage DC
@@ -933,16 +957,28 @@ int decode_sparse4(Decoder& d, uint8_t* masks, long masks_cap,
       if (ndce < dce_cap) dcesc[ndce] = (int16_t)delta;
       ++ndce;
     }
-    uint64_t mask = nonzero_mask64(blk);  // bit 0 (DC) informative only
-    // the LE uint64 byte layout IS the wire layout (byte k>>3, bit k&7);
+    // zigzag-order AC mask: bit j set iff blk[kZigzag[j]] != 0, j >= 1
+    // (bit 0 = DC always clear: DC travels in dc8, and a clear bit 0
+    // makes popcount(maskstream) the exact AC count on device)
+    uint64_t natmask = nonzero_mask64(blk) & ~1ull;
+    uint64_t zzmask = 0;
+    for (uint64_t m = natmask; m; m &= m - 1)
+      zzmask |= 1ull << kNat2zz.t[__builtin_ctzll(m)];
+    int pl = zzmask ? (64 - __builtin_clzll(zzmask) + 7) >> 3 : 0;
+    if (b & 1)
+      plen[b >> 1] |= (uint8_t)(pl << 4);
+    else
+      plen[b >> 1] = (uint8_t)pl;
+    // the LE uint64 byte layout IS the wire layout (byte j>>3, bit j&7);
     // guarded at compile time so a BE port fails loudly, not silently
     static_assert(__BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__,
-                  "v4 mask bytes assume a little-endian host");
-    memcpy(m, &mask, 8);
+                  "v5 mask bytes assume a little-endian host");
+    if (nmask + pl <= mask_cap) memcpy(maskstream + nmask, &zzmask, pl);
+    nmask += pl;
     int be8 = 0, be16 = 0;
-    for (uint64_t ac = mask & ~1ull; ac; ac &= ac - 1) {
-      int k = __builtin_ctzll(ac);
-      int16_t v = blk[k];
+    for (uint64_t zm = zzmask; zm; zm &= zm - 1) {
+      int j = __builtin_ctzll(zm);
+      int16_t v = blk[kZigzag[j]];
       int8_t nv;
       if (v >= -7 && v <= 7) {
         nv = (int8_t)v;
@@ -972,14 +1008,15 @@ int decode_sparse4(Decoder& d, uint8_t* masks, long masks_cap,
   counts[1] = ne8;
   counts[2] = ne16;
   counts[3] = ndce;
-  // counts[4]: per-block/structural violation flag. These caps are
+  counts[4] = nmask;
+  // counts[5]: per-block/structural violation flag. These caps are
   // compile-time constants identical on EVERY tier, so a caller's
   // retry router must distinguish them from stream-budget overflow —
   // retrying a bigger tier for a per-block violation is a guaranteed
   // second wasted entropy decode.
-  counts[4] = overflow ? 1 : 0;
+  counts[5] = overflow ? 1 : 0;
   return ((nac + 1) / 2 <= nib_cap && ne8 <= e8_cap && ne16 <= e16_cap &&
-          ndce <= dce_cap && !overflow)
+          ndce <= dce_cap && nmask <= mask_cap && !overflow)
              ? 0 : ERR_CAPACITY;
 }
 
@@ -1074,17 +1111,18 @@ int fd_jpeg_planes420(const uint8_t* data, long n,
   return decode_planes(d, outs, caps, nullptr);
 }
 
-// Entropy-decode into nibble-packed sparse form (see decode_sparse4
-// above). counts: 5 longs [n_ac_values, n_esc8, n_esc16, n_dcesc,
-// per_block_cap_violated],
+// Entropy-decode into nibble-packed sparse form (see decode_sparse5
+// above). counts: 6 longs [n_ac_values, n_esc8, n_esc16, n_dcesc,
+// n_mask_bytes, per_block_cap_violated],
 // written with the TRUE totals even when a STREAM budget returns
 // ERR_CAPACITY, so the caller can size a retry tier. Exception: when
-// the masks/dc8 buffers are too small for the frame's geometry (a
+// the plen/dc8 buffers are too small for the frame's geometry (a
 // caller sizing error, not content density — both are computable from
 // fd_jpeg_scan_info before decoding), the decode is not attempted and
 // counts stay zero.
-int fd_jpeg_sparse4(const uint8_t* data, long n,
-                    uint8_t* masks, long masks_cap,
+int fd_jpeg_sparse5(const uint8_t* data, long n,
+                    uint8_t* plen, long plen_cap,
+                    uint8_t* maskstream, long mask_cap,
                     int8_t* dc8, long dc_cap,
                     uint8_t* nib, long nib_cap,
                     int8_t* esc8, long e8_cap,
@@ -1094,11 +1132,11 @@ int fd_jpeg_sparse4(const uint8_t* data, long n,
   Decoder d{data, n};
   int rc = d.parse_headers();
   if (rc) return rc;
-  counts[0] = counts[1] = counts[2] = counts[3] = counts[4] = 0;
+  for (int i = 0; i < 6; ++i) counts[i] = 0;
   try {
-    rc = decode_sparse4(d, masks, masks_cap, dc8, dc_cap, nib, nib_cap,
-                        esc8, e8_cap, esc16, e16_cap, dcesc, dce_cap,
-                        counts);
+    rc = decode_sparse5(d, plen, plen_cap, maskstream, mask_cap, dc8,
+                        dc_cap, nib, nib_cap, esc8, e8_cap, esc16, e16_cap,
+                        dcesc, dce_cap, counts);
   } catch (const std::bad_alloc&) {
     return ERR_CAPACITY;  // never unwind through the ctypes boundary
   }
@@ -1139,6 +1177,8 @@ const char* fd_jpeg_version() { return "fd_jpeg 0.3 (baseline sequential)"; }
 // wrong). 2 = 14-int scan_info with per-component quant table indices.
 // 3 = adds fd_jpeg_sparse4 (nibble-packed sparse format).
 // 4 = fd_jpeg_sparse4 counts grows 4 -> 5 longs (per-block-cap flag).
-int fd_jpeg_abi() { return 4; }
+// 5 = fd_jpeg_sparse5 replaces sparse4 (variable-length zigzag-order
+//     mask prefixes; counts grows to 6 longs, adding n_mask_bytes).
+int fd_jpeg_abi() { return 5; }
 
 }  // extern "C"

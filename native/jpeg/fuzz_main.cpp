@@ -24,9 +24,9 @@ int fd_jpeg_planes(const uint8_t*, long, uint8_t*, long, uint8_t*, long,
                    uint8_t*, long, int*);
 int fd_jpeg_coefficients(const uint8_t*, long, int16_t*, long, int16_t*,
                          long, int16_t*, long, uint16_t*);
-int fd_jpeg_sparse4(const uint8_t*, long, uint8_t*, long, int8_t*, long,
-                    uint8_t*, long, int8_t*, long, int16_t*, long,
-                    int16_t*, long, long*, uint16_t*);
+int fd_jpeg_sparse5(const uint8_t*, long, uint8_t*, long, uint8_t*, long,
+                    int8_t*, long, uint8_t*, long, int8_t*, long,
+                    int16_t*, long, int16_t*, long, long*, uint16_t*);
 }
 
 namespace {
@@ -44,7 +44,8 @@ uint64_t next_rand() {
 std::vector<uint8_t> rgb(4096L * 4096 * 3);
 std::vector<uint8_t> py(4096L * 4096), pcb(4096L * 4096), pcr(4096L * 4096);
 std::vector<int16_t> c0(1 << 22), c1(1 << 22), c2(1 << 22);
-std::vector<uint8_t> smasks(1 << 22);
+std::vector<uint8_t> splen(1 << 19);
+std::vector<uint8_t> smask(1 << 22);
 std::vector<int8_t> sdc(1 << 19);
 std::vector<uint8_t> snib(1 << 22);
 std::vector<int8_t> sesc8(1 << 21);
@@ -54,7 +55,7 @@ uint16_t qtabs[4 * 64];
 
 void exercise(const uint8_t* data, long n) {
   int w, h, comps, info[14], layout[4];
-  long counts[5];
+  long counts[6];
   fd_jpeg_info(data, n, &w, &h, &comps);
   fd_jpeg_scan_info(data, n, info);
   fd_jpeg_decode_rgb(data, n, rgb.data(), (long)rgb.size());
@@ -62,15 +63,16 @@ void exercise(const uint8_t* data, long n) {
                  (long)pcb.size(), pcr.data(), (long)pcr.size(), layout);
   fd_jpeg_coefficients(data, n, c0.data(), (long)c0.size(), c1.data(),
                        (long)c1.size(), c2.data(), (long)c2.size(), qtabs);
-  fd_jpeg_sparse4(data, n, smasks.data(), (long)smasks.size(), sdc.data(),
-                  (long)sdc.size(), snib.data(), (long)snib.size(),
-                  sesc8.data(), (long)sesc8.size(), sesc16.data(),
-                  (long)sesc16.size(), sdcesc.data(), (long)sdcesc.size(),
-                  counts, qtabs);
+  fd_jpeg_sparse5(data, n, splen.data(), (long)splen.size(), smask.data(),
+                  (long)smask.size(), sdc.data(), (long)sdc.size(),
+                  snib.data(), (long)snib.size(), sesc8.data(),
+                  (long)sesc8.size(), sesc16.data(), (long)sesc16.size(),
+                  sdcesc.data(), (long)sdcesc.size(), counts, qtabs);
   // tight-capacity variant: the emitter must respect tiny stream budgets
-  fd_jpeg_sparse4(data, n, smasks.data(), (long)smasks.size(), sdc.data(),
-                  (long)sdc.size(), snib.data(), 16, sesc8.data(), 8,
-                  sesc16.data(), 4, sdcesc.data(), 2, counts, qtabs);
+  fd_jpeg_sparse5(data, n, splen.data(), (long)splen.size(), smask.data(),
+                  32, sdc.data(), (long)sdc.size(), snib.data(), 16,
+                  sesc8.data(), 8, sesc16.data(), 4, sdcesc.data(), 2,
+                  counts, qtabs);
 }
 
 }  // namespace

@@ -156,15 +156,15 @@ def test_shard_map_sparse_kernel_bit_exact(cpu_devices):
     spec, params = _small_spec()
     multi = DetectionEngine(spec, params, mode="f32", buckets=(8,),
                             devices=cpu_devices)
-    from tests.test_sparse_path import _random_v4_case
+    from tests.test_sparse_path import _random_v5_case
 
     rng = np.random.RandomState(3)
-    arrs = _random_v4_case(rng, B=8, NB=16, NCAPB=160, E8CAP=128,
+    arrs = _random_v5_case(rng, B=8, NB=16, MCAP=128, NCAPB=160, E8CAP=128,
                            E16CAP=64, DCECAP=64)
-    fn = functools.partial(sparse_ingest.sparse4_to_coeffs_batch,
+    fn = functools.partial(sparse_ingest.sparse5_to_coeffs_batch,
                            yb=8, cb=4, interpret=True)
     args = tuple(jnp.asarray(a) for a in arrs)
-    sharded = np.asarray(multi._shard_map_batch(fn, 6)(*args))
+    sharded = np.asarray(multi._shard_map_batch(fn, 7)(*args))
     plain = np.asarray(fn(*args))
     assert np.array_equal(sharded, plain)
 

@@ -2,9 +2,10 @@
 
 The sparse path is the fewest-bytes ingest (VERDICT round-1 weak #1: h2d
 bytes are the serving bottleneck on bandwidth-limited links): the host
-ships per-block nonzero bitmasks + a 4-bit AC value stream with two
-escape levels + int8 DC deltas (native fd_jpeg_sparse4), and the device
-reconstructs coefficients with prefix-sum gathers before the usual
+ships per-block variable-length ZIGZAG-order mask prefixes (4-bit length
+stream + mask bytes) + a 4-bit AC value stream with two escape levels +
+int8 DC deltas (native fd_jpeg_sparse5), and the device reconstructs
+coefficients with prefix-sum gathers before the usual
 dequant + IDCT + upsample + color tail (reference equivalent: the inside
 of Pillow/libjpeg at server/detector.py:128-133, here split host/device).
 """
@@ -58,28 +59,29 @@ def _scene(idx, quality=90, subsampling=2):
 
 
 class SparseFrame:
-    """One frame decoded to v4 streams with roomy scratch capacities."""
+    """One frame decoded to v5 streams with roomy scratch capacities."""
 
     def __init__(self, native, data):
         self.w, self.h, self.hs, self.vs = native.scan_layout(data)
         self.yb, self.cb = native.sparse_geometry(
             self.w, self.h, self.hs, self.vs)
         nb = self.nb = self.yb + 2 * self.cb
-        self.masks = np.zeros(nb * 8, np.uint8)
+        self.plen = np.zeros((nb + 1) // 2, np.uint8)
+        self.maskstream = np.zeros(nb * 8, np.uint8)
         self.dc8 = np.zeros(nb, np.int8)
         self.nib = np.zeros(nb * 40, np.uint8)
         self.esc8 = np.zeros(nb * 33, np.int8)
         self.esc16 = np.zeros(nb * 17, np.int16)
         self.dcesc = np.zeros(nb * 2, np.int16)
-        self.counts, self.qy, self.qcb, self.qcr = native.decode_sparse4_into(
-            data, self.masks, self.dc8, self.nib, self.esc8, self.esc16,
-            self.dcesc)
+        self.counts, self.qy, self.qcb, self.qcr = native.decode_sparse5_into(
+            data, self.plen, self.maskstream, self.dc8, self.nib,
+            self.esc8, self.esc16, self.dcesc)
 
     def device_coeffs(self):
         from fastdet_tpu.ops import jpeg_device
 
-        return np.asarray(jpeg_device.sparse4_to_coeffs(
-            self.masks.reshape(self.nb, 8), self.dc8,
+        return np.asarray(jpeg_device.sparse5_to_coeffs(
+            self.plen, self.maskstream, self.dc8,
             jpeg_device.unpack_nibbles(self.nib), self.esc8, self.esc16,
             self.dcesc, self.yb, self.cb))
 
@@ -88,8 +90,9 @@ class SparseFrame:
 
         from fastdet_tpu.ops import jpeg_device
 
-        return jpeg_device.decode_sparse4(
-            jnp.asarray(self.masks), jnp.asarray(self.dc8),
+        return jpeg_device.decode_sparse5(
+            jnp.asarray(self.plen), jnp.asarray(self.maskstream),
+            jnp.asarray(self.dc8),
             jnp.asarray(self.nib), jnp.asarray(self.esc8),
             jnp.asarray(self.esc16), jnp.asarray(self.dcesc),
             jnp.asarray(self.qy, jnp.float32),
@@ -101,7 +104,7 @@ class SparseFrame:
 @pytest.mark.parametrize("subsampling", [0, 1, 2])
 def test_sparse_pack_roundtrip_exact(native_ready, subsampling):
     """masks+streams reconstruct the dense coefficient planes EXACTLY
-    (sparse4_to_coeffs is the bit-inverse of the native emitter)."""
+    (sparse5_to_coeffs is the bit-inverse of the native emitter)."""
     data = _jpeg(5, subsampling=subsampling)
     f = SparseFrame(native_ready, data)
     got = f.device_coeffs()
@@ -221,7 +224,7 @@ def tight_engine(native_ready):
     spec, params = weights.load_model("synthetic:tiny", num_classes=80)
     eng = DetectionEngine(spec, params, mode="f32", buckets=(1, 2))
     eng._sparse_budgets = dict(
-        eng._sparse_budgets, std=(5.0, 0.25, 0.03, 0.04))
+        eng._sparse_budgets, std=(5.0, 5.0, 0.25, 0.03, 0.04))
     return eng
 
 
@@ -230,8 +233,8 @@ def test_engine_sparse_overflow_falls_back_to_planes(engine, native_ready):
     per frame, visibly (counts/tags), with identical results."""
     spec, params = weights.load_model("synthetic:tiny", num_classes=80)
     eng = DetectionEngine(spec, params, mode="f32", buckets=(1, 2))
-    eng._sparse_budgets = {"std": (0.01, 0.25, 0.03, 0.04),
-                           "dense": (0.01, 0.25, 0.03, 0.04)}
+    eng._sparse_budgets = {"std": (8.0, 0.01, 0.25, 0.03, 0.04),
+                           "dense": (8.0, 0.01, 0.25, 0.03, 0.04)}
     data = _scene(2)
     res = eng.detect_async_sparse([data], [0.5])
     assert res is not None
@@ -506,17 +509,22 @@ def test_engine_tier_memory_not_set_by_minority(native_ready):
     eng.fetch(res, 2)
 
 
-def _random_v4_case(rng, B, NB, NCAPB, E8CAP, E16CAP, DCECAP):
-    """Randomized v4 streams with both escape levels, DC escapes, empty
-    blocks, and stream-end windows (NB must split Y/Cb/Cr; use NB=4*k)."""
-    masks = np.zeros((B, NB, 8), np.uint8)
+def _random_v5_case(rng, B, NB, MCAP, NCAPB, E8CAP, E16CAP, DCECAP):
+    """Randomized v5 streams with both escape levels, DC escapes, empty
+    blocks, variable mask prefixes, and stream-end windows (NB must
+    split Y/Cb/Cr; use NB=4*k). Mask bits and value order are ZIGZAG
+    (the v5 wire order); escapes big enough to be non-bf16-exact
+    (regression: the kernel's output permutation matmul must run at
+    full f32 precision or |v| > 256 escapes round)."""
+    plen = np.zeros((B, (NB + 1) // 2), np.uint8)
+    ms = np.zeros((B, MCAP), np.uint8)
     nib = np.zeros((B, NCAPB), np.uint8)
     esc8 = np.zeros((B, E8CAP), np.int8)
     esc16 = np.zeros((B, E16CAP), np.int16)
     dc8 = np.zeros((B, NB), np.int8)
     dcesc = np.zeros((B, DCECAP), np.int16)
     for b in range(B):
-        nac = ne8 = ne16 = ndce = 0
+        nac = ne8 = ne16 = ndce = nmask = 0
         for n in range(NB):
             # DC delta, escaping ~10% of the time
             if rng.rand() < 0.1 and ndce < DCECAP:
@@ -526,8 +534,11 @@ def _random_v4_case(rng, B, NB, NCAPB, E8CAP, E16CAP, DCECAP):
             else:
                 dc8[b, n] = rng.randint(-127, 128)
             nnz = rng.randint(0, 20)
-            for p in np.sort(rng.choice(63, nnz, replace=False) + 1):
-                masks[b, n, p >> 3] |= 1 << (p & 7)
+            # zigzag indices 1..63 (DC bit always clear on the wire)
+            zzmask = 0
+            zzs = np.sort(rng.choice(63, nnz, replace=False) + 1)
+            for j in zzs:
+                zzmask |= 1 << int(j)
                 r = rng.rand()
                 if r < 0.08 and ne16 < E16CAP and ne8 < E8CAP:
                     v = -8  # level-2 escape
@@ -547,13 +558,22 @@ def _random_v4_case(rng, B, NB, NCAPB, E8CAP, E16CAP, DCECAP):
                 else:
                     nib[b, nac >> 1] = n4
                 nac += 1
-    return masks, dc8, nib, esc8, esc16, dcesc
+            pl = (int(zzmask).bit_length() + 7) // 8
+            if n & 1:
+                plen[b, n >> 1] |= pl << 4
+            else:
+                plen[b, n >> 1] = pl
+            mb = int(zzmask).to_bytes(8, "little")[:pl]
+            ms[b, nmask:nmask + pl] = np.frombuffer(mb, np.uint8)
+            nmask += pl
+    return plen, ms, dc8, nib, esc8, esc16, dcesc
 
 
 def test_pallas_kernel_matches_xla_reconstruction():
     """The Pallas reconstruction kernel (interpret mode on CPU) is
     bit-identical to the XLA path on a randomized case with both escape
-    levels, DC escapes, empty blocks, and stream-end windows."""
+    levels, DC escapes, empty blocks, variable mask prefixes, and
+    stream-end windows."""
     import jax.numpy as jnp
 
     from fastdet_tpu.ops import jpeg_device
@@ -562,17 +582,17 @@ def test_pallas_kernel_matches_xla_reconstruction():
     rng = np.random.RandomState(3)
     B, NB = 2, 16
     yb, cb = 8, 4
-    arrs = _random_v4_case(rng, B, NB, NCAPB=160, E8CAP=128, E16CAP=64,
-                           DCECAP=64)
-    masks, dc8, nib, esc8, esc16, dcesc = (jnp.asarray(a) for a in arrs)
+    arrs = _random_v5_case(rng, B, NB, MCAP=128, NCAPB=160, E8CAP=128,
+                           E16CAP=64, DCECAP=64)
+    plen, ms, dc8, nib, esc8, esc16, dcesc = (jnp.asarray(a) for a in arrs)
     ref = np.stack([
-        np.asarray(jpeg_device.sparse4_to_coeffs(
-            masks[i], dc8[i], jpeg_device.unpack_nibbles(nib[i]),
+        np.asarray(jpeg_device.sparse5_to_coeffs(
+            plen[i], ms[i], dc8[i], jpeg_device.unpack_nibbles(nib[i]),
             esc8[i], esc16[i], dcesc[i], yb, cb))
         for i in range(B)
     ])
-    got = np.asarray(sparse_ingest.sparse4_to_coeffs_batch(
-        masks, dc8, nib, esc8, esc16, dcesc, yb, cb, interpret=True))
+    got = np.asarray(sparse_ingest.sparse5_to_coeffs_batch(
+        plen, ms, dc8, nib, esc8, esc16, dcesc, yb, cb, interpret=True))
     assert np.array_equal(got, ref)
 
 

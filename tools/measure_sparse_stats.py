@@ -59,6 +59,18 @@ def frame_stats(data: bytes):
     zz_idx = NAT2ZZ[None, :].repeat(nb, 0)  # zigzag index of each natural pos
     nz_zz = zz_idx[dense != 0]
 
+    # mask-encoding candidates (masks stored in ZIGZAG bit order)
+    zzmask = np.zeros((nb, 64), bool)
+    rows, cols = np.nonzero(dense != 0)
+    zzmask[rows, NAT2ZZ[cols]] = True
+    # M1: 16-bit group-of-4 mask + one 4-bit submask per active group
+    grp_active = zzmask.reshape(nb, 16, 4).any(axis=2)
+    g_per_block = grp_active.sum(axis=1)  # active groups
+    # M2: 1 prefix byte + ceil((last_zz+1)/8) zigzag mask bytes
+    last_zz = np.where(zzmask.any(axis=1),
+                       63 - np.argmax(zzmask[:, ::-1], axis=1), -1)
+    maskbytes = np.ceil((last_zz + 1) / 8.0).astype(np.int64)
+
     stats = {
         "nb": nb, "nnz": int(nnz), "nesc": int(nesc),
         "nnz_per_block": nnz / nb,
@@ -84,6 +96,13 @@ def frame_stats(data: bytes):
         # per-block escapes if AC values were nibbles (|v|>7 escapes)
         "ac_gt7_per_block": int((np.abs(ac) > 7).sum()) / nb,
         "esc_per_block_now": nesc / nb,
+        # mask-encoding candidates
+        "m1_groups_mean": float(g_per_block.mean()),
+        "m1_groups_p99": float(np.percentile(g_per_block, 99)),
+        "m1_groups_max": int(g_per_block.max()),
+        "m2_maskbytes_mean": float(maskbytes.mean()),
+        "m2_maskbytes_p99": float(np.percentile(maskbytes, 99)),
+        "m2_maskbytes_max": int(maskbytes.max()),
     }
     return stats
 
@@ -115,7 +134,20 @@ def fmt_bytes(stats):
           + cap(nb * (acpb + 0.5)) // 2
           + cap(max(1024, nb * (esc_pb + 0.1)), 128)
           + nb * 2 + 384)
-    return {"current": cur, "A_nibble+dc16": a, "B_halfmask": b, "A+B": ab}
+    # M1: 2B group mask/blk + budgeted 4-bit submask stream (zigzag groups),
+    # on top of the v4 value/escape/DC streams (sized as today's std tier)
+    v4_streams = (cap(nb * 14) // 2          # nibble AC stream
+                  + cap(max(512, nb * 0.4), 128)       # esc8
+                  + 2 * cap(max(256, nb * 0.03), 128)  # esc16
+                  + nb                                  # dc8
+                  + cap(max(256, nb * 0.04), 128) * 2   # dc esc16
+                  + 384)
+    m1 = nb * 2 + cap(nb * (stats["m1_groups_mean"] + 0.5)) // 2 + v4_streams
+    # M2: 1 prefix byte/blk + budgeted zigzag mask-byte stream
+    m2 = nb + cap(nb * (stats["m2_maskbytes_mean"] + 0.3)) + v4_streams
+    return {"current": cur, "A_nibble+dc16": a, "B_halfmask": b, "A+B": ab,
+            "v4_now": nb * 8 + v4_streams, "M1_groupmask": m1,
+            "M2_prefixmask": m2}
 
 
 def main():
@@ -144,6 +176,11 @@ def main():
               f"blocks w/ zz>=32: {s['blocks_with_zz_ge32']:.3f} "
               f"zz>=16: {s['blocks_with_zz_ge16']:.3f}; "
               f"AC|v|>7 per blk {s['ac_gt7_per_block']:.2f}")
+        print(f"   mask cands: M1 groups mean/p99/max "
+              f"{s['m1_groups_mean']:.2f}/{s['m1_groups_p99']:.0f}/"
+              f"{s['m1_groups_max']}; M2 maskbytes mean/p99/max "
+              f"{s['m2_maskbytes_mean']:.2f}/{s['m2_maskbytes_p99']:.0f}/"
+              f"{s['m2_maskbytes_max']}")
         print(f"   bytes/frame: " + "  ".join(
             f"{k}={v / 1024:.1f}K" for k, v in b.items()))
 

@@ -39,7 +39,7 @@ def _load_trace_events(trace_dir: str):
 
 def _bucket(name: str) -> str:
     n = name.lower()
-    if "pallas" in n or "sparse4" in n or "custom-call" in n:
+    if "pallas" in n or "sparse" in n or "custom-call" in n:
         return "ingest-kernel"
     if "conv" in n or "dot" in n or "matmul" in n:
         return "conv/matmul"
