@@ -234,6 +234,22 @@ def unpack_nibbles_u(nib: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x & 15, x >> 4], axis=-1).reshape(*nib.shape[:-1], -1)
 
 
+def unpack_3bit(tri: jnp.ndarray) -> jnp.ndarray:
+    """(TCAP,) uint8 (TCAP % 3 == 0) -> (TCAP*8//3,) int32 in [-4, 3].
+
+    The v6 AC value stream: 3-bit two's complement symbols packed
+    continuously little-endian (value k = bits [3k, 3k+3)), so each
+    3-byte group carries exactly 8 whole symbols — the unpack is one
+    reshape + static shifts, no per-element gathers. Works on any
+    leading batch dims. Inverse of fd_jpeg.cpp decode_sparse6's emit3.
+    """
+    g = tri.reshape(*tri.shape[:-1], -1, 3).astype(jnp.int32)
+    w = g[..., 0] | (g[..., 1] << 8) | (g[..., 2] << 16)
+    syms = jnp.stack([(w >> (3 * k)) & 7 for k in range(8)], axis=-1)
+    flat = syms.reshape(*tri.shape[:-1], -1)
+    return (flat ^ 4) - 4
+
+
 def dc_reconstruct(dc8: jnp.ndarray, dcesc: jnp.ndarray,
                    yb: int, cb: int) -> jnp.ndarray:
     """(NB,) int8 DC deltas + (DCE,) int16 escapes -> (NB,) int32 DC.
@@ -247,6 +263,32 @@ def dc_reconstruct(dc8: jnp.ndarray, dcesc: jnp.ndarray,
     rank = jnp.cumsum(f32) - f32                               # exclusive
     idx = jnp.clip(rank, 0, dcesc.shape[0] - 1)
     delta = jnp.where(flag, jnp.take(dcesc, idx).astype(jnp.int32), d)
+    return jnp.concatenate([
+        jnp.cumsum(delta[:yb]),
+        jnp.cumsum(delta[yb:yb + cb]),
+        jnp.cumsum(delta[yb + cb:]),
+    ])
+
+
+def dc_reconstruct6(dc4: jnp.ndarray, dcesc8: jnp.ndarray,
+                    dcesc16: jnp.ndarray, yb: int, cb: int) -> jnp.ndarray:
+    """v6 DC chain: (ceil(NB/2),) uint8 packed 4-bit deltas + int8 +
+    int16 escape streams -> (NB,) int32 DC.
+
+    -8 in a nibble takes the next dcesc8 entry; -128 there takes the
+    next dcesc16 entry (two NB-sized gathers — negligible); the
+    per-component cumsum undoes JPEG's DC prediction, exactly as the v5
+    chain (dc_reconstruct)."""
+    nb = yb + 2 * cb
+    d = unpack_nibbles(dc4)[:nb]
+    f1 = d == -8
+    r1 = jnp.cumsum(f1.astype(jnp.int32)) - f1.astype(jnp.int32)
+    i1 = jnp.clip(r1, 0, dcesc8.shape[0] - 1)
+    d1 = jnp.where(f1, jnp.take(dcesc8, i1).astype(jnp.int32), d)
+    f2 = f1 & (d1 == -128)
+    r2 = jnp.cumsum(f2.astype(jnp.int32)) - f2.astype(jnp.int32)
+    i2 = jnp.clip(r2, 0, dcesc16.shape[0] - 1)
+    delta = jnp.where(f2, jnp.take(dcesc16, i2).astype(jnp.int32), d1)
     return jnp.concatenate([
         jnp.cumsum(delta[:yb]),
         jnp.cumsum(delta[yb:yb + cb]),
@@ -277,6 +319,23 @@ def sparse5_to_coeffs(plen: jnp.ndarray, maskstream: jnp.ndarray,
     replaces exactly those; this path serves CPU and differential tests.)
     """
     nb = dc8.shape[0]
+    pos, c2 = _sparse_ac_zz(plen, maskstream, nibvals, esc8, esc16,
+                            nb, sentinel=-8)
+    dc = dc_reconstruct(dc8, dcesc, yb, cb)
+    # zigzag lane 0 IS the DC position (ZIGZAG[0] == 0); the final
+    # column permutation restores natural order (static gather)
+    coeff_zz = jnp.where(pos == 0, dc[:, None], c2)
+    return coeff_zz[:, NAT2ZZ]
+
+
+def _sparse_ac_zz(plen: jnp.ndarray, maskstream: jnp.ndarray,
+                  vals: jnp.ndarray, esc8: jnp.ndarray,
+                  esc16: jnp.ndarray, nb: int, sentinel: int):
+    """Shared v5/v6 AC reconstruction -> (pos iota, (NB, 64) zigzag-order
+    AC values). ``vals`` is the already-unpacked value stream (nibbles
+    for v5, 3-bit symbols for v6); ``sentinel`` its level-1 escape mark
+    (-8 / -4). The escape chain below it (int8 with -128 -> int16) is
+    format-independent."""
     ln = unpack_nibbles_u(plen)[:nb]                           # (NB,)
     moff = jnp.cumsum(ln) - ln                                 # exclusive
     j8 = jnp.arange(8, dtype=jnp.int32)
@@ -294,10 +353,10 @@ def sparse5_to_coeffs(plen: jnp.ndarray, maskstream: jnp.ndarray,
     nnz_blk = b32.sum(-1)
     block_off = jnp.cumsum(nnz_blk) - nnz_blk                  # exclusive
     rank = jnp.cumsum(b32, axis=-1) - b32                      # exclusive
-    idx = jnp.clip(block_off[:, None] + rank, 0, nibvals.shape[0] - 1)
-    c = jnp.take(nibvals, idx).astype(jnp.int32) * b32         # 0 where unset
-    # level-1 escapes: nibble sentinel -8 -> esc8 stream
-    esc1 = c == -8                                             # only where set
+    idx = jnp.clip(block_off[:, None] + rank, 0, vals.shape[0] - 1)
+    c = jnp.take(vals, idx).astype(jnp.int32) * b32            # 0 where unset
+    # level-1 escapes: value-stream sentinel -> esc8 stream
+    esc1 = c == sentinel                                       # only where set
     e1 = esc1.astype(jnp.int32)
     ecnt1 = e1.sum(-1)
     eoff1 = jnp.cumsum(ecnt1) - ecnt1                          # exclusive
@@ -312,9 +371,26 @@ def sparse5_to_coeffs(plen: jnp.ndarray, maskstream: jnp.ndarray,
     erank2 = jnp.cumsum(e2, axis=-1) - e2                      # exclusive
     eidx2 = jnp.clip(eoff2[:, None] + erank2, 0, esc16.shape[0] - 1)
     c2 = jnp.where(esc2, jnp.take(esc16, eidx2).astype(jnp.int32), c1)
-    dc = dc_reconstruct(dc8, dcesc, yb, cb)
-    # zigzag lane 0 IS the DC position (ZIGZAG[0] == 0); the final
-    # column permutation restores natural order (static gather)
+    return pos, c2
+
+
+def sparse6_to_coeffs(plen: jnp.ndarray, maskstream: jnp.ndarray,
+                      dc4: jnp.ndarray,
+                      trivals: jnp.ndarray, esc8: jnp.ndarray,
+                      esc16: jnp.ndarray, dcesc8: jnp.ndarray,
+                      dcesc16: jnp.ndarray,
+                      yb: int, cb: int) -> jnp.ndarray:
+    """v6 streams -> (NB, 64) int32 NATURAL-order coefficients (XLA).
+
+    Identical structure to sparse5_to_coeffs with the v6 value codes:
+    ``trivals`` is the already-unpacked 3-bit AC symbol stream (see
+    unpack_3bit; level-1 escape sentinel -4), and DC arrives as packed
+    4-bit deltas with its own two-level escape chain (dc_reconstruct6).
+    Bit-exact inverse of fd_jpeg.cpp decode_sparse6."""
+    nb = yb + 2 * cb
+    pos, c2 = _sparse_ac_zz(plen, maskstream, trivals, esc8, esc16,
+                            nb, sentinel=-4)
+    dc = dc_reconstruct6(dc4, dcesc8, dcesc16, yb, cb)
     coeff_zz = jnp.where(pos == 0, dc[:, None], c2)
     return coeff_zz[:, NAT2ZZ]
 

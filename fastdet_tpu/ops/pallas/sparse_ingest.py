@@ -107,7 +107,7 @@ def _load_window(ref, start, width, lanes_iota):
 
 def _kernel(moff_ref, off_ref, eoff1_ref, eoff2_ref, ms_ref, vals_ref,
             esc8_ref, esc16_ref, slt_ref, pmat_ref, out_ref, mwin_ref,
-            win_ref, ewin1_ref, ewin2_ref, *, bt):
+            win_ref, ewin1_ref, ewin2_ref, *, bt, sentinel):
     t = pl.program_id(1)
     base = t * bt
     lanes_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
@@ -190,8 +190,9 @@ def _kernel(moff_ref, off_ref, eoff1_ref, eoff2_ref, ms_ref, vals_ref,
                 ewin1_ref[j, :EW1] = _load_window(
                     esc8_ref, e1, EW1, lanes_iota)
 
-        # level-1 escapes: -8 slots take the next esc8-window entry
-        esc1 = (acc == -8) & (bits > 0)
+        # level-1 escapes: sentinel slots (v5 nibble -8 / v6 3-bit -4)
+        # take the next esc8-window entry
+        esc1 = (acc == sentinel) & (bits > 0)
         erank1 = jnp.dot(esc1.astype(jnp.float32), slt_ref[:],
                          preferred_element_type=jnp.float32).astype(jnp.int32)
         ewin1 = ewin1_ref[:]                # (bt, 128) i32, escapes in :EW1
@@ -247,7 +248,7 @@ def _rows128(stream32, extra_rows=2):
 
 
 def _reconstruct(moff, off, eoff1, eoff2, ms32, vals32, esc8_32, esc16_32,
-                 *, interpret=False):
+                 *, interpret=False, sentinel=-8):
     """(B, rows, 128) mask/value/escape streams -> (B, NB, 64) i32.
 
     ``moff`` is (B, NB+1): exclusive mask-stream byte offsets EXTENDED
@@ -272,7 +273,7 @@ def _reconstruct(moff, off, eoff1, eoff2, ms32, vals32, esc8_32, esc16_32,
     e2r = esc16_32.shape[1]
     grid = (b, nb // bt)
     return pl.pallas_call(
-        functools.partial(_kernel, bt=bt),
+        functools.partial(_kernel, bt=bt, sentinel=sentinel),
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, 1, nb + 1), lambda i, t: (i, 0, 0),
@@ -337,6 +338,24 @@ def sparse5_to_coeffs_batch(plen, maskstream, dc8, nib, esc8, esc16,
     from fastdet_tpu.ops import jpeg_device
 
     b, nb = dc8.shape
+    vals = jpeg_device.unpack_nibbles(nib)               # (B, 2*NCAP) i32
+    ac = _batch_ac(plen, maskstream, vals, esc8, esc16, nb,
+                   sentinel=-8, interpret=interpret)
+    dc = jax.vmap(jpeg_device.dc_reconstruct, in_axes=(0, 0, None, None))(
+        dc8, dcesc, yb, cb)                              # (B, NB)
+    pos = jax.lax.broadcasted_iota(jnp.int32, ac.shape, 2)
+    return jnp.where(pos == 0, dc[:, :, None], ac)
+
+
+def _batch_ac(plen, maskstream, vals, esc8, esc16, nb, *, sentinel,
+              interpret):
+    """Shared v5/v6 batched AC reconstruction -> (B, NB, 64) i32 in
+    NATURAL order, DC lane zero. ``vals`` is the already-unpacked value
+    stream with level-1 escape mark ``sentinel`` (-8 nibbles / -4 3-bit
+    symbols); everything below it — offsets, escape chain, kernel — is
+    format-independent."""
+    from fastdet_tpu.ops import jpeg_device
+
     # Pad the block axis to a full 64-block tile (see _pick_bt): pad
     # blocks carry zero mask lengths, their start offsets land on the
     # stream totals (cumsum of zero counts), and their output rows are
@@ -361,8 +380,7 @@ def sparse5_to_coeffs_batch(plen, maskstream, dc8, nib, esc8, esc16,
     ).astype(jnp.int32)                                  # (B, NBp+1)
     off = probe[:, :-1]
     nnz = probe[:, 1:] - probe[:, :-1]
-    vals = jpeg_device.unpack_nibbles(nib)               # (B, 2*NCAP) i32
-    ecnt1 = _stream_counts((vals == -8).astype(jnp.int32), off, nnz)
+    ecnt1 = _stream_counts((vals == sentinel).astype(jnp.int32), off, nnz)
     eoff1 = (jnp.cumsum(ecnt1, axis=-1) - ecnt1).astype(jnp.int32)
     ecnt2 = _stream_counts(
         (esc8 == -128).astype(jnp.int32), eoff1, ecnt1)
@@ -371,15 +389,34 @@ def sparse5_to_coeffs_batch(plen, maskstream, dc8, nib, esc8, esc16,
     # counts from adjacent differences (see _reconstruct)
     eoff1x = jnp.concatenate([eoff1, eoff1[:, -1:] + ecnt1[:, -1:]], -1)
     eoff2x = jnp.concatenate([eoff2, eoff2[:, -1:] + ecnt2[:, -1:]], -1)
-    ac = _reconstruct(
+    return _reconstruct(
         moffx, off, eoff1x, eoff2x,
         _rows128(maskstream.astype(jnp.int32)),
         _rows128(vals),
         _rows128(esc8.astype(jnp.int32)),
         _rows128(esc16.astype(jnp.int32)),
-        interpret=interpret,
+        interpret=interpret, sentinel=sentinel,
     )[:, :nb]
-    dc = jax.vmap(jpeg_device.dc_reconstruct, in_axes=(0, 0, None, None))(
-        dc8, dcesc, yb, cb)                              # (B, NB)
+
+
+def sparse6_to_coeffs_batch(plen, maskstream, dc4, tri, esc8, esc16,
+                            dcesc8, dcesc16, yb, cb, *, interpret=False):
+    """Batched bit-exact equivalent of jpeg_device.sparse6_to_coeffs.
+
+    Same machinery as sparse5_to_coeffs_batch with the v6 value codes:
+    ``tri`` (B, TCAP) uint8 is the 3-bit AC symbol stream (escape
+    sentinel -4) and DC arrives as (B, ceil(NB/2)) packed 4-bit deltas
+    with its own two-level escape chain (``dcesc8``/``dcesc16``). The
+    3-bit unpack and both DC gathers run in XLA; the kernel is shared
+    with v5 (only the level-1 sentinel differs)."""
+    from fastdet_tpu.ops import jpeg_device
+
+    nb = yb + 2 * cb
+    vals = jpeg_device.unpack_3bit(tri)                  # (B, TCAP*8/3) i32
+    ac = _batch_ac(plen, maskstream, vals, esc8, esc16, nb,
+                   sentinel=-4, interpret=interpret)
+    dc = jax.vmap(jpeg_device.dc_reconstruct6,
+                  in_axes=(0, 0, 0, None, None))(
+        dc4, dcesc8, dcesc16, yb, cb)                    # (B, NB)
     pos = jax.lax.broadcasted_iota(jnp.int32, ac.shape, 2)
     return jnp.where(pos == 0, dc[:, :, None], ac)

@@ -27,7 +27,7 @@ import functools
 import logging
 import threading
 import time
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,25 @@ from fastdet_tpu.ops.nms import NMSResult
 logger = logging.getLogger(__name__)
 
 ResultTuple = Tuple[int, float, float, float, float, float]
+
+
+class SparseCaps(NamedTuple):
+    """Static stream capacities of one (layout, tier) sparse row.
+
+    ``fmt`` is the wire format (5 = nibble AC + int8 DC deltas, 6 =
+    3-bit AC + 4-bit DC deltas — fd_jpeg.cpp decode_sparse5/6).
+    ``vals`` is the packed AC value stream capacity in BYTES (nibble or
+    3-bit packed); ``e16``/``dce16`` are in int16 ENTRIES; ``dce8`` is 0
+    for fmt 5 (its DC deltas are already int8, no escape stream)."""
+
+    fmt: int
+    nb: int
+    mask: int
+    vals: int
+    e8: int
+    e16: int
+    dce8: int
+    dce16: int
 
 
 def device_result(x):
@@ -184,30 +203,39 @@ class DetectionEngine:
         # and the traced device programs must agree for the engine's whole
         # lifetime, and compensating env edits could otherwise reuse a
         # cached program with a stale vals/esc split.
-        # Two AOT capacity tiers, each five per-block budgets for the v5
-        # nibble-sparse row: (mask bytes, AC values, esc8, esc16, dcesc).
-        # "std" is sized just above measured camera-quality content
-        # (4.4-4.5 zigzag mask bytes, AC 13.2-13.4 values and 0.16-0.21
-        # int8 escapes per block on the committed fixtures —
-        # tools/measure_sparse_stats.py) — every padded byte is lost
-        # throughput on the link-bound serving path. Frames denser than
-        # "std" (the reference's photos: up to 3.9 esc8 and 0.23 esc16
-        # per block on rsu2.jpg — though only ~3.3 mask bytes: photo
-        # energy concentrates at LOW zigzag) retry on the "dense" tier
-        # and still ride the sparse wire format instead of degrading to
-        # the 4-5x-bigger plane path; only dense-tier overflow does that.
-        # Env names are v4/v5-specific (AC_/ESC8_): the v3 knobs
-        # (FASTDET_SPARSE_BUDGET counted DC+AC values, FASTDET_SPARSE_
-        # ESC_BUDGET counted int16 escapes) have different units, and a
-        # stale v3 value silently mis-sizing a tier would reroute real
-        # photos to the 4-5x-bigger plane path — stale settings are
-        # ignored (defaults apply) rather than reinterpreted.
+        # Two AOT capacity tiers, each with a wire FORMAT and six
+        # per-block budgets: (mask bytes, AC values, esc8, esc16, dcesc8,
+        # dcesc16). The "std" tier ships wire format v6 (3-bit AC symbols
+        # + 4-bit DC deltas, fd_jpeg.cpp decode_sparse6): on camera-clean
+        # q90 content 95.7% of nonzero AC values are |v| <= 3 and ~89% of
+        # DC deltas fit 4 bits, so v6 rows measure ~14% smaller than the
+        # v5 nibble rows — every padded byte is lost throughput on the
+        # link-bound serving path. The "dense" tier keeps format v5
+        # (4-bit AC nibbles + int8 DC deltas): photo-dense content (the
+        # reference's testdata) is escape-heavy under 3-bit codes and
+        # measures LARGER in v6 (tools/measure_sparse_stats.py), so
+        # frames denser than "std" retry as v5 and still ride a sparse
+        # wire instead of degrading to the 4-5x-bigger plane path; only
+        # dense-tier overflow does that. Each format's esc8 budget counts
+        # ITS level-1 escapes (v6: |v| > 3; v5: |v| > 7) — the emitters
+        # return both predictors so the tier router can evaluate the
+        # format-crossing retry from one decode. dcesc8 is v6-only (v5
+        # DC deltas are already int8). Env names are format-specific;
+        # stale v3 knobs with different units are ignored (defaults
+        # apply) rather than reinterpreted, and FASTDET_SPARSE_STD_FORMAT
+        # =5 reverts the std tier to the v5 wire (with that format's
+        # escape-budget defaults).
+        self._std_fmt = 6 if os.environ.get(
+            "FASTDET_SPARSE_STD_FORMAT", "6") != "5" else 5
+        std_esc8_default = "0.8" if self._std_fmt == 6 else "0.4"
         self._sparse_budgets = {
             "std": (
-                float(os.environ.get("FASTDET_SPARSE_MASK_BUDGET", "5.0")),
-                float(os.environ.get("FASTDET_SPARSE_AC_BUDGET", "14")),
-                float(os.environ.get("FASTDET_SPARSE_ESC8_BUDGET", "0.4")),
+                float(os.environ.get("FASTDET_SPARSE_MASK_BUDGET", "4.8")),
+                float(os.environ.get("FASTDET_SPARSE_AC_BUDGET", "13.8")),
+                float(os.environ.get("FASTDET_SPARSE_ESC8_BUDGET",
+                                     std_esc8_default)),
                 float(os.environ.get("FASTDET_SPARSE_ESC16_BUDGET", "0.03")),
+                float(os.environ.get("FASTDET_SPARSE_DCESC8_BUDGET", "0.2")),
                 float(os.environ.get("FASTDET_SPARSE_DCESC_BUDGET", "0.04")),
             ),
             "dense": (
@@ -216,9 +244,11 @@ class DetectionEngine:
                 float(os.environ.get("FASTDET_SPARSE_AC_BUDGET_DENSE", "15")),
                 float(os.environ.get("FASTDET_SPARSE_ESC8_BUDGET_DENSE", "4.2")),
                 float(os.environ.get("FASTDET_SPARSE_ESC16_BUDGET_DENSE", "0.3")),
+                0.0,  # dense tier is v5: no dcesc8 stream
                 float(os.environ.get("FASTDET_SPARSE_DCESC_BUDGET_DENSE", "0.25")),
             ),
         }
+        self._sparse_fmt = {"std": self._std_fmt, "dense": 5}
         for stale in ("FASTDET_SPARSE_BUDGET", "FASTDET_SPARSE_ESC_BUDGET",
                       "FASTDET_SPARSE_BUDGET_DENSE",
                       "FASTDET_SPARSE_ESC_BUDGET_DENSE"):
@@ -505,9 +535,8 @@ class DetectionEngine:
 
     def _sparse_caps(
         self, layout: Tuple[int, int], tier: str = "std"
-    ) -> Tuple[int, int, int, int, int, int]:
-        """(total_blocks, mask_bytes, nibble_bytes, esc8_cap, esc16_cap,
-        dcesc_cap) for a layout.
+    ) -> "SparseCaps":
+        """Static stream capacities for a (layout, tier) — see SparseCaps.
 
         Budgets are the engine-construction-time snapshots (see __init__):
         the packed row layout and the traced device programs must agree.
@@ -520,34 +549,48 @@ class DetectionEngine:
         hs, vs = layout
         yb, cb = native_jpeg.sparse_geometry(size, size, hs, vs)
         nb = yb + 2 * cb
-        mk, ac, e8, e16, dce = self._sparse_budgets[tier]
+        fmt = self._sparse_fmt[tier]
+        mk, ac, e8, e16, dce8, dce16 = self._sparse_budgets[tier]
         mcap = -128 * (math.ceil(nb * mk) // -128)
-        # nibble capacity in BYTES (2 values/byte), 128-byte aligned
-        ncap = -128 * (math.ceil(nb * ac / 2) // -128)
+        if fmt == 6:
+            # 3-bit value capacity in BYTES: 384-aligned (the only
+            # multiple of both 128 — VMEM lane tiles — and 3 — whole
+            # 8-symbol groups for the static-shift unpack)
+            vcap = -384 * (math.ceil(nb * ac * 3 / 8) // -384)
+            dce8cap = max(128, -128 * (math.ceil(nb * dce8) // -128))
+        else:
+            # nibble capacity in BYTES (2 values/byte), 128-byte aligned
+            vcap = -128 * (math.ceil(nb * ac / 2) // -128)
+            dce8cap = 0  # v5 DC deltas are already int8 — no escape stream
         e8cap = max(128, -128 * (math.ceil(nb * e8) // -128))
         e16cap = max(64, -64 * (math.ceil(nb * e16) // -64))
-        dcecap = max(64, -64 * (math.ceil(nb * dce) // -64))
-        return nb, mcap, ncap, e8cap, e16cap, dcecap
+        dce16cap = max(64, -64 * (math.ceil(nb * dce16) // -64))
+        return SparseCaps(fmt, nb, mcap, vcap, e8cap, e16cap, dce8cap,
+                          dce16cap)
 
     @staticmethod
-    def _sparse_offsets(nb: int, mcap: int, ncap: int, e8cap: int,
-                        e16cap: int, dcecap: int) -> np.ndarray:
-        """Field end-offsets of the v5 packed row — the ONE definition
-        of the row layout, shared by host staging (_stage_sparse) and
-        device unpack (_pipeline_sparse):
-        [plen ceil(nb/2) | maskstream mcap | dc8 nb | nib ncap
-         | esc8 e8cap | esc16 2*e16cap | dcesc 2*dcecap
-         | qy,qcb,qcr 3*2*64]
+    def _sparse_offsets(caps: "SparseCaps") -> np.ndarray:
+        """Field end-offsets of the packed row — the ONE definition of
+        the row layout per wire format, shared by host staging
+        (_stage_sparse) and device unpack (_pipeline_sparse):
+          v5: [plen ceil(nb/2) | maskstream | dc8 nb | nib | esc8
+               | esc16*2 | dcesc16*2 | qy,qcb,qcr 3*2*64]
+          v6: [plen ceil(nb/2) | maskstream | dc4 ceil(nb/2) | tri
+               | esc8 | esc16*2 | dcesc8 | dcesc16*2 | q...]
         (separate Cb/Cr tables: a legal JPEG may quantize Cr with its
         own table — reference-shape traffic shares one, but the row
         spends 128 bytes to stay correct for the general case)"""
-        return np.cumsum([(nb + 1) // 2, mcap, nb, ncap, e8cap,
-                          2 * e16cap, 2 * dcecap])
+        nb = caps.nb
+        if caps.fmt == 6:
+            fields = [(nb + 1) // 2, caps.mask, (nb + 1) // 2, caps.vals,
+                      caps.e8, 2 * caps.e16, caps.dce8, 2 * caps.dce16]
+        else:
+            fields = [(nb + 1) // 2, caps.mask, nb, caps.vals,
+                      caps.e8, 2 * caps.e16, 2 * caps.dce16]
+        return np.cumsum(fields)
 
-    def _sparse_row_bytes(self, nb: int, mcap: int, ncap: int, e8cap: int,
-                          e16cap: int, dcecap: int) -> int:
-        return int(self._sparse_offsets(
-            nb, mcap, ncap, e8cap, e16cap, dcecap)[-1]) + 384
+    def _sparse_row_bytes(self, caps: "SparseCaps") -> int:
+        return int(self._sparse_offsets(caps)[-1]) + 384
 
     @staticmethod
     def _i16_from_pairs(rowslice: jnp.ndarray) -> jnp.ndarray:
@@ -572,21 +615,33 @@ class DetectionEngine:
 
         hs, vs = layout
         size = self.spec.image_size
-        nb, mcap, ncap, e8cap, e16cap, dcecap = self._sparse_caps(
-            layout, tier)
+        caps = self._sparse_caps(layout, tier)
+        nb = caps.nb
         yb, cbn = native_jpeg.sparse_geometry(size, size, hs, vs)
         b = packed.shape[0]
-        bounds = self._sparse_offsets(nb, mcap, ncap, e8cap, e16cap, dcecap)
+        bounds = self._sparse_offsets(caps)
         plen = packed[:, :bounds[0]]
         maskstream = packed[:, bounds[0]:bounds[1]]
-        dc8 = lax.bitcast_convert_type(
-            packed[:, bounds[1]:bounds[2]], jnp.int8)
-        nib = packed[:, bounds[2]:bounds[3]]
-        esc8 = lax.bitcast_convert_type(
-            packed[:, bounds[3]:bounds[4]], jnp.int8)
-        esc16 = self._i16_from_pairs(packed[:, bounds[4]:bounds[5]])
-        dcesc = self._i16_from_pairs(packed[:, bounds[5]:bounds[6]])
-        qb = packed[:, bounds[6]:].reshape(b, 3, 64, 2)
+        if caps.fmt == 6:
+            dc4 = packed[:, bounds[1]:bounds[2]]
+            tri = packed[:, bounds[2]:bounds[3]]
+            esc8 = lax.bitcast_convert_type(
+                packed[:, bounds[3]:bounds[4]], jnp.int8)
+            esc16 = self._i16_from_pairs(packed[:, bounds[4]:bounds[5]])
+            dcesc8 = lax.bitcast_convert_type(
+                packed[:, bounds[5]:bounds[6]], jnp.int8)
+            dcesc16 = self._i16_from_pairs(packed[:, bounds[6]:bounds[7]])
+            qstart = bounds[7]
+        else:
+            dc8 = lax.bitcast_convert_type(
+                packed[:, bounds[1]:bounds[2]], jnp.int8)
+            nib = packed[:, bounds[2]:bounds[3]]
+            esc8 = lax.bitcast_convert_type(
+                packed[:, bounds[3]:bounds[4]], jnp.int8)
+            esc16 = self._i16_from_pairs(packed[:, bounds[4]:bounds[5]])
+            dcesc = self._i16_from_pairs(packed[:, bounds[5]:bounds[6]])
+            qstart = bounds[6]
+        qb = packed[:, qstart:].reshape(b, 3, 64, 2)
         qb = qb.astype(jnp.float32)
         q = qb[..., 0] + qb[..., 1] * 256.0
         qy, qcb, qcr = q[:, 0], q[:, 1], q[:, 2]
@@ -605,11 +660,26 @@ class DetectionEngine:
         if nb % 8 == 0 and mode != "off":
             from fastdet_tpu.ops.pallas import sparse_ingest
 
-            fn = functools.partial(
-                sparse_ingest.sparse5_to_coeffs_batch,
-                yb=yb, cb=cbn, interpret=(mode == "interpret"))
-            coeff = self._shard_map_batch(fn, 7)(
-                plen, maskstream, dc8, nib, esc8, esc16, dcesc)
+            if caps.fmt == 6:
+                fn = functools.partial(
+                    sparse_ingest.sparse6_to_coeffs_batch,
+                    yb=yb, cb=cbn, interpret=(mode == "interpret"))
+                coeff = self._shard_map_batch(fn, 8)(
+                    plen, maskstream, dc4, tri, esc8, esc16,
+                    dcesc8, dcesc16)
+            else:
+                fn = functools.partial(
+                    sparse_ingest.sparse5_to_coeffs_batch,
+                    yb=yb, cb=cbn, interpret=(mode == "interpret"))
+                coeff = self._shard_map_batch(fn, 7)(
+                    plen, maskstream, dc8, nib, esc8, esc16, dcesc)
+        elif caps.fmt == 6:
+            coeff = jax.vmap(
+                lambda p, m, d4, tv, e8, e16, de8, de16:
+                jpeg_device.sparse6_to_coeffs(
+                    p, m, d4, jpeg_device.unpack_3bit(tv), e8, e16,
+                    de8, de16, yb, cbn)
+            )(plen, maskstream, dc4, tri, esc8, esc16, dcesc8, dcesc16)
         else:
             coeff = jax.vmap(
                 lambda p, m, d, nv, e8, e16, de: jpeg_device.sparse5_to_coeffs(
@@ -636,56 +706,70 @@ class DetectionEngine:
         staged = []
         jobs = []
         for layout, idxs in groups.items():
-            nb, mcap, ncap, e8cap, e16cap, dcecap = self._sparse_caps(
-                layout, tier)
-            row = self._sparse_row_bytes(
-                nb, mcap, ncap, e8cap, e16cap, dcecap)
+            caps = self._sparse_caps(layout, tier)
+            row = self._sparse_row_bytes(caps)
             b = self.bucket_for(len(idxs))
             packed = np.zeros((b, row), np.uint8)  # zero rows = gray frames
             thr = np.full((b,), 2.0, np.float32)
             thr[: len(idxs)] = thr_all[idxs]
             staged.append((layout, idxs, packed, thr))
-            bo = self._sparse_offsets(nb, mcap, ncap, e8cap, e16cap, dcecap)
+            bo = self._sparse_offsets(caps)
             for j, i in enumerate(idxs):
-                jobs.append((
-                    jpegs[i], i,
-                    packed[j, :bo[0]],                          # plen
-                    packed[j, bo[0]:bo[1]],                     # maskstream
-                    packed[j, bo[1]:bo[2]].view(np.int8),       # dc8
-                    packed[j, bo[2]:bo[3]],                     # nib
-                    packed[j, bo[3]:bo[4]].view(np.int8),       # esc8
-                    packed[j, bo[4]:bo[5]].view(np.int16),      # esc16
-                    packed[j, bo[5]:bo[6]].view(np.int16),      # dcesc
-                    packed[j, bo[6]:].view(np.uint16),          # q tables
-                ))
+                if caps.fmt == 6:
+                    views = (
+                        packed[j, :bo[0]],                      # plen
+                        packed[j, bo[0]:bo[1]],                 # maskstream
+                        packed[j, bo[1]:bo[2]],                 # dc4
+                        packed[j, bo[2]:bo[3]],                 # tri
+                        packed[j, bo[3]:bo[4]].view(np.int8),   # esc8
+                        packed[j, bo[4]:bo[5]].view(np.int16),  # esc16
+                        packed[j, bo[5]:bo[6]].view(np.int8),   # dcesc8
+                        packed[j, bo[6]:bo[7]].view(np.int16),  # dcesc16
+                        packed[j, bo[7]:].view(np.uint16),      # q tables
+                    )
+                else:
+                    views = (
+                        packed[j, :bo[0]],                      # plen
+                        packed[j, bo[0]:bo[1]],                 # maskstream
+                        packed[j, bo[1]:bo[2]].view(np.int8),   # dc8
+                        packed[j, bo[2]:bo[3]],                 # nib
+                        packed[j, bo[3]:bo[4]].view(np.int8),   # esc8
+                        packed[j, bo[4]:bo[5]].view(np.int16),  # esc16
+                        packed[j, bo[5]:bo[6]].view(np.int16),  # dcesc
+                        packed[j, bo[6]:].view(np.uint16),      # q tables
+                    )
+                jobs.append((jpegs[i], i, caps.fmt, views))
         return staged, jobs
 
     def _run_sparse_jobs(
         self, jobs
-    ) -> Optional[Tuple[List[int], Dict[int, Tuple[int, int, int, int]]]]:
+    ) -> Optional[Tuple[List[int], Dict[int, Any]]]:
         """Entropy-decode each job into its row; returns (overflow
-        indices, {frame index: TRUE emitter counts, or None for frames
-        that violated a per-block cap}), or None on decode failure
-        (caller falls back entirely). The counts feed the tier-memory
-        heuristic and the retry router (see detect_async_sparse): they
-        tell whether a dense-staged frame would have fit std, and
-        whether an overflow frame has any chance on the next tier
-        (None = no tier can ever fit it)."""
+        indices, {frame index: (emitter format, TRUE SparseCounts)}),
+        or None on decode failure (caller falls back entirely). The
+        counts feed the tier-memory heuristic and the retry router (see
+        detect_async_sparse): the emitters report BOTH formats' escape
+        predictors and per-block-cap flags, so one decode tells whether
+        an overflow frame has any chance on the other tier and whether
+        a dense-staged frame would have fit std."""
         from fastdet_tpu.runtime import native_jpeg
 
         def _decode(job):
-            data, i, plen, ms, dc8, nib, e8, e16, dce, qrow = job
+            data, i, fmt, views = job
+            qrow = views[-1]
             try:
-                cts, qy, qcb, qcr = native_jpeg.decode_sparse5_into(
-                    data, plen, ms, dc8, nib, e8, e16, dce)
+                if fmt == 6:
+                    cts, qy, qcb, qcr = native_jpeg.decode_sparse6_into(
+                        data, *views[:-1])
+                else:
+                    cts, qy, qcb, qcr = native_jpeg.decode_sparse5_into(
+                        data, *views[:-1])
             except native_jpeg.SparseCapacityExceeded as e:
-                # None counts = per-block cap violated: identical on
-                # every tier, so no retry tier can ever fit this frame
-                return i, False, (None if e.block_cap_violated else e.counts)
+                return i, False, (fmt, e.counts)
             qrow[:64] = qy
             qrow[64:128] = qcb
             qrow[128:] = qcr
-            return i, True, cts
+            return i, True, (fmt, cts)
 
         try:
             pool = _decode_pool() if len(jobs) > 1 else None
@@ -700,15 +784,34 @@ class DetectionEngine:
         return overflow, counts
 
     def _fits_tier(self, layout: Tuple[int, int], tier: str,
-                   cts: Tuple[int, int, int, int, int]) -> bool:
+                   fmt_cts) -> bool:
         """Would a frame with these emitter counts fit the tier's
-        stream capacities? (Per-block escape caps are tier-independent,
-        so counts from any successful decode settle them.)"""
-        _, mcap, ncap, e8cap, e16cap, dcecap = self._sparse_caps(
-            layout, tier)
-        nac, ne8, ne16, ndce, nmask = cts
-        return ((nac + 1) // 2 <= ncap and ne8 <= e8cap
-                and ne16 <= e16cap and ndce <= dcecap and nmask <= mcap)
+        stream capacities AND the tier format's per-block escape caps?
+
+        ``fmt_cts`` is the (source format, SparseCounts) pair from
+        _run_sparse_jobs. The emitters report both formats' escape
+        predictors (SparseCounts.ac_gt3/ac_gt7/dcd_gt7) and per-block
+        flags, so this evaluates a format-CROSSING retry (std v6 <->
+        dense v5) exactly, from one decode."""
+        if fmt_cts is None:
+            return False
+        src_fmt, cts = fmt_cts
+        caps = self._sparse_caps(layout, tier)
+        block_viol = (cts.own_block_cap if caps.fmt == src_fmt
+                      else cts.other_block_cap)
+        if block_viol:
+            return False
+        if caps.fmt == 6:
+            vals_need = -((cts.ac * 3) // -8)   # packed 3-bit bytes
+            e8_need = cts.ac_gt3
+            if cts.dcd_gt7 > caps.dce8:
+                return False
+        else:
+            vals_need = (cts.ac + 1) // 2       # packed nibble bytes
+            e8_need = cts.ac_gt7
+        return (vals_need <= caps.vals and e8_need <= caps.e8
+                and cts.e16 <= caps.e16 and cts.dce16 <= caps.dce16
+                and cts.mask <= caps.mask)
 
     def detect_async_sparse(
         self, jpegs: Sequence[bytes], thresholds: Sequence[float]
@@ -791,10 +894,13 @@ class DetectionEngine:
                     # with no chance on the dense tier skip straight to
                     # planes instead of paying a second wasted entropy
                     # decode (~2 ms/frame on a 1-core serving host).
+                    # _fits_tier evaluates the format crossing (std v6
+                    # -> dense v5) including the target format's
+                    # per-block caps — a block too escape-dense for the
+                    # 3-bit wire is usually fine as nibbles.
                     retry = [i for i in ovl
-                             if frame_cts[i] is not None
-                             and self._fits_tier(layout, "dense",
-                                                 frame_cts[i])]
+                             if self._fits_tier(layout, "dense",
+                                                frame_cts[i])]
                     if retry:
                         next_pending[layout] = retry
                     hopeless = [i for i in ovl if i not in set(retry)]
@@ -979,7 +1085,7 @@ class DetectionEngine:
                     for tier in ("std", "dense"):
                         caps = self._sparse_caps((hs, vs), tier)
                         packed = np.zeros(
-                            (b, self._sparse_row_bytes(*caps)),
+                            (b, self._sparse_row_bytes(caps)),
                             np.uint8)
                         jobs.append((self._sparse_jit((hs, vs), tier),
                                      (self.params, self._place(packed),

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import ctypes
 import os
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -114,7 +114,21 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int8), ctypes.c_long,    # esc8
         ctypes.POINTER(ctypes.c_int16), ctypes.c_long,   # esc16
         ctypes.POINTER(ctypes.c_int16), ctypes.c_long,   # dcesc
-        ctypes.POINTER(ctypes.c_long),                   # counts[6]
+        ctypes.POINTER(ctypes.c_long),                   # counts[10]
+        ctypes.POINTER(ctypes.c_uint16),                 # qtabs
+    ]
+    lib.fd_jpeg_sparse6.restype = ctypes.c_int
+    lib.fd_jpeg_sparse6.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,   # plen
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,   # maskstream
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,   # dc4
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,   # tri
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_long,    # esc8
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_long,   # esc16
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_long,    # dcesc8
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_long,   # dcesc16
+        ctypes.POINTER(ctypes.c_long),                   # counts[10]
         ctypes.POINTER(ctypes.c_uint16),                 # qtabs
     ]
     # Output-contract check: a stale prebuilt library missing this symbol
@@ -123,8 +137,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.fd_jpeg_abi.restype = ctypes.c_int
     lib.fd_jpeg_abi.argtypes = []
     abi = lib.fd_jpeg_abi()
-    if abi != 5:
-        raise AttributeError(f"fd_jpeg ABI {abi} != expected 5")
+    if abi != 6:
+        raise AttributeError(f"fd_jpeg ABI {abi} != expected 6")
     return lib
 
 
@@ -336,18 +350,47 @@ def decode_planes420(
     return y, cb, cr
 
 
+class SparseCounts(NamedTuple):
+    """The 10-long counts block both sparse emitters fill (fd_jpeg.cpp
+    kSparseCounts): TRUE content totals — written even on capacity
+    overflow — plus the OTHER wire format's escape predictors, so the
+    engine's tier router can evaluate a format-crossing retry (std tier
+    ships v6, dense tier ships v5) without a second entropy decode."""
+
+    ac: int        # AC value count (= mask popcount)
+    e8: int        # this format's level-1 AC escapes (v5 |v|>7, v6 |v|>3)
+    e16: int       # |v|>127 AC escapes (same meaning in both formats)
+    dce8: int      # v6 |dc delta|>7 escapes (0 from the v5 emitter)
+    dce16: int     # |dc delta|>127 escapes
+    mask: int      # mask stream bytes
+    flags: int     # bit0: own per-block caps violated; bit1: the other
+    #                format's per-block caps would be violated
+    ac_gt3: int    # v6 esc8-stream predictor
+    ac_gt7: int    # v5 esc8-stream predictor
+    dcd_gt7: int   # v6 dcesc8-stream predictor
+
+    @property
+    def own_block_cap(self) -> bool:
+        return bool(self.flags & 1)
+
+    @property
+    def other_block_cap(self) -> bool:
+        return bool(self.flags & 2)
+
+
 class SparseCapacityExceeded(ValueError):
     """The frame has more nonzero coefficients (or escapes) than the
-    caller's budget — fall back to the plane path for this frame.
+    caller's budget — retry a bigger tier or fall back to the plane
+    path for this frame.
 
-    ``counts`` carries the emitter's true (n_ac, n_esc8, n_esc16,
-    n_dcesc) totals so the caller can size a retry tier;
-    ``block_cap_violated`` means a per-block/structural cap failed —
-    those caps are identical on every tier, so retrying a bigger tier
-    is pointless (route straight to the plane path).
+    ``counts`` (a SparseCounts) carries the emitter's true totals so
+    the caller can size/route a retry; ``block_cap_violated`` means
+    THIS format's per-block caps failed — the other format's caps may
+    still hold (counts.other_block_cap), so a format-crossing retry
+    can remain viable where a same-format one is pointless.
     """
 
-    def __init__(self, msg: str, counts: Tuple[int, int, int, int],
+    def __init__(self, msg: str, counts: "SparseCounts",
                  block_cap_violated: bool = False):
         super().__init__(msg)
         self.counts = counts
@@ -427,7 +470,7 @@ def decode_sparse5_into(
         raise ValueError("esc16 must be contiguous int16")
     if dcesc.dtype != np.int16 or not dcesc.flags.c_contiguous:
         raise ValueError("dcesc must be contiguous int16")
-    counts = (ctypes.c_long * 6)()
+    counts = (ctypes.c_long * 10)()
     q = np.zeros((4, 64), np.uint16)
     rc = lib.fd_jpeg_sparse5(
         data, len(data),
@@ -442,17 +485,98 @@ def decode_sparse5_into(
         counts,
         q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
     )
-    cts = (counts[0], counts[1], counts[2], counts[3], counts[4])
+    cts = SparseCounts(*counts)
     if rc == -5:  # ERR_CAPACITY: valid frame, too dense for the budget
         raise SparseCapacityExceeded(
-            f"ac={cts[0]}/{2 * nib.size} esc8={cts[1]}/{esc8.size} "
-            f"esc16={cts[2]}/{esc16.size} dcesc={cts[3]}/{dcesc.size} "
-            f"mask={cts[4]}/{maskstream.size} blockcap={counts[5]}",
+            f"ac={cts.ac}/{2 * nib.size} esc8={cts.e8}/{esc8.size} "
+            f"esc16={cts.e16}/{esc16.size} dcesc={cts.dce16}/{dcesc.size} "
+            f"mask={cts.mask}/{maskstream.size} flags={cts.flags}",
             cts,
-            block_cap_violated=bool(counts[5]),
+            block_cap_violated=cts.own_block_cap,
         )
     if rc != 0:
         raise ValueError(f"fd_jpeg_sparse5 failed: rc={rc}")
+    return cts, q[info[11]], q[info[12]], q[info[13]]
+
+
+def decode_sparse6_into(
+    data: bytes,
+    plen: np.ndarray,
+    maskstream: np.ndarray,
+    dc4: np.ndarray,
+    tri: np.ndarray,
+    esc8: np.ndarray,
+    esc16: np.ndarray,
+    dcesc8: np.ndarray,
+    dcesc16: np.ndarray,
+) -> Tuple["SparseCounts", np.ndarray, np.ndarray, np.ndarray]:
+    """Entropy-decode into caller-provided 3-bit-sparse (v6) views.
+
+    ``plen``/``maskstream`` are exactly the v5 streams (see
+    decode_sparse5_into). ``dc4``: (ceil(NB/2),) uint8 — DC raster
+    deltas as 4-bit two's complement nibbles (block 2i = low nibble of
+    byte i), -8 = take the next ``dcesc8`` entry (int8; -128 there =
+    take the next ``dcesc16`` int16 entry). ``tri``: (TCAP,) uint8 —
+    nonzero AC values in increasing ZIGZAG order as 3-bit two's
+    complement symbols packed continuously little-endian (value k =
+    bits [3k, 3k+3); 8 values per 3 bytes), 100b (-4) = take the next
+    ``esc8`` entry (int8; -128 there = next ``esc16`` int16 entry).
+    Same return/raise contract as decode_sparse5_into; cites
+    fd_jpeg.cpp decode_sparse6 for the wire layout.
+    """
+    lib = _load()
+    info = _scan_info(data)
+    w, h, hs, vs = _layout_from_info(info)
+    yb, cb = sparse_geometry(w, h, hs, vs)
+    nb = yb + 2 * cb
+    if plen.dtype != np.uint8 or not plen.flags.c_contiguous:
+        raise ValueError("plen must be contiguous uint8")
+    if plen.shape != ((nb + 1) // 2,):
+        raise ValueError(f"plen shape {plen.shape} != ({(nb + 1) // 2},)")
+    if maskstream.dtype != np.uint8 or not maskstream.flags.c_contiguous:
+        raise ValueError("maskstream must be contiguous uint8")
+    if (dc4.dtype != np.uint8 or dc4.shape != ((nb + 1) // 2,)
+            or not dc4.flags.c_contiguous):
+        raise ValueError(f"dc4 must be contiguous ({(nb + 1) // 2},) uint8")
+    if tri.dtype != np.uint8 or not tri.flags.c_contiguous:
+        raise ValueError("tri must be contiguous uint8")
+    if esc8.dtype != np.int8 or not esc8.flags.c_contiguous:
+        raise ValueError("esc8 must be contiguous int8")
+    if esc16.dtype != np.int16 or not esc16.flags.c_contiguous:
+        raise ValueError("esc16 must be contiguous int16")
+    if dcesc8.dtype != np.int8 or not dcesc8.flags.c_contiguous:
+        raise ValueError("dcesc8 must be contiguous int8")
+    if dcesc16.dtype != np.int16 or not dcesc16.flags.c_contiguous:
+        raise ValueError("dcesc16 must be contiguous int16")
+    counts = (ctypes.c_long * 10)()
+    q = np.zeros((4, 64), np.uint16)
+    rc = lib.fd_jpeg_sparse6(
+        data, len(data),
+        plen.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), plen.size,
+        maskstream.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        maskstream.size,
+        dc4.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), dc4.size,
+        tri.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), tri.size,
+        esc8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), esc8.size,
+        esc16.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), esc16.size,
+        dcesc8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), dcesc8.size,
+        dcesc16.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        dcesc16.size,
+        counts,
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    cts = SparseCounts(*counts)
+    if rc == -5:  # ERR_CAPACITY: valid frame, too dense for the budget
+        raise SparseCapacityExceeded(
+            f"ac={cts.ac} (tri cap {tri.size}B) esc8={cts.e8}/{esc8.size} "
+            f"esc16={cts.e16}/{esc16.size} dcesc8={cts.dce8}/{dcesc8.size} "
+            f"dcesc16={cts.dce16}/{dcesc16.size} "
+            f"mask={cts.mask}/{maskstream.size} flags={cts.flags}",
+            cts,
+            block_cap_violated=cts.own_block_cap,
+        )
+    if rc != 0:
+        raise ValueError(f"fd_jpeg_sparse6 failed: rc={rc}")
     return cts, q[info[11]], q[info[12]], q[info[13]]
 
 

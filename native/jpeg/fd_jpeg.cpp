@@ -890,17 +890,15 @@ struct Nat2zzTable {
 };
 static const Nat2zzTable kNat2zz;
 
-int decode_sparse5(Decoder& d, uint8_t* plen, long plen_cap,
-                   uint8_t* maskstream, long mask_cap,
-                   int8_t* dc8, long dc_cap,
-                   uint8_t* nib, long nib_cap,
-                   int8_t* esc8, long e8_cap,
-                   int16_t* esc16, long e16_cap,
-                   int16_t* dcesc, long dce_cap,
-                   long counts[6]) {
-  if (mask_cap < 0 || nib_cap < 0 || e8_cap < 0 || e16_cap < 0 ||
-      dce_cap < 0)
-    return ERR_CAPACITY;
+// Entropy-decode every component's blocks into one contiguous staging
+// buffer (Y raster | Cb raster | Cr raster — the sparse wire's block
+// order). base[] gets each component's first block index; precheck runs
+// after the geometry is known but BEFORE the (allocation + full scan)
+// so caller sizing errors stay cheap.
+template <typename Precheck>
+static int stage_all_blocks(Decoder& d, std::vector<int16_t>& stage,
+                            long base[3], long* total_out,
+                            Precheck precheck) {
   int hmax = 1, vmax = 1;
   for (int i = 0; i < d.ncomp; ++i) {
     if (d.comp[i].hs > hmax) hmax = d.comp[i].hs;
@@ -908,7 +906,7 @@ int decode_sparse5(Decoder& d, uint8_t* plen, long plen_cap,
   }
   int mcux = (d.width + 8 * hmax - 1) / (8 * hmax);
   int mcuy = (d.height + 8 * vmax - 1) / (8 * vmax);
-  long bw[3] = {0, 0, 0}, base[3] = {0, 0, 0};
+  long bw[3] = {0, 0, 0};
   long total_blocks = 0;
   for (int i = 0; i < d.ncomp; ++i) {
     bw[i] = (long)mcux * d.comp[i].hs;
@@ -916,14 +914,56 @@ int decode_sparse5(Decoder& d, uint8_t* plen, long plen_cap,
     base[i] = total_blocks;
     total_blocks += bw[i] * bh;
   }
-  if ((total_blocks + 1) / 2 > plen_cap || total_blocks > dc_cap)
-    return ERR_CAPACITY;
-  std::vector<int16_t> stage((size_t)total_blocks * 64, 0);
-  int rc = d.scan_mcus([&](int ci, long bx, long by, const int16_t* blk,
-                           bool) -> int {
+  *total_out = total_blocks;
+  int rc = precheck(total_blocks);
+  if (rc) return rc;
+  stage.assign((size_t)total_blocks * 64, 0);
+  return d.scan_mcus([&](int ci, long bx, long by, const int16_t* blk,
+                         bool) -> int {
     memcpy(&stage[(size_t)(base[ci] + by * bw[ci] + bx) * 64], blk,
            64 * sizeof(int16_t));
     return 0;
+  });
+}
+
+// Shared counts layout for the sparse emitters (10 longs), filled with
+// TRUE totals even on ERR_CAPACITY so the caller can size a retry tier
+// — including the OTHER format's escape predictors, so the engine's
+// tier router can decide format-crossing retries (std tier ships v6,
+// dense tier ships v5) without a second wasted entropy decode:
+//   [0] n_ac_values   [1] n_esc8 (this format's level-1 AC escapes)
+//   [2] n_esc16 (|v|>127, same meaning in both formats)
+//   [3] n_dcesc8 (v6 |dc delta|>7 escapes; 0 for v5)
+//   [4] n_dcesc16 (|dc delta|>127, same meaning in both formats)
+//   [5] n_mask_bytes
+//   [6] flags: bit0 = THIS format's per-block escape caps violated,
+//       bit1 = the OTHER format's per-block caps would be violated
+//       (both bits = unconditionally plane-path, e.g. staged DC
+//       outside int16)
+//   [7] n_ac with |v|>3 (v6 esc8 predictor)
+//   [8] n_ac with |v|>7 (v5 esc8 predictor)
+//   [9] n_dc_deltas with |delta|>7 (v6 dcesc8 predictor)
+constexpr int kSparseCounts = 10;
+constexpr long kFlagOwnBlockCap = 1;    // counts[6] bit0
+constexpr long kFlagOtherBlockCap = 2;  // counts[6] bit1
+
+int decode_sparse5(Decoder& d, uint8_t* plen, long plen_cap,
+                   uint8_t* maskstream, long mask_cap,
+                   int8_t* dc8, long dc_cap,
+                   uint8_t* nib, long nib_cap,
+                   int8_t* esc8, long e8_cap,
+                   int16_t* esc16, long e16_cap,
+                   int16_t* dcesc, long dce_cap,
+                   long counts[kSparseCounts]) {
+  if (mask_cap < 0 || nib_cap < 0 || e8_cap < 0 || e16_cap < 0 ||
+      dce_cap < 0)
+    return ERR_CAPACITY;
+  long base[3] = {0, 0, 0}, total_blocks = 0;
+  std::vector<int16_t> stage;
+  int rc = stage_all_blocks(d, stage, base, &total_blocks,
+                            [&](long total) -> int {
+    return ((total + 1) / 2 > plen_cap || total > dc_cap)
+               ? ERR_CAPACITY : 0;
   });
   if (rc) return rc;
   // plen/nib need no memset: each consumed byte is fully assigned by
@@ -931,7 +971,8 @@ int decode_sparse5(Decoder& d, uint8_t* plen, long plen_cap,
   // last entry are never selected by the device (offsets derive from
   // the plen/mask content itself)
   long nac = 0, ne8 = 0, ne16 = 0, ndce = 0, nmask = 0;
-  bool overflow = false;       // per-block escape caps (tier-independent)
+  long n_gt3 = 0, n_dcd_gt7 = 0;
+  long flags = 0;              // per-block escape caps, per format
   int comp_next = 1;  // index of the next component boundary in base[]
   int16_t prev_dc = 0;
   for (long b = 0; b < total_blocks; ++b) {
@@ -949,7 +990,9 @@ int decode_sparse5(Decoder& d, uint8_t* plen, long plen_cap,
     // staging has no delta chain to corrupt).
     int delta = (int)blk[0] - (int)prev_dc;
     prev_dc = blk[0];
-    if (delta < -32768 || delta > 32767) overflow = true;
+    if (delta < -32768 || delta > 32767)
+      flags |= kFlagOwnBlockCap | kFlagOtherBlockCap;
+    if (delta < -7 || delta > 7) ++n_dcd_gt7;
     if (delta >= -127 && delta <= 127) {
       dc8[b] = (int8_t)delta;
     } else {
@@ -975,10 +1018,14 @@ int decode_sparse5(Decoder& d, uint8_t* plen, long plen_cap,
                   "v5 mask bytes assume a little-endian host");
     if (nmask + pl <= mask_cap) memcpy(maskstream + nmask, &zzmask, pl);
     nmask += pl;
-    int be8 = 0, be16 = 0;
+    int be8 = 0, be16 = 0, be_gt3 = 0;
     for (uint64_t zm = zzmask; zm; zm &= zm - 1) {
       int j = __builtin_ctzll(zm);
       int16_t v = blk[kZigzag[j]];
+      if (v < -3 || v > 3) {
+        ++n_gt3;
+        ++be_gt3;
+      }
       int8_t nv;
       if (v >= -7 && v <= 7) {
         nv = (int8_t)v;
@@ -1002,21 +1049,183 @@ int decode_sparse5(Decoder& d, uint8_t* plen, long plen_cap,
       }
       ++nac;
     }
-    if (be8 > kMaxEsc8PerBlock || be16 > kMaxEsc16PerBlock) overflow = true;
+    if (be8 > kMaxEsc8PerBlock || be16 > kMaxEsc16PerBlock)
+      flags |= kFlagOwnBlockCap;
+    // would this block overflow the v6 (3-bit value) kernel windows?
+    if (be_gt3 > kMaxEsc8PerBlock || be16 > kMaxEsc16PerBlock)
+      flags |= kFlagOtherBlockCap;
   }
   counts[0] = nac;
   counts[1] = ne8;
   counts[2] = ne16;
-  counts[3] = ndce;
-  counts[4] = nmask;
-  // counts[5]: per-block/structural violation flag. These caps are
-  // compile-time constants identical on EVERY tier, so a caller's
-  // retry router must distinguish them from stream-budget overflow —
-  // retrying a bigger tier for a per-block violation is a guaranteed
-  // second wasted entropy decode.
-  counts[5] = overflow ? 1 : 0;
+  counts[3] = 0;            // v5 has no 2-level DC chain
+  counts[4] = ndce;
+  counts[5] = nmask;
+  counts[6] = flags;
+  counts[7] = n_gt3;
+  counts[8] = ne8;          // v5's own level-1 threshold IS |v|>7
+  counts[9] = n_dcd_gt7;
   return ((nac + 1) / 2 <= nib_cap && ne8 <= e8_cap && ne16 <= e16_cap &&
-          ndce <= dce_cap && nmask <= mask_cap && !overflow)
+          ndce <= dce_cap && nmask <= mask_cap &&
+          !(flags & kFlagOwnBlockCap))
+             ? 0 : ERR_CAPACITY;
+}
+
+// 3-bit sparse coefficients (format v6) — the std-tier wire. Measured
+// (tools/measure_sparse_stats.py): on camera-clean q90 content 95.7% of
+// nonzero AC values are |v| <= 3 and ~89% of DC raster deltas fit 4
+// bits, so v5's 4-bit AC nibbles and full-byte DC deltas both carry a
+// wasted bit budget. v6 re-codes ONLY the two value streams:
+//   - tri       : nonzero AC values in increasing ZIGZAG order as 3-bit
+//                 two's complement symbols packed continuously
+//                 little-endian (value k occupies bits [3k, 3k+3) of
+//                 the stream: 8 values per 3 bytes), sentinel 100b (-4)
+//                 -> next esc8 entry;
+//   - esc8/esc16: same two-level escape chain as v5 (int8, -128 ->
+//                 int16), except level 1 now catches |v| > 3;
+//   - dc4       : DC raster deltas as 4-bit two's complement nibbles
+//                 (block 2i = low nibble of byte i), sentinel -8 ->
+//                 next dcesc8 entry;
+//   - dcesc8    : int8 DC-delta escapes, sentinel -128 -> next dcesc16;
+//   - dcesc16   : int16 DC-delta escapes.
+// plen/maskstream are exactly v5's. Camera-clean 4:2:0 rows measure
+// ~14% smaller than v5; PHOTO-dense content (the reference's testdata)
+// measures LARGER (escape-heavy), so the engine ships v6 on the std
+// tier only and keeps v5 on the dense tier.
+int decode_sparse6(Decoder& d, uint8_t* plen, long plen_cap,
+                   uint8_t* maskstream, long mask_cap,
+                   uint8_t* dc4, long dc4_cap,
+                   uint8_t* tri, long tri_cap,
+                   int8_t* esc8, long e8_cap,
+                   int16_t* esc16, long e16_cap,
+                   int8_t* dcesc8, long dce8_cap,
+                   int16_t* dcesc16, long dce16_cap,
+                   long counts[kSparseCounts]) {
+  if (mask_cap < 0 || tri_cap < 0 || e8_cap < 0 || e16_cap < 0 ||
+      dce8_cap < 0 || dce16_cap < 0)
+    return ERR_CAPACITY;
+  long base[3] = {0, 0, 0}, total_blocks = 0;
+  std::vector<int16_t> stage;
+  int rc = stage_all_blocks(d, stage, base, &total_blocks,
+                            [&](long total) -> int {
+    return ((total + 1) / 2 > plen_cap || (total + 1) / 2 > dc4_cap)
+               ? ERR_CAPACITY : 0;
+  });
+  if (rc) return rc;
+  long nac = 0, ne8 = 0, ne16 = 0, ndce8 = 0, ndce16 = 0, nmask = 0;
+  long n_gt7 = 0, n_dcd_gt7 = 0;
+  long flags = 0;
+  // 3-bit packer: symbols accumulate little-endian; a value may
+  // straddle a byte boundary (the stream is continuous across blocks —
+  // the device unpacks it as whole 3-byte/8-value groups)
+  uint32_t triacc = 0;
+  int tribits = 0;
+  long ntri = 0;  // bytes emitted (true total, even past tri_cap)
+  auto emit3 = [&](uint8_t sym) {
+    triacc |= (uint32_t)(sym & 7) << tribits;
+    tribits += 3;
+    if (tribits >= 8) {
+      if (ntri < tri_cap) tri[ntri] = (uint8_t)(triacc & 0xFF);
+      ++ntri;
+      triacc >>= 8;
+      tribits -= 8;
+    }
+  };
+  int comp_next = 1;
+  int16_t prev_dc = 0;
+  for (long b = 0; b < total_blocks; ++b) {
+    if (comp_next < d.ncomp && b == base[comp_next]) {
+      prev_dc = 0;  // DC prediction restarts per component
+      ++comp_next;
+    }
+    const int16_t* blk = &stage[(size_t)b * 64];
+    // DC delta through the 4-bit -> int8 -> int16 chain. As in v5, a
+    // CRAFTED stream can stage DC anywhere in int16 via unclamped
+    // dc_pred; a delta outside int16 would wrap in dcesc16 and offset
+    // every later block's device cumsum — reject to the plane path.
+    int delta = (int)blk[0] - (int)prev_dc;
+    prev_dc = blk[0];
+    if (delta < -32768 || delta > 32767)
+      flags |= kFlagOwnBlockCap | kFlagOtherBlockCap;
+    int8_t d4;
+    if (delta >= -7 && delta <= 7) {
+      d4 = (int8_t)delta;
+    } else {
+      ++n_dcd_gt7;
+      d4 = -8;  // escape sentinel
+      if (delta >= -127 && delta <= 127) {
+        if (ndce8 < dce8_cap) dcesc8[ndce8] = (int8_t)delta;
+      } else {
+        if (ndce8 < dce8_cap) dcesc8[ndce8] = -128;  // level-2 sentinel
+        if (ndce16 < dce16_cap) dcesc16[ndce16] = (int16_t)delta;
+        ++ndce16;
+      }
+      ++ndce8;
+    }
+    if (b & 1)
+      dc4[b >> 1] |= (uint8_t)((d4 & 0xF) << 4);
+    else
+      dc4[b >> 1] = (uint8_t)(d4 & 0xF);
+    // zigzag mask prefix: byte-identical to v5 (see decode_sparse5)
+    uint64_t natmask = nonzero_mask64(blk) & ~1ull;
+    uint64_t zzmask = 0;
+    for (uint64_t m = natmask; m; m &= m - 1)
+      zzmask |= 1ull << kNat2zz.t[__builtin_ctzll(m)];
+    int pl = zzmask ? (64 - __builtin_clzll(zzmask) + 7) >> 3 : 0;
+    if (b & 1)
+      plen[b >> 1] |= (uint8_t)(pl << 4);
+    else
+      plen[b >> 1] = (uint8_t)pl;
+    if (nmask + pl <= mask_cap) memcpy(maskstream + nmask, &zzmask, pl);
+    nmask += pl;
+    int be8 = 0, be16 = 0, be_gt7 = 0;
+    for (uint64_t zm = zzmask; zm; zm &= zm - 1) {
+      int j = __builtin_ctzll(zm);
+      int16_t v = blk[kZigzag[j]];
+      if (v < -7 || v > 7) {
+        ++n_gt7;
+        ++be_gt7;
+      }
+      if (v >= -3 && v <= 3) {
+        emit3((uint8_t)v);
+      } else {
+        emit3(4);  // 100b = -4, the escape sentinel
+        ++be8;
+        if (v >= -127 && v <= 127) {
+          if (ne8 < e8_cap) esc8[ne8] = (int8_t)v;
+        } else {
+          if (ne8 < e8_cap) esc8[ne8] = -128;  // level-2 sentinel
+          if (ne16 < e16_cap) esc16[ne16] = v;
+          ++ne16;
+          ++be16;
+        }
+        ++ne8;
+      }
+      ++nac;
+    }
+    if (be8 > kMaxEsc8PerBlock || be16 > kMaxEsc16PerBlock)
+      flags |= kFlagOwnBlockCap;
+    // would this block overflow the v5 (nibble) kernel windows?
+    if (be_gt7 > kMaxEsc8PerBlock || be16 > kMaxEsc16PerBlock)
+      flags |= kFlagOtherBlockCap;
+  }
+  if (tribits > 0) {  // flush: pad bits are zero (never selected)
+    if (ntri < tri_cap) tri[ntri] = (uint8_t)(triacc & 0xFF);
+    ++ntri;
+  }
+  counts[0] = nac;
+  counts[1] = ne8;
+  counts[2] = ne16;
+  counts[3] = ndce8;
+  counts[4] = ndce16;
+  counts[5] = nmask;
+  counts[6] = flags;
+  counts[7] = ne8;    // v6's own level-1 threshold IS |v|>3
+  counts[8] = n_gt7;
+  counts[9] = n_dcd_gt7;
+  return (ntri <= tri_cap && ne8 <= e8_cap && ne16 <= e16_cap &&
+          ndce8 <= dce8_cap && ndce16 <= dce16_cap && nmask <= mask_cap &&
+          !(flags & kFlagOwnBlockCap))
              ? 0 : ERR_CAPACITY;
 }
 
@@ -1112,14 +1321,13 @@ int fd_jpeg_planes420(const uint8_t* data, long n,
 }
 
 // Entropy-decode into nibble-packed sparse form (see decode_sparse5
-// above). counts: 6 longs [n_ac_values, n_esc8, n_esc16, n_dcesc,
-// n_mask_bytes, per_block_cap_violated],
-// written with the TRUE totals even when a STREAM budget returns
-// ERR_CAPACITY, so the caller can size a retry tier. Exception: when
-// the plen/dc8 buffers are too small for the frame's geometry (a
-// caller sizing error, not content density — both are computable from
-// fd_jpeg_scan_info before decoding), the decode is not attempted and
-// counts stay zero.
+// above). counts: 10 longs in the shared sparse-counts layout (see the
+// kSparseCounts comment), written with the TRUE totals even when a
+// STREAM budget returns ERR_CAPACITY, so the caller can size a retry
+// tier. Exception: when the plen/dc8 buffers are too small for the
+// frame's geometry (a caller sizing error, not content density — both
+// are computable from fd_jpeg_scan_info before decoding), the decode is
+// not attempted and counts stay zero.
 int fd_jpeg_sparse5(const uint8_t* data, long n,
                     uint8_t* plen, long plen_cap,
                     uint8_t* maskstream, long mask_cap,
@@ -1132,11 +1340,42 @@ int fd_jpeg_sparse5(const uint8_t* data, long n,
   Decoder d{data, n};
   int rc = d.parse_headers();
   if (rc) return rc;
-  for (int i = 0; i < 6; ++i) counts[i] = 0;
+  for (int i = 0; i < kSparseCounts; ++i) counts[i] = 0;
   try {
     rc = decode_sparse5(d, plen, plen_cap, maskstream, mask_cap, dc8,
                         dc_cap, nib, nib_cap, esc8, e8_cap, esc16, e16_cap,
                         dcesc, dce_cap, counts);
+  } catch (const std::bad_alloc&) {
+    return ERR_CAPACITY;  // never unwind through the ctypes boundary
+  }
+  if (rc && rc != ERR_CAPACITY) return rc;
+  for (int t = 0; t < 4; ++t)
+    for (int i = 0; i < 64; ++i) qtabs[t * 64 + i] = d.qtab[t][i];
+  return rc;
+}
+
+// Entropy-decode into 3-bit sparse form (see decode_sparse6 above).
+// Same counts/ERR_CAPACITY contract as fd_jpeg_sparse5; the geometry
+// precondition covers the plen AND dc4 buffers (both ceil(nb/2)).
+int fd_jpeg_sparse6(const uint8_t* data, long n,
+                    uint8_t* plen, long plen_cap,
+                    uint8_t* maskstream, long mask_cap,
+                    uint8_t* dc4, long dc4_cap,
+                    uint8_t* tri, long tri_cap,
+                    int8_t* esc8, long e8_cap,
+                    int16_t* esc16, long e16_cap,
+                    int8_t* dcesc8, long dce8_cap,
+                    int16_t* dcesc16, long dce16_cap,
+                    long* counts, uint16_t* qtabs) {
+  Decoder d{data, n};
+  int rc = d.parse_headers();
+  if (rc) return rc;
+  for (int i = 0; i < kSparseCounts; ++i) counts[i] = 0;
+  try {
+    rc = decode_sparse6(d, plen, plen_cap, maskstream, mask_cap, dc4,
+                        dc4_cap, tri, tri_cap, esc8, e8_cap, esc16,
+                        e16_cap, dcesc8, dce8_cap, dcesc16, dce16_cap,
+                        counts);
   } catch (const std::bad_alloc&) {
     return ERR_CAPACITY;  // never unwind through the ctypes boundary
   }
@@ -1179,6 +1418,9 @@ const char* fd_jpeg_version() { return "fd_jpeg 0.3 (baseline sequential)"; }
 // 4 = fd_jpeg_sparse4 counts grows 4 -> 5 longs (per-block-cap flag).
 // 5 = fd_jpeg_sparse5 replaces sparse4 (variable-length zigzag-order
 //     mask prefixes; counts grows to 6 longs, adding n_mask_bytes).
-int fd_jpeg_abi() { return 5; }
+// 6 = adds fd_jpeg_sparse6 (3-bit AC values + 4-bit DC deltas); BOTH
+//     sparse entry points move to the shared 10-long counts layout
+//     with cross-format escape predictors (see kSparseCounts).
+int fd_jpeg_abi() { return 6; }
 
 }  // extern "C"

@@ -27,6 +27,10 @@ int fd_jpeg_coefficients(const uint8_t*, long, int16_t*, long, int16_t*,
 int fd_jpeg_sparse5(const uint8_t*, long, uint8_t*, long, uint8_t*, long,
                     int8_t*, long, uint8_t*, long, int8_t*, long,
                     int16_t*, long, int16_t*, long, long*, uint16_t*);
+int fd_jpeg_sparse6(const uint8_t*, long, uint8_t*, long, uint8_t*, long,
+                    uint8_t*, long, uint8_t*, long, int8_t*, long,
+                    int16_t*, long, int8_t*, long, int16_t*, long,
+                    long*, uint16_t*);
 }
 
 namespace {
@@ -51,11 +55,13 @@ std::vector<uint8_t> snib(1 << 22);
 std::vector<int8_t> sesc8(1 << 21);
 std::vector<int16_t> sesc16(1 << 20);
 std::vector<int16_t> sdcesc(1 << 19);
+std::vector<uint8_t> sdc4(1 << 19);
+std::vector<int8_t> sdcesc8(1 << 19);
 uint16_t qtabs[4 * 64];
 
 void exercise(const uint8_t* data, long n) {
   int w, h, comps, info[14], layout[4];
-  long counts[6];
+  long counts[10];
   fd_jpeg_info(data, n, &w, &h, &comps);
   fd_jpeg_scan_info(data, n, info);
   fd_jpeg_decode_rgb(data, n, rgb.data(), (long)rgb.size());
@@ -73,6 +79,18 @@ void exercise(const uint8_t* data, long n) {
                   32, sdc.data(), (long)sdc.size(), snib.data(), 16,
                   sesc8.data(), 8, sesc16.data(), 4, sdcesc.data(), 2,
                   counts, qtabs);
+  // v6 (3-bit) emitter: dc4 reuses the plen-sized buffer class; sdcesc8
+  // reuses the esc8-class buffer (both generously sized)
+  fd_jpeg_sparse6(data, n, splen.data(), (long)splen.size(), smask.data(),
+                  (long)smask.size(), sdc4.data(), (long)sdc4.size(),
+                  snib.data(), (long)snib.size(), sesc8.data(),
+                  (long)sesc8.size(), sesc16.data(), (long)sesc16.size(),
+                  sdcesc8.data(), (long)sdcesc8.size(), sdcesc.data(),
+                  (long)sdcesc.size(), counts, qtabs);
+  fd_jpeg_sparse6(data, n, splen.data(), (long)splen.size(), smask.data(),
+                  32, sdc4.data(), (long)sdc4.size(), snib.data(), 15,
+                  sesc8.data(), 8, sesc16.data(), 4, sdcesc8.data(), 3,
+                  sdcesc.data(), 2, counts, qtabs);
 }
 
 }  // namespace

@@ -142,10 +142,176 @@ def test_sparse_dc_delta_escapes_roundtrip(native_ready):
     buf = io.BytesIO()
     Image.fromarray(img).save(buf, format="JPEG", quality=92, subsampling=2)
     f = SparseFrame(native_ready, buf.getvalue())
-    assert f.counts[3] > 0, "fixture produced no DC-delta escapes"
+    assert f.counts.dce16 > 0, "fixture produced no DC-delta escapes"
     ci = native_ready.decode_coefficients(buf.getvalue())
     truth = np.concatenate([ci.ycoef, ci.cbcoef, ci.crcoef], axis=0)
     assert np.array_equal(f.device_coeffs(), truth)
+
+
+class Sparse6Frame:
+    """One frame decoded to v6 (3-bit) streams with roomy capacities."""
+
+    def __init__(self, native, data):
+        self.w, self.h, self.hs, self.vs = native.scan_layout(data)
+        self.yb, self.cb = native.sparse_geometry(
+            self.w, self.h, self.hs, self.vs)
+        nb = self.nb = self.yb + 2 * self.cb
+        self.plen = np.zeros((nb + 1) // 2, np.uint8)
+        self.maskstream = np.zeros(nb * 8, np.uint8)
+        self.dc4 = np.zeros((nb + 1) // 2, np.uint8)
+        # 3-byte-aligned so unpack_3bit sees whole 8-symbol groups
+        self.tri = np.zeros(-3 * ((nb * 24) // -3), np.uint8)
+        self.esc8 = np.zeros(nb * 33, np.int8)
+        self.esc16 = np.zeros(nb * 17, np.int16)
+        self.dcesc8 = np.zeros(nb, np.int8)
+        self.dcesc16 = np.zeros(nb, np.int16)
+        self.counts, self.qy, self.qcb, self.qcr = native.decode_sparse6_into(
+            data, self.plen, self.maskstream, self.dc4, self.tri,
+            self.esc8, self.esc16, self.dcesc8, self.dcesc16)
+
+    def device_coeffs(self):
+        from fastdet_tpu.ops import jpeg_device
+
+        return np.asarray(jpeg_device.sparse6_to_coeffs(
+            self.plen, self.maskstream, self.dc4,
+            jpeg_device.unpack_3bit(self.tri), self.esc8, self.esc16,
+            self.dcesc8, self.dcesc16, self.yb, self.cb))
+
+
+@pytest.mark.parametrize("subsampling", [0, 1, 2])
+def test_sparse6_pack_roundtrip_exact(native_ready, subsampling):
+    """The v6 streams (3-bit AC symbols + 4-bit DC deltas, each with its
+    escape chain) reconstruct the dense coefficient planes EXACTLY
+    (sparse6_to_coeffs is the bit-inverse of fd_jpeg decode_sparse6)."""
+    data = _jpeg(5, subsampling=subsampling)
+    f = Sparse6Frame(native_ready, data)
+    got = f.device_coeffs()
+    ci = native_ready.decode_coefficients(data)
+    truth = np.concatenate([ci.ycoef, ci.cbcoef, ci.crcoef], axis=0)
+    assert np.array_equal(got, truth)
+    assert f.counts.ac == int((truth[:, 1:] != 0).sum())
+
+
+def test_sparse6_escape_levels_roundtrip(native_ready):
+    """Both AC escape levels (|v|>3 -> int8, |v|>127 -> int16) and both
+    DC escape levels (|delta|>7 -> int8, |delta|>127 -> int16) travel
+    their chains and reconstruct exactly; the cross-format predictors
+    agree with the dense truth. (4:2:0 chroma spans 4 tiles of the
+    blocky fixture, so AC content is guaranteed; q98 forces |v|>127.)"""
+    data = _jpeg(6, quality=98, subsampling=2)
+    f = Sparse6Frame(native_ready, data)
+    assert f.counts.e8 > 0, "no 3-bit AC escapes exercised"
+    assert f.counts.e16 > 0, "no int16 AC escapes exercised"
+    assert f.counts.dce8 > 0, "no 4-bit DC escapes exercised"
+    assert f.counts.dce16 > 0, "no int16 DC escapes exercised"
+    got = f.device_coeffs()
+    ci = native_ready.decode_coefficients(data)
+    truth = np.concatenate([ci.ycoef, ci.cbcoef, ci.crcoef], axis=0)
+    assert np.array_equal(got, truth)
+    # the emitters' cross-format predictors must agree with the truth
+    ac = truth[:, 1:]
+    assert f.counts.ac_gt3 == int((np.abs(ac) > 3).sum())
+    assert f.counts.ac_gt7 == int((np.abs(ac) > 7).sum())
+
+
+def test_sparse6_matches_sparse5_frame(native_ready):
+    """Both wire formats are exact inverses of the same coefficients, so
+    their device reconstructions must be identical — incl. the reference
+    4:2:2 photo (escape-heavy content)."""
+    import pathlib
+
+    p = pathlib.Path("/root/reference/testdata/dog.jpg")
+    if not p.exists():
+        pytest.skip("reference fixtures not present")
+    data = p.read_bytes()
+    f5 = SparseFrame(native_ready, data)
+    f6 = Sparse6Frame(native_ready, data)
+    assert np.array_equal(f5.device_coeffs(), f6.device_coeffs())
+    # same positions (mask streams identical), different value codes
+    assert f5.counts.ac == f6.counts.ac
+    assert f5.counts.mask == f6.counts.mask
+    assert f6.counts.e8 >= f5.counts.e8  # |v|>3 escapes ⊇ |v|>7 escapes
+
+
+def test_sparse6_batch_kernel_interpret_parity(native_ready):
+    """The batched Pallas formulation (interpret mode on CPU — the exact
+    multi-chip/TPU code path) is bit-identical to the XLA reference for
+    the v6 wire."""
+    import jax.numpy as jnp
+
+    from fastdet_tpu.ops import jpeg_device
+    from fastdet_tpu.ops.pallas import sparse_ingest
+
+    datas = [_scene(0), _jpeg(9, quality=97)]
+    frames = [Sparse6Frame(native_ready, d) for d in datas]
+    f0 = frames[0]
+
+    def pad_to(arrs, cap3=False):
+        cap = max(a.size for a in arrs)
+        if cap3:
+            cap = -3 * (cap // -3)
+        return np.stack([np.pad(a, (0, cap - a.size)) for a in arrs])
+
+    plen = pad_to([f.plen for f in frames])
+    ms = pad_to([f.maskstream for f in frames])
+    dc4 = pad_to([f.dc4 for f in frames])
+    tri = pad_to([f.tri for f in frames], cap3=True)
+    e8 = pad_to([f.esc8 for f in frames])
+    e16 = pad_to([f.esc16 for f in frames])
+    de8 = pad_to([f.dcesc8 for f in frames])
+    de16 = pad_to([f.dcesc16 for f in frames])
+    ref = np.stack([
+        np.asarray(jpeg_device.sparse6_to_coeffs(
+            plen[i], ms[i], dc4[i], jpeg_device.unpack_3bit(
+                jnp.asarray(tri[i])), e8[i], e16[i], de8[i], de16[i],
+            f0.yb, f0.cb))
+        for i in range(len(frames))
+    ])
+    got = np.asarray(sparse_ingest.sparse6_to_coeffs_batch(
+        jnp.asarray(plen), jnp.asarray(ms), jnp.asarray(dc4),
+        jnp.asarray(tri), jnp.asarray(e8), jnp.asarray(e16),
+        jnp.asarray(de8), jnp.asarray(de16), f0.yb, f0.cb,
+        interpret=True))
+    assert np.array_equal(got, ref)
+
+
+def test_engine_std_format_v5_fallback_identical(native_ready, engine,
+                                                 monkeypatch):
+    """FASTDET_SPARSE_STD_FORMAT=5 reverts the std tier to the v5 wire;
+    results must be identical to the default v6 std tier (both formats
+    are exact), only the wire bytes differ."""
+    monkeypatch.setenv("FASTDET_SPARSE_STD_FORMAT", "5")
+    spec, params = weights.load_model("synthetic:tiny", num_classes=80)
+    eng5 = DetectionEngine(spec, params, mode="f32", buckets=(1, 2))
+    assert eng5._sparse_fmt["std"] == 5
+    assert engine._sparse_fmt["std"] == 6
+    data = _scene(0)
+    r5 = eng5.detect_async_sparse([data], [0.3])
+    r6 = engine.detect_async_sparse([data], [0.3])
+    assert r5.counts == r6.counts == {"sparse": 1}
+    assert eng5.fetch(r5, 1) == engine.fetch(r6, 1)
+    c5 = eng5._sparse_caps((2, 2), "std")
+    c6 = engine._sparse_caps((2, 2), "std")
+    assert eng5._sparse_row_bytes(c5) > engine._sparse_row_bytes(c6)
+
+
+def test_fits_tier_format_crossing(engine):
+    """The retry router evaluates the TARGET tier's format: a block too
+    escape-dense for the 3-bit std wire (own_block_cap) but fine as
+    nibbles must route to the dense tier, not planes — and vice versa a
+    frame violating BOTH formats' per-block caps fits neither."""
+    from fastdet_tpu.runtime.native_jpeg import SparseCounts
+
+    layout = (2, 2)
+    # v6 decode hit its per-block cap; v5 caps fine, streams tiny
+    cts = SparseCounts(ac=100, e8=40, e16=0, dce8=0, dce16=0, mask=50,
+                       flags=1, ac_gt3=40, ac_gt7=2, dcd_gt7=0)
+    assert not engine._fits_tier(layout, "std", (6, cts))
+    assert engine._fits_tier(layout, "dense", (6, cts))
+    # both formats' per-block caps violated -> fits nowhere
+    cts2 = cts._replace(flags=3)
+    assert not engine._fits_tier(layout, "dense", (6, cts2))
+    assert engine._fits_tier(layout, "dense", None) is False
 
 
 @pytest.mark.parametrize("subsampling", [0, 1, 2])
@@ -224,7 +390,7 @@ def tight_engine(native_ready):
     spec, params = weights.load_model("synthetic:tiny", num_classes=80)
     eng = DetectionEngine(spec, params, mode="f32", buckets=(1, 2))
     eng._sparse_budgets = dict(
-        eng._sparse_budgets, std=(5.0, 5.0, 0.25, 0.03, 0.04))
+        eng._sparse_budgets, std=(5.0, 5.0, 0.25, 0.03, 0.3, 0.04))
     return eng
 
 
@@ -233,8 +399,8 @@ def test_engine_sparse_overflow_falls_back_to_planes(engine, native_ready):
     per frame, visibly (counts/tags), with identical results."""
     spec, params = weights.load_model("synthetic:tiny", num_classes=80)
     eng = DetectionEngine(spec, params, mode="f32", buckets=(1, 2))
-    eng._sparse_budgets = {"std": (8.0, 0.01, 0.25, 0.03, 0.04),
-                           "dense": (8.0, 0.01, 0.25, 0.03, 0.04)}
+    eng._sparse_budgets = {"std": (8.0, 0.01, 0.25, 0.03, 0.3, 0.04),
+                           "dense": (8.0, 0.01, 0.25, 0.03, 0.0, 0.04)}
     data = _scene(2)
     res = eng.detect_async_sparse([data], [0.5])
     assert res is not None

@@ -49,7 +49,7 @@ def main():
         print("fixture overflows both sparse tiers (plane path serves it);"
               " host-sparse staging is skipped")
     caps = engine._sparse_caps((hs, vs), tier or "std")
-    row = engine._sparse_row_bytes(*caps)
+    row = engine._sparse_row_bytes(caps)
     planes_bytes = h * w + 2 * (h // vs) * (w // hs)
     print(f"layout={hs}{vs} tier={tier} sparse_row={row}B "
           f"planes_row={planes_bytes}B "

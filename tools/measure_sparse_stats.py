@@ -96,6 +96,20 @@ def frame_stats(data: bytes):
         # per-block escapes if AC values were nibbles (|v|>7 escapes)
         "ac_gt7_per_block": int((np.abs(ac) > 7).sum()) / nb,
         "esc_per_block_now": nesc / nb,
+        # fine-grained magnitude coverage for sub-nibble value codes
+        "ac_le1": float((np.abs(ac_nz) <= 1).mean()) if ac_nz.size else 1.0,
+        "ac_le2": float((np.abs(ac_nz) <= 2).mean()) if ac_nz.size else 1.0,
+        # high-zigzag band: are values there almost all +-1? (sign-bit code)
+        "hi_frac_vals": float((nz_zz >= 16).mean()) if nz_zz.size else 0.0,
+        "hi_gt1": float((np.abs(dense[(zz_idx >= 16) & (dense != 0)]) > 1)
+                        .mean()) if ((zz_idx >= 16) & (dense != 0)).any()
+        else 0.0,
+        # dc nibble-delta escape rate (|delta|>7 -> int8 escape)
+        "dcd_gt7": float((np.abs(dc_delta) > 7).mean()),
+        "dcd_gt127": float((np.abs(dc_delta) > 127).mean()),
+        # 3-bit AC escapes (|v|>3 -> int8 escape; |v|>127 -> int16)
+        "ac_gt3_per_block": int((np.abs(ac) > 3).sum()) / nb,
+        "ac_gt127_per_block": int((np.abs(ac) > 127).sum()) / nb,
         # mask-encoding candidates
         "m1_groups_mean": float(g_per_block.mean()),
         "m1_groups_p99": float(np.percentile(g_per_block, 99)),
@@ -145,9 +159,52 @@ def fmt_bytes(stats):
     m1 = nb * 2 + cap(nb * (stats["m1_groups_mean"] + 0.5)) // 2 + v4_streams
     # M2: 1 prefix byte/blk + budgeted zigzag mask-byte stream
     m2 = nb + cap(nb * (stats["m2_maskbytes_mean"] + 0.3)) + v4_streams
+    # v5 as actually shipped: 4-bit plen/blk + budgeted zigzag maskstream
+    # (std-tier budgets: mask 5.0, AC 14 nibbles, esc8 0.4, esc16 0.03,
+    # dcesc 0.04) + dc8 + 384B of q/header slack
+    def v5_row(mask_b=5.0, ac_b=14.0, e8_b=0.4):
+        return (cap(nb / 2, 64)                   # plen nibbles
+                + cap(nb * mask_b)                # zigzag mask stream
+                + cap(nb * ac_b / 2)              # AC nibble stream
+                + cap(max(128, nb * e8_b))        # esc8
+                + 2 * cap(max(64, nb * 0.03), 64)  # esc16
+                + nb                              # dc8
+                + 2 * cap(max(64, nb * 0.04), 64)  # dcesc16
+                + 384)
+    # v6a: AC values as 3-bit symbols (+-1..3, esc -> esc8 int8 ->
+    # esc16); DC as 4-bit raster deltas (esc -> int8 -> int16); mask/plen
+    # unchanged. Budgets set just above this frame's measured content.
+    ac3_esc = stats["ac_gt3_per_block"]
+    dcd_esc = stats["dcd_gt7"]
+    v6a = (cap(nb / 2, 64)
+           + cap(nb * (stats["m2_maskbytes_mean"] + 0.5))
+           + cap(nb * (stats["ac_nnz_per_block"] + 0.6) * 3 / 8, 192)
+           + cap(max(128, nb * (ac3_esc + 0.15)))
+           + 2 * cap(max(64, nb * (stats["ac_gt127_per_block"] + 0.02), 64))
+           + cap(nb / 2, 64)                      # dc4 nibbles
+           + cap(max(128, nb * (dcd_esc + 0.05)))  # dc esc8
+           + 2 * cap(max(64, nb * (stats["dcd_gt127"] + 0.02)), 64)
+           + 384)
+    # v6b: v6a + the zz>=16 value band carried as sign BITS (1/value,
+    # |v|>1 there escapes to esc8); low band stays 3-bit
+    hi_v = stats["hi_frac_vals"]
+    lo_v = 1.0 - hi_v
+    acpb_all = stats["ac_nnz_per_block"]
+    v6b = (cap(nb / 2, 64)
+           + cap(nb * (stats["m2_maskbytes_mean"] + 0.5))
+           + cap(nb * (acpb_all * lo_v + 0.5) * 3 / 8, 192)
+           + cap(nb * (acpb_all * hi_v + 0.4) / 8, 128)
+           + cap(max(128, nb * (ac3_esc + acpb_all * hi_v
+                                * stats["hi_gt1"] + 0.2)))
+           + 2 * cap(max(64, nb * (stats["ac_gt127_per_block"] + 0.02), 64))
+           + cap(nb / 2, 64)
+           + cap(max(128, nb * (dcd_esc + 0.05)))
+           + 2 * cap(max(64, nb * (stats["dcd_gt127"] + 0.02)), 64)
+           + 384)
     return {"current": cur, "A_nibble+dc16": a, "B_halfmask": b, "A+B": ab,
             "v4_now": nb * 8 + v4_streams, "M1_groupmask": m1,
-            "M2_prefixmask": m2}
+            "M2_prefixmask": m2, "v5_now": v5_row(), "v6a_3bit+dc4": v6a,
+            "v6b_3bit+signband": v6b}
 
 
 def main():
@@ -181,6 +238,10 @@ def main():
               f"{s['m1_groups_max']}; M2 maskbytes mean/p99/max "
               f"{s['m2_maskbytes_mean']:.2f}/{s['m2_maskbytes_p99']:.0f}/"
               f"{s['m2_maskbytes_max']}")
+        print(f"   AC |v|<=1/2: {s['ac_le1']:.3f}/{s['ac_le2']:.3f}; "
+              f"zz>=16 val frac {s['hi_frac_vals']:.3f} (|v|>1 there: "
+              f"{s['hi_gt1']:.3f}); AC|v|>3 per blk "
+              f"{s['ac_gt3_per_block']:.2f}; DC-delta>7 {s['dcd_gt7']:.3f}")
         print(f"   bytes/frame: " + "  ".join(
             f"{k}={v / 1024:.1f}K" for k, v in b.items()))
 
