@@ -373,7 +373,10 @@ def bench_all(frames: int = 128):
     # 2d: the same loop in int8-through serving mode (the bench headline
     # default) — quantized forward shrinks the device-serialized portion
     spec, params, _k = load_bench_model("full", 80)
-    eng8 = DetectionEngine(spec, params, mode="int8", buckets=(1, 8, 16),
+    # bucket 24 = the post-v6-wire headline optimum (see main()); 8/16
+    # stay for the continuous batcher's partial-supply dispatches
+    eng8 = DetectionEngine(spec, params, mode="int8",
+                           buckets=(1, 8, 16, 24),
                            calibration_images=bench_calibration())
     eng8.warmup()
     detail["full80_batched_int8_fps"] = batched_fps(eng8, frames)
@@ -420,9 +423,12 @@ def bench_all(frames: int = 128):
     errs = []
 
     def client_task(ci, n_frames):
-        # realistic streaming client: several frames in flight (the wire
-        # protocol is request-id matched, not lockstep)
-        window = 4
+        # streaming client with several frames in flight (the wire
+        # protocol is request-id matched, not lockstep). window 6 x 8
+        # clients = 48 outstanding: enough supply to exercise the
+        # 24-frame bucket the batched sections ride — this is a server
+        # CAPACITY test (the real 10 f/s AR client never saturates).
+        window = 6
         try:
             c = DetectClient("127.0.0.1", server.bound_port, "full")
             c.open()
@@ -484,13 +490,15 @@ def main():
                     help="measure the torch-CPU anchor and write bench_baseline.json")
     ap.add_argument("--all", action="store_true",
                     help="run the full BASELINE config matrix -> BENCH_DETAIL.json")
-    # defaults: best measured tradeoff on the tunneled v5e-1 (round-3
-    # sweep with the Pallas-backed sparse ingest: b8/if3 230.8, b8/if6
-    # 261.8, b16/if3 291.0, b16/if6 212.6 f/s — larger batches amortize
-    # per-dispatch overhead, but deep queues oversaturate the tunnel).
-    # p50 single-request latency is unaffected (bucket-1 path).
+    # defaults: best measured tradeoff on the tunneled v5e-1. Post-v6-
+    # wire same-session sweep (2026-08-19, int8): b16/if3 468.5, b20/if3
+    # 488.8, b24/if3 496.9, b24/if4 475.9, b28/if3 461.9, b32/if2 436.7
+    # f/s — the lighter v6 rows moved the optimum from 16 to 24 (larger
+    # batches amortize per-dispatch overhead; deeper queues and bigger
+    # batches oversaturate the tunnel). p50 single-request latency is
+    # unaffected (bucket-1 path).
     ap.add_argument("--frames", type=int, default=512)
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=24)
     ap.add_argument("--inflight", type=int, default=3)
     # int8-through is the default serving mode for the headline: measured
     # same-session 317.4 f/s (passes 315-321) vs bf16's 204 (166-223) at
