@@ -327,16 +327,34 @@ class DetectionEngine:
             self._batch_sharding = None
             self.params = jax.device_put(self.params, devs[0])
         self.buckets = tuple(sorted(buckets))
-        # Transfer worker: device_put of a packed batch blocks its caller
-        # for most of the h2d wall time on tunneled backends (21 ms
-        # measured for a 1 MB batch-16 row block), while entropy-decoding
-        # the NEXT batch is pure CPU — dispatching put+execute through a
-        # single worker lets the two overlap even on a 1-core host (the
-        # put is mostly socket wait; measured -17% dispatch wall).
-        # Single worker => device queue order stays FIFO.
+        # Transfer workers: device_put of a packed batch blocks its
+        # caller for the full h2d wall time on tunneled backends, so
+        # put+execute dispatch through a worker pool. Pool size is CPU-
+        # aware, and the reasoning is measured, not guessed
+        # (tools/probe_hostcpu.py, tunneled v5e-1, b24 int8):
+        #   full 72.6 ms/batch ≈ packonly 34.0 + prepack 35.8 — the
+        # "transfer" wall is almost entirely host CPU (tunnel RPC
+        # serialization), not idle wire wait, so on a 1-core host extra
+        # workers have nothing to overlap and only add contention
+        # (A/B: 4 workers 418 f/s vs 1 worker 437). On multi-core hosts
+        # concurrent puts DO pipeline (4 concurrent 1.2 MB puts: 116 ms
+        # vs 576 sequential, tools/probe_overlap.py), so default to 4
+        # workers there. Batches are independent (each resolves its own
+        # Future; results carry their own indices), so cross-batch
+        # completion order is free to vary; the upstream inflight bound
+        # (ModelService.MAX_INFLIGHT / bench --inflight) caps how many
+        # are in the pool at once. FASTDET_XFER_WORKERS overrides.
         from concurrent.futures import ThreadPoolExecutor
 
-        self._xfer = ThreadPoolExecutor(1, thread_name_prefix="fd-xfer")
+        ncpu = os.cpu_count() or 1
+        default_workers = 1 if ncpu < 4 else 4
+        try:
+            xfer_workers = int(
+                os.environ.get("FASTDET_XFER_WORKERS", str(default_workers)))
+        except ValueError:
+            xfer_workers = default_workers
+        self._xfer = ThreadPoolExecutor(max(1, xfer_workers),
+                                        thread_name_prefix="fd-xfer")
         self._jit = jax.jit(self._pipeline)
         self._jit_coeffs = jax.jit(self._pipeline_coeffs)
         self._jit_planes_cache: Dict[Tuple[int, int], Any] = {}
