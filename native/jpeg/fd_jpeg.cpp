@@ -205,7 +205,12 @@ struct BitReader {
 };
 
 inline int extend(int v, int n) {   // JPEG sign extension (F.2.2.1)
-  return (n && v < (1 << (n - 1))) ? v - (1 << n) + 1 : v;
+  // Branchless for n >= 1: subtract (2^n - 1) iff the top bit of the
+  // n-bit field is clear. The coefficient sign is ~random, so the
+  // naive compare is a hard-to-predict branch in the hottest loop.
+  if (n == 0) return v;             // callers guard this; keep semantics
+  int c = ((v >> (n - 1)) & 1) ^ 1; // 1 iff negative range
+  return v - (c << n) + c;
 }
 
 // Caller must br.refill() first: one decode consumes <= 16 bits and the
@@ -532,12 +537,57 @@ struct Decoder {
     return 0;
   }
 
+  // Sparse-wire block decode: the entropy stream already delivers AC
+  // coefficients in increasing zigzag order — exactly the sparse wire's
+  // value order — so record (DC, zigzag bitmask, zigzag-ordered values)
+  // straight off the bit reader. No 64-slot scratch block, no memset,
+  // and no natural-order round trip for the emitters to undo (the
+  // staged-block path stores blk[kZigzag[k]], rescans all 64 entries,
+  // then remaps each nonzero back through kNat2zz — measured ~40% of
+  // the sparse decode wall on the bench scenes, native/jpeg/bench_main).
+  // `vals` must have room for 63 entries; returns nnz via *nnz_out.
+  int decode_block_sparse(BitReader& br, Component& c, int16_t* dc_out,
+                          uint64_t* mask_out, int16_t* vals, int* nnz_out) {
+    br.refill();
+    int t = decode_huff(br, hdc[c.td]);
+    if (t < 0 || t > 15) return br.bad ? ERR_TRUNCATED : ERR_BAD_DATA;
+    int diff = t ? extend(br.receive(t), t) : 0;
+    c.dc_pred += diff;
+    *dc_out = (int16_t)c.dc_pred;
+    uint64_t mask = 0;
+    int nv = 0;
+    int k = 1;
+    const HuffTable& ac = hac[c.ta];
+    while (k < 64) {
+      // a worst-case (code + value) pair consumes 31 bits; refill only
+      // when the accumulator could run dry
+      if (br.nbits < 32) br.refill();
+      int rs = decode_huff(br, ac);
+      if (rs < 0) return br.bad ? ERR_TRUNCATED : ERR_BAD_DATA;
+      int r = rs >> 4, s = rs & 15;
+      if (s == 0) {
+        if (r == 15) { k += 16; continue; }  // ZRL
+        break;                                // EOB
+      }
+      k += r;
+      if (k > 63) return ERR_BAD_DATA;
+      mask |= 1ull << k;
+      vals[nv++] = (int16_t)extend(br.receive(s), s);
+      ++k;
+    }
+    if (br.bad) return ERR_TRUNCATED;
+    *mask_out = mask;
+    *nnz_out = nv;
+    return 0;
+  }
+
   // Drive the MCU raster scan (restart markers included) and hand every
-  // entropy-decoded block to `emit(ci, bx, by, blk, any_ac)` where bx/by
-  // are absolute block coordinates in the component's block grid. Shared
-  // by the RGB, raw-plane, and coefficient outputs.
-  template <typename EmitFn>
-  int scan_mcus(EmitFn&& emit) {
+  // block position to `fn(br, c, ci, bx, by)` where bx/by are absolute
+  // block coordinates in the component's block grid and fn performs the
+  // entropy decode itself (decode_block or decode_block_sparse). Shared
+  // by the RGB, raw-plane, coefficient, and sparse outputs.
+  template <typename BlockFn>
+  int scan_blocks(BlockFn&& fn) {
     int hmax = 1, vmax = 1;
     for (int i = 0; i < ncomp; ++i) {
       if (comp[i].hs > hmax) hmax = comp[i].hs;
@@ -551,7 +601,6 @@ struct Decoder {
     size_t seg = 0;
     BitReader br(ds.bytes.data() + ds.seg_start[0],
                  ds.bytes.data() + ds.seg_end(0));
-    int16_t blk[64];
     int mcu_count = 0;
     for (int my = 0; my < mcuy; ++my) {
       for (int mx = 0; mx < mcux; ++mx) {
@@ -567,11 +616,8 @@ struct Decoder {
           Component& c = comp[ci];
           for (int by = 0; by < c.vs; ++by) {
             for (int bx = 0; bx < c.hs; ++bx) {
-              bool any_ac = false;
-              int rc = decode_block(br, c, blk, &any_ac);
-              if (rc) return rc;
-              rc = emit(ci, (long)mx * c.hs + bx, (long)my * c.vs + by,
-                        blk, any_ac);
+              int rc = fn(br, c, ci, (long)mx * c.hs + bx,
+                          (long)my * c.vs + by);
               if (rc) return rc;
             }
           }
@@ -580,6 +626,20 @@ struct Decoder {
       }
     }
     return 0;
+  }
+
+  // Legacy emit-shaped driver: entropy-decode into a scratch block and
+  // hand it to `emit(ci, bx, by, blk, any_ac)`.
+  template <typename EmitFn>
+  int scan_mcus(EmitFn&& emit) {
+    int16_t blk[64];
+    return scan_blocks([&](BitReader& br, Component& c, int ci, long bx,
+                           long by) -> int {
+      bool any_ac = false;
+      int rc = decode_block(br, c, blk, &any_ac);
+      if (rc) return rc;
+      return emit(ci, bx, by, blk, any_ac);
+    });
   }
 
   int decode_rgb(uint8_t* out, long cap) {
@@ -926,6 +986,65 @@ static int stage_all_blocks(Decoder& d, std::vector<int16_t>& stage,
   });
 }
 
+// Compact staging for the sparse emitters: per block, the DC value, the
+// zigzag nonzero mask, the nonzero count, and a 63-entry value slot in
+// zigzag order — written straight from decode_block_sparse with no
+// scratch 64-block, no zero fill, and no rescans. The buffers persist
+// per thread (the decode pool calls one frame per task) so steady-state
+// staging costs only the bytes actually touched (~40 B/block typical vs
+// 128 B zeroed + 128 written + 128 reread for the dense staging).
+struct SparseStage {
+  std::vector<uint64_t> mask;
+  std::vector<int16_t> dc;
+  std::vector<uint8_t> nnz;
+  std::vector<int16_t> vals;  // 63-entry slot per block
+
+  void ensure(long total_blocks) {
+    if ((long)mask.size() < total_blocks) {
+      mask.resize(total_blocks);
+      dc.resize(total_blocks);
+      nnz.resize(total_blocks);
+      vals.resize((size_t)total_blocks * 63);
+    }
+  }
+};
+
+// Entropy-decode the whole scan into compact sparse staging (block
+// raster order per component: Y | Cb | Cr, the sparse wire's block
+// order). Same precheck contract as stage_all_blocks.
+template <typename Precheck>
+static int stage_sparse_blocks(Decoder& d, SparseStage& st, long base[3],
+                               long* total_out, Precheck precheck) {
+  int hmax = 1, vmax = 1;
+  for (int i = 0; i < d.ncomp; ++i) {
+    if (d.comp[i].hs > hmax) hmax = d.comp[i].hs;
+    if (d.comp[i].vs > vmax) vmax = d.comp[i].vs;
+  }
+  int mcux = (d.width + 8 * hmax - 1) / (8 * hmax);
+  int mcuy = (d.height + 8 * vmax - 1) / (8 * vmax);
+  long bw[3] = {0, 0, 0};
+  long total_blocks = 0;
+  for (int i = 0; i < d.ncomp; ++i) {
+    bw[i] = (long)mcux * d.comp[i].hs;
+    long bh = (long)mcuy * d.comp[i].vs;
+    base[i] = total_blocks;
+    total_blocks += bw[i] * bh;
+  }
+  *total_out = total_blocks;
+  int rc = precheck(total_blocks);
+  if (rc) return rc;
+  st.ensure(total_blocks);
+  return d.scan_blocks([&](BitReader& br, Component& c, int ci, long bx,
+                           long by) -> int {
+    size_t b = (size_t)(base[ci] + by * bw[ci] + bx);
+    int nv = 0;
+    int rc2 = d.decode_block_sparse(br, c, &st.dc[b], &st.mask[b],
+                                    &st.vals[b * 63], &nv);
+    st.nnz[b] = (uint8_t)nv;
+    return rc2;
+  });
+}
+
 // Shared counts layout for the sparse emitters (10 longs), filled with
 // TRUE totals even on ERR_CAPACITY so the caller can size a retry tier
 // — including the OTHER format's escape predictors, so the engine's
@@ -959,9 +1078,9 @@ int decode_sparse5(Decoder& d, uint8_t* plen, long plen_cap,
       dce_cap < 0)
     return ERR_CAPACITY;
   long base[3] = {0, 0, 0}, total_blocks = 0;
-  std::vector<int16_t> stage;
-  int rc = stage_all_blocks(d, stage, base, &total_blocks,
-                            [&](long total) -> int {
+  static thread_local SparseStage stage;
+  int rc = stage_sparse_blocks(d, stage, base, &total_blocks,
+                               [&](long total) -> int {
     return ((total + 1) / 2 > plen_cap || total > dc_cap)
                ? ERR_CAPACITY : 0;
   });
@@ -980,16 +1099,15 @@ int decode_sparse5(Decoder& d, uint8_t* plen, long plen_cap,
       prev_dc = 0;  // DC prediction restarts per component
       ++comp_next;
     }
-    const int16_t* blk = &stage[(size_t)b * 64];
     // DC as int8 delta with int16 escape. Encoder-legal baseline DC is
     // 12-bit (|dc| <= 2047) so real deltas always fit int16, but
-    // decode_block's unclamped dc_pred lets a CRAFTED stream stage DC
-    // anywhere in int16 — a delta outside int16 would silently wrap in
-    // the escape stream and offset every later block's device-side
-    // cumsum. Reject such frames to the plane path (whose dense
-    // staging has no delta chain to corrupt).
-    int delta = (int)blk[0] - (int)prev_dc;
-    prev_dc = blk[0];
+    // decode_block_sparse's unclamped dc_pred lets a CRAFTED stream
+    // stage DC anywhere in int16 — a delta outside int16 would silently
+    // wrap in the escape stream and offset every later block's
+    // device-side cumsum. Reject such frames to the plane path (whose
+    // dense staging has no delta chain to corrupt).
+    int delta = (int)stage.dc[b] - (int)prev_dc;
+    prev_dc = stage.dc[b];
     if (delta < -32768 || delta > 32767)
       flags |= kFlagOwnBlockCap | kFlagOtherBlockCap;
     if (delta < -7 || delta > 7) ++n_dcd_gt7;
@@ -1000,13 +1118,11 @@ int decode_sparse5(Decoder& d, uint8_t* plen, long plen_cap,
       if (ndce < dce_cap) dcesc[ndce] = (int16_t)delta;
       ++ndce;
     }
-    // zigzag-order AC mask: bit j set iff blk[kZigzag[j]] != 0, j >= 1
-    // (bit 0 = DC always clear: DC travels in dc8, and a clear bit 0
-    // makes popcount(maskstream) the exact AC count on device)
-    uint64_t natmask = nonzero_mask64(blk) & ~1ull;
-    uint64_t zzmask = 0;
-    for (uint64_t m = natmask; m; m &= m - 1)
-      zzmask |= 1ull << kNat2zz.t[__builtin_ctzll(m)];
+    // zigzag-order AC mask: bit j set iff zigzag coefficient j != 0,
+    // j >= 1 (bit 0 = DC always clear: DC travels in dc8, and a clear
+    // bit 0 makes popcount(maskstream) the exact AC count on device).
+    // decode_block_sparse built it directly off the entropy stream.
+    uint64_t zzmask = stage.mask[b];
     int pl = zzmask ? (64 - __builtin_clzll(zzmask) + 7) >> 3 : 0;
     if (b & 1)
       plen[b >> 1] |= (uint8_t)(pl << 4);
@@ -1019,9 +1135,10 @@ int decode_sparse5(Decoder& d, uint8_t* plen, long plen_cap,
     if (nmask + pl <= mask_cap) memcpy(maskstream + nmask, &zzmask, pl);
     nmask += pl;
     int be8 = 0, be16 = 0, be_gt3 = 0;
-    for (uint64_t zm = zzmask; zm; zm &= zm - 1) {
-      int j = __builtin_ctzll(zm);
-      int16_t v = blk[kZigzag[j]];
+    const int16_t* bvals = &stage.vals[(size_t)b * 63];
+    const int bn = stage.nnz[b];
+    for (int vi = 0; vi < bn; ++vi) {
+      int16_t v = bvals[vi];
       if (v < -3 || v > 3) {
         ++n_gt3;
         ++be_gt3;
@@ -1105,9 +1222,9 @@ int decode_sparse6(Decoder& d, uint8_t* plen, long plen_cap,
       dce8_cap < 0 || dce16_cap < 0)
     return ERR_CAPACITY;
   long base[3] = {0, 0, 0}, total_blocks = 0;
-  std::vector<int16_t> stage;
-  int rc = stage_all_blocks(d, stage, base, &total_blocks,
-                            [&](long total) -> int {
+  static thread_local SparseStage stage;
+  int rc = stage_sparse_blocks(d, stage, base, &total_blocks,
+                               [&](long total) -> int {
     return ((total + 1) / 2 > plen_cap || (total + 1) / 2 > dc4_cap)
                ? ERR_CAPACITY : 0;
   });
@@ -1115,20 +1232,31 @@ int decode_sparse6(Decoder& d, uint8_t* plen, long plen_cap,
   long nac = 0, ne8 = 0, ne16 = 0, ndce8 = 0, ndce16 = 0, nmask = 0;
   long n_gt7 = 0, n_dcd_gt7 = 0;
   long flags = 0;
-  // 3-bit packer: symbols accumulate little-endian; a value may
-  // straddle a byte boundary (the stream is continuous across blocks —
-  // the device unpacks it as whole 3-byte/8-value groups)
-  uint32_t triacc = 0;
+  // 3-bit packer: symbols accumulate little-endian in a 64-bit window;
+  // a value may straddle a byte boundary (the stream is continuous
+  // across blocks — the device unpacks it as whole 3-byte/8-value
+  // groups). Flushing 6 whole bytes at a time (one unaligned store in
+  // the in-capacity case) instead of byte-at-a-time is measurably
+  // cheaper at ~54k values/frame; ntri stays the TRUE byte total even
+  // past tri_cap (the counts contract).
+  static_assert(__BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__,
+                "v6 tri bytes assume a little-endian host");
+  uint64_t triacc = 0;
   int tribits = 0;
   long ntri = 0;  // bytes emitted (true total, even past tri_cap)
   auto emit3 = [&](uint8_t sym) {
-    triacc |= (uint32_t)(sym & 7) << tribits;
+    triacc |= (uint64_t)(sym & 7) << tribits;
     tribits += 3;
-    if (tribits >= 8) {
-      if (ntri < tri_cap) tri[ntri] = (uint8_t)(triacc & 0xFF);
-      ++ntri;
-      triacc >>= 8;
-      tribits -= 8;
+    if (tribits >= 48) {
+      if (ntri + 8 <= tri_cap) {
+        memcpy(tri + ntri, &triacc, 8);  // low 6 bytes valid; 2 lap bytes
+      } else {
+        for (int i = 0; i < 6 && ntri + i < tri_cap; ++i)
+          tri[ntri + i] = (uint8_t)(triacc >> (8 * i));
+      }
+      ntri += 6;
+      triacc >>= 48;
+      tribits -= 48;
     }
   };
   int comp_next = 1;
@@ -1138,13 +1266,12 @@ int decode_sparse6(Decoder& d, uint8_t* plen, long plen_cap,
       prev_dc = 0;  // DC prediction restarts per component
       ++comp_next;
     }
-    const int16_t* blk = &stage[(size_t)b * 64];
     // DC delta through the 4-bit -> int8 -> int16 chain. As in v5, a
     // CRAFTED stream can stage DC anywhere in int16 via unclamped
     // dc_pred; a delta outside int16 would wrap in dcesc16 and offset
     // every later block's device cumsum — reject to the plane path.
-    int delta = (int)blk[0] - (int)prev_dc;
-    prev_dc = blk[0];
+    int delta = (int)stage.dc[b] - (int)prev_dc;
+    prev_dc = stage.dc[b];
     if (delta < -32768 || delta > 32767)
       flags |= kFlagOwnBlockCap | kFlagOtherBlockCap;
     int8_t d4;
@@ -1167,10 +1294,7 @@ int decode_sparse6(Decoder& d, uint8_t* plen, long plen_cap,
     else
       dc4[b >> 1] = (uint8_t)(d4 & 0xF);
     // zigzag mask prefix: byte-identical to v5 (see decode_sparse5)
-    uint64_t natmask = nonzero_mask64(blk) & ~1ull;
-    uint64_t zzmask = 0;
-    for (uint64_t m = natmask; m; m &= m - 1)
-      zzmask |= 1ull << kNat2zz.t[__builtin_ctzll(m)];
+    uint64_t zzmask = stage.mask[b];
     int pl = zzmask ? (64 - __builtin_clzll(zzmask) + 7) >> 3 : 0;
     if (b & 1)
       plen[b >> 1] |= (uint8_t)(pl << 4);
@@ -1179,29 +1303,30 @@ int decode_sparse6(Decoder& d, uint8_t* plen, long plen_cap,
     if (nmask + pl <= mask_cap) memcpy(maskstream + nmask, &zzmask, pl);
     nmask += pl;
     int be8 = 0, be16 = 0, be_gt7 = 0;
-    for (uint64_t zm = zzmask; zm; zm &= zm - 1) {
-      int j = __builtin_ctzll(zm);
-      int16_t v = blk[kZigzag[j]];
+    const int16_t* bvals = &stage.vals[(size_t)b * 63];
+    const int bn = stage.nnz[b];
+    nac += bn;
+    for (int vi = 0; vi < bn; ++vi) {
+      int v = bvals[vi];
+      if (__builtin_expect((unsigned)(v + 3) <= 6u, 1)) {  // |v| <= 3
+        emit3((uint8_t)v);
+        continue;
+      }
       if (v < -7 || v > 7) {
         ++n_gt7;
         ++be_gt7;
       }
-      if (v >= -3 && v <= 3) {
-        emit3((uint8_t)v);
+      emit3(4);  // 100b = -4, the escape sentinel
+      ++be8;
+      if (v >= -127 && v <= 127) {
+        if (ne8 < e8_cap) esc8[ne8] = (int8_t)v;
       } else {
-        emit3(4);  // 100b = -4, the escape sentinel
-        ++be8;
-        if (v >= -127 && v <= 127) {
-          if (ne8 < e8_cap) esc8[ne8] = (int8_t)v;
-        } else {
-          if (ne8 < e8_cap) esc8[ne8] = -128;  // level-2 sentinel
-          if (ne16 < e16_cap) esc16[ne16] = v;
-          ++ne16;
-          ++be16;
-        }
-        ++ne8;
+        if (ne8 < e8_cap) esc8[ne8] = -128;  // level-2 sentinel
+        if (ne16 < e16_cap) esc16[ne16] = (int16_t)v;
+        ++ne16;
+        ++be16;
       }
-      ++nac;
+      ++ne8;
     }
     if (be8 > kMaxEsc8PerBlock || be16 > kMaxEsc16PerBlock)
       flags |= kFlagOwnBlockCap;
@@ -1209,9 +1334,11 @@ int decode_sparse6(Decoder& d, uint8_t* plen, long plen_cap,
     if (be_gt7 > kMaxEsc8PerBlock || be16 > kMaxEsc16PerBlock)
       flags |= kFlagOtherBlockCap;
   }
-  if (tribits > 0) {  // flush: pad bits are zero (never selected)
+  while (tribits > 0) {  // flush: pad bits are zero (never selected)
     if (ntri < tri_cap) tri[ntri] = (uint8_t)(triacc & 0xFF);
     ++ntri;
+    triacc >>= 8;
+    tribits -= 8;
   }
   counts[0] = nac;
   counts[1] = ne8;
