@@ -73,6 +73,10 @@ def device_result(x):
 
 DEFAULT_BUCKETS = (1, 2, 4, 8, 16)
 
+# f32 LE bytes of the padded-row threshold sentinel (2.0): above any
+# real threshold, so batched postprocess early-exits on padding rows.
+_THR_PAD_BYTES = np.frombuffer(np.float32(2.0).tobytes(), np.uint8)
+
 _DECODE_POOL = None
 _DECODE_POOL_LOCK = threading.Lock()
 
@@ -227,16 +231,23 @@ class DetectionEngine:
         # escape-budget defaults).
         self._std_fmt = 6 if os.environ.get(
             "FASTDET_SPARSE_STD_FORMAT", "6") != "5" else 5
-        std_esc8_default = "0.8" if self._std_fmt == 6 else "0.4"
+        # std-tier budgets sit a few % above the committed camera-clean
+        # q90 scenes' measured per-block rates (scene max: mask 4.42,
+        # ac 13.24, ac_gt3 0.583, e16 ~0, dcd_gt7 0.137, dce16 ~0.01 —
+        # tools/measure_sparse_stats.py). Every spare byte is ~linear
+        # host serialization CPU on the h2d path, and denser frames
+        # already reroute per-frame to the dense tier (with tier memory
+        # so sustained dense traffic stops paying the std attempt).
+        std_esc8_default = "0.66" if self._std_fmt == 6 else "0.4"
         self._sparse_budgets = {
             "std": (
-                float(os.environ.get("FASTDET_SPARSE_MASK_BUDGET", "4.8")),
-                float(os.environ.get("FASTDET_SPARSE_AC_BUDGET", "13.8")),
+                float(os.environ.get("FASTDET_SPARSE_MASK_BUDGET", "4.6")),
+                float(os.environ.get("FASTDET_SPARSE_AC_BUDGET", "13.6")),
                 float(os.environ.get("FASTDET_SPARSE_ESC8_BUDGET",
                                      std_esc8_default)),
-                float(os.environ.get("FASTDET_SPARSE_ESC16_BUDGET", "0.03")),
-                float(os.environ.get("FASTDET_SPARSE_DCESC8_BUDGET", "0.2")),
-                float(os.environ.get("FASTDET_SPARSE_DCESC_BUDGET", "0.04")),
+                float(os.environ.get("FASTDET_SPARSE_ESC16_BUDGET", "0.01")),
+                float(os.environ.get("FASTDET_SPARSE_DCESC8_BUDGET", "0.16")),
+                float(os.environ.get("FASTDET_SPARSE_DCESC_BUDGET", "0.02")),
             ),
             "dense": (
                 float(os.environ.get(
@@ -377,6 +388,13 @@ class DetectionEngine:
         the next batch while this one streams to the device."""
         return self._xfer.submit(
             lambda: fn(self.params, self._place(packed), self._place(thr)))
+
+    def _dispatch_async_packed(self, fn, packed: np.ndarray):
+        """_dispatch_async for programs whose whole input is ONE packed
+        array (sparse rows carry their thresholds in the row tail): one
+        device_put RPC per batch instead of two."""
+        return self._xfer.submit(
+            lambda: fn(self.params, self._place(packed)))
 
     def _pallas_mode(self, env: str) -> str:
         """Resolve a Pallas-kernel env flag to 'off' | 'on' | 'interpret'.
@@ -608,7 +626,13 @@ class DetectionEngine:
         return np.cumsum(fields)
 
     def _sparse_row_bytes(self, caps: "SparseCaps") -> int:
-        return int(self._sparse_offsets(caps)[-1]) + 384
+        # + 384 B of quant tables (3 components x 64 x uint16) and + 4 B
+        # for the per-frame threshold (f32 LE). Folding the threshold
+        # into the row removes a whole device_put RPC per batch — on the
+        # tunneled backend a put costs ~2 ms of host CPU regardless of
+        # size (tools/probe_rpc_split.py: 96 B put = 2.08 ms pipelined),
+        # and host CPU is the serving wall on small hosts (ROUND6).
+        return int(self._sparse_offsets(caps)[-1]) + 384 + 4
 
     @staticmethod
     def _i16_from_pairs(rowslice: jnp.ndarray) -> jnp.ndarray:
@@ -624,7 +648,7 @@ class DetectionEngine:
             (eb[..., 0] | (eb[..., 1] << 8)).astype(jnp.uint16), jnp.int16
         )
 
-    def _pipeline_sparse(self, params, packed, thresholds,
+    def _pipeline_sparse(self, params, packed,
                          layout=(2, 2), tier="std") -> jnp.ndarray:
         from jax import lax
 
@@ -659,10 +683,16 @@ class DetectionEngine:
             esc16 = self._i16_from_pairs(packed[:, bounds[4]:bounds[5]])
             dcesc = self._i16_from_pairs(packed[:, bounds[5]:bounds[6]])
             qstart = bounds[6]
-        qb = packed[:, qstart:].reshape(b, 3, 64, 2)
+        qb = packed[:, qstart:qstart + 384].reshape(b, 3, 64, 2)
         qb = qb.astype(jnp.float32)
         q = qb[..., 0] + qb[..., 1] * 256.0
         qy, qcb, qcr = q[:, 0], q[:, 1], q[:, 2]
+        # per-frame threshold rides the row tail as 4 f32 LE bytes (one
+        # h2d put for the whole batch; see _sparse_row_bytes)
+        tb = packed[:, qstart + 384:qstart + 388].astype(jnp.uint32)
+        thresholds = lax.bitcast_convert_type(
+            tb[:, 0] | (tb[:, 1] << 8) | (tb[:, 2] << 16) | (tb[:, 3] << 24),
+            jnp.float32)
 
         # Reconstruction: the Pallas kernel replaces XLA's per-value
         # NB*64 element gathers (~21 ms each per batch of 8 on the v5e)
@@ -730,6 +760,10 @@ class DetectionEngine:
             packed = np.zeros((b, row), np.uint8)  # zero rows = gray frames
             thr = np.full((b,), 2.0, np.float32)
             thr[: len(idxs)] = thr_all[idxs]
+            # thresholds travel in the row tail (one put per batch);
+            # padded rows keep the 2.0 sentinel so batched postprocess
+            # early-exits on them instead of chewing a full NMS trip
+            packed[:, -4:] = thr.view(np.uint8).reshape(b, 4)
             staged.append((layout, idxs, packed, thr))
             bo = self._sparse_offsets(caps)
             for j, i in enumerate(idxs):
@@ -743,7 +777,7 @@ class DetectionEngine:
                         packed[j, bo[4]:bo[5]].view(np.int16),  # esc16
                         packed[j, bo[5]:bo[6]].view(np.int8),   # dcesc8
                         packed[j, bo[6]:bo[7]].view(np.int16),  # dcesc16
-                        packed[j, bo[7]:].view(np.uint16),      # q tables
+                        packed[j, bo[7]:bo[7] + 384].view(np.uint16),  # q
                     )
                 else:
                     views = (
@@ -754,7 +788,7 @@ class DetectionEngine:
                         packed[j, bo[3]:bo[4]].view(np.int8),   # esc8
                         packed[j, bo[4]:bo[5]].view(np.int16),  # esc16
                         packed[j, bo[5]:bo[6]].view(np.int16),  # dcesc
-                        packed[j, bo[6]:].view(np.uint16),      # q tables
+                        packed[j, bo[6]:bo[6] + 384].view(np.uint16),  # q
                     )
                 jobs.append((jpegs[i], i, caps.fmt, views))
         return staged, jobs
@@ -950,10 +984,12 @@ class DetectionEngine:
                     # gray frames with in-bounds (all-zero) offsets.
                     packed[: len(keep)] = packed[keep]
                     packed[len(keep):len(idxs)] = 0
-                    thr[: len(keep)] = thr[keep]
-                    thr[len(keep):] = 2.0
-                res = self._dispatch_async(
-                    self._sparse_jit(layout, tier), packed, thr)
+                    # re-stamp the vacated rows' in-row threshold bytes:
+                    # zeroed tails decode as threshold 0.0, which would
+                    # defeat the batched-NMS early exit on gray frames
+                    packed[len(keep):len(idxs), -4:] = _THR_PAD_BYTES
+                res = self._dispatch_async_packed(
+                    self._sparse_jit(layout, tier), packed)
                 parts.append((res, [idxs[k] for k in keep]))
                 counts[count_key] = counts.get(count_key, 0) + len(keep)
                 tags.append(tag_fmt % layout)
@@ -1105,9 +1141,9 @@ class DetectionEngine:
                         packed = np.zeros(
                             (b, self._sparse_row_bytes(caps)),
                             np.uint8)
+                        packed[:, -4:] = thr.view(np.uint8).reshape(b, 4)
                         jobs.append((self._sparse_jit((hs, vs), tier),
-                                     (self.params, self._place(packed),
-                                      self._place(thr)), b))
+                                     (self.params, self._place(packed)), b))
                     n = size * size + 2 * (size // vs) * (size // hs)
                     pk = np.full((b, n), 128, np.uint8)
                     jobs.append((self._planes_jit((hs, vs)),

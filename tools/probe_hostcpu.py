@@ -77,7 +77,7 @@ def main():
     from fastdet_tpu.runtime.engine import PlanesDispatch
 
     def submit_prepacked():
-        res = eng._dispatch_async(fn, packed, thr)
+        res = eng._dispatch_async_packed(fn, packed)
         return PlanesDispatch([(res, list(idxs))], counts={"sparse": b})
 
     run("prepack", submit_prepacked)

@@ -74,14 +74,14 @@ def main():
     dpacked = jax.block_until_ready(eng._place(packed))
     dthr = jax.block_until_ready(eng._place(thr))
     timeit("exec resident (blocked)",
-           lambda: jax.block_until_ready(fn(eng.params, dpacked, dthr)),
+           lambda: jax.block_until_ready(fn(eng.params, dpacked)),
            args.iters)
-    dres = jax.block_until_ready(fn(eng.params, dpacked, dthr))
+    dres = jax.block_until_ready(fn(eng.params, dpacked))
     timeit("fetch result (np.asarray)",
            lambda: np.asarray(dres), args.iters)
     timeit("full sync chain",
            lambda: np.asarray(
-               fn(eng.params, eng._place(packed), eng._place(thr))),
+               fn(eng.params, eng._place(packed))),
            args.iters)
     pipelined_probes(eng, fn, packed, thr)
 
@@ -104,9 +104,8 @@ def pipelined_probes(eng, fn, packed, thr, iters=24, depth=6):
     run("put packed (1.2MB)", lambda: eng._place(packed))
     dpacked = jax.block_until_ready(eng._place(packed))
     dthr = jax.block_until_ready(eng._place(thr))
-    run("exec resident", lambda: fn(eng.params, dpacked, dthr))
-    run("put+exec chain", lambda: fn(
-        eng.params, eng._place(packed), eng._place(thr)))
+    run("exec resident", lambda: fn(eng.params, dpacked))
+    run("put+exec chain", lambda: fn(eng.params, eng._place(packed)))
 
 
 if __name__ == "__main__":

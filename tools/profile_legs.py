@@ -46,7 +46,8 @@ def main():
     spec, params, _ = bench.load_bench_model("full", 80)
     eng = DetectionEngine(spec, params, mode="int8", buckets=(1, b),
                           calibration_images=bench.bench_calibration())
-    eng.warmup()
+    # only the b-bucket sparse program is needed; each leg warms itself
+    # (full warmup compiles every bucket x path and dominates the run)
     jpegs = bench.make_jpegs(b)
     thrs = [0.1] * b
     thr_all = np.asarray(thrs, np.float32)
@@ -74,11 +75,11 @@ def main():
     (layout, idxs, packed, thr), = staged
     fn = eng._sparse_jit(layout, "std")
     # warm
-    np.asarray(fn(eng.params, eng._place(packed), eng._place(thr)))
+    np.asarray(fn(eng.params, eng._place(packed)))
     pr = cProfile.Profile()
     pr.enable()
     for _ in range(args.batches):
-        res = fn(eng.params, eng._place(packed), eng._place(thr))
+        res = fn(eng.params, eng._place(packed))
         np.asarray(res)
     pr.disable()
     report(pr, f"prepack x{args.batches} (b={b}) [sync, on-thread]")
