@@ -160,7 +160,7 @@ def _threaded_fps(engine, submit, n_batches: int, batch: int,
     return done / (time.time() - t0)
 
 
-def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 32,
+def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 256,
               mode: str = "bf16"):
     from fastdet_tpu.models import weights
     from fastdet_tpu.runtime import jpeg
@@ -213,7 +213,10 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 32,
         return _threaded_fps(engine, submit, n_frames // batch, batch,
                              inflight)
 
-    run(warm_frames)             # steady-state warm
+    # steady-state warm: the tunnel + thread pools + allocator ramp over
+    # several hundred frames (measured: pass fps still rising at frame
+    # 512 with a 32-frame warm), so a short warm under-reports every pass
+    run(warm_frames)
     # median of 3 passes: the dev tunnel's bandwidth fluctuates
     # minute-to-minute (measured 25-36 MB/s), so a single pass is noisy
     # in both directions; the median is the honest point estimate

@@ -1277,3 +1277,40 @@ class DetectionEngine:
             out.append([(int(r[0]), r[1], r[2], r[3], r[4], r[5])
                         for r in rows])
         return out
+
+    # Wire record layout (>BBhhhh big-endian, docs/PROTOCOL.md): klass u8,
+    # conf*255 u8, x y w h i16 pixel coords.
+    _WIRE_RECORD = np.dtype([("k", "u1"), ("c", "u1"), ("x", ">i2"),
+                             ("y", ">i2"), ("w", ">i2"), ("h", ">i2")])
+
+    def fetch_wire(self, res, n: int) -> List[bytes]:
+        """fetch(), but each frame's results come back ALREADY PACKED as
+        the response wire's >BBhhhh record blob (wire.pack_response_raw
+        prepends the header). Serving hot path: one vectorized numpy
+        pass for the whole batch instead of tuple conversion + one
+        struct.pack per record on the event loop — byte-identical to
+        DetectResponse.pack(fetch(...)) (pinned by tests)."""
+        if isinstance(res, PlanesDispatch):
+            out_w: List[Optional[bytes]] = [None] * n
+            for dev_res, idxs in res.parts:
+                part = self.fetch_wire(dev_res, len(idxs))
+                for j, i in enumerate(idxs):
+                    out_w[i] = part[j]
+            return [r if r is not None else b"" for r in out_w]
+        res = device_result(res)
+        packed = np.asarray(res, dtype=np.float64)[:n]  # (n, max_det, 7)
+        counts_v = (packed[:, :, 6] > 0.5).sum(axis=1)
+        coords = packed[:, :, :4] * self.spec.image_size
+        # match _i16 exactly: NaN -> 0, truncate toward zero, saturate
+        coords = np.nan_to_num(coords, nan=0.0, posinf=32767.0,
+                               neginf=-32768.0)
+        coords = np.clip(np.trunc(coords), -32768, 32767)
+        conf = np.nan_to_num(packed[:, :, 4], nan=0.0)
+        rec = np.empty(packed.shape[:2], self._WIRE_RECORD)
+        rec["k"] = packed[:, :, 5].astype(np.uint8)
+        rec["c"] = np.clip(np.trunc(conf * 255), 0, 255).astype(np.uint8)
+        rec["x"] = coords[:, :, 0]
+        rec["y"] = coords[:, :, 1]
+        rec["w"] = coords[:, :, 2]
+        rec["h"] = coords[:, :, 3]
+        return [rec[i, : int(counts_v[i])].tobytes() for i in range(n)]

@@ -103,14 +103,17 @@ class ModelService:
                 fut.cancel()
 
     def submit_nowait(self, jpeg: bytes, threshold: float) -> asyncio.Future:
-        """Enqueue one request; the returned future resolves with its
-        results. Plain-future (no coroutine/Task) entry point so the
-        per-datagram hot path costs one queue append, not a task spawn."""
+        """Enqueue one request; the returned future resolves with the
+        frame's ALREADY-PACKED >BBhhhh wire record blob (bytes — see
+        DetectionEngine.fetch_wire; DetectSession._respond just prepends
+        the response header). Plain-future (no coroutine/Task) entry
+        point so the per-datagram hot path costs one queue append, not
+        a task spawn."""
         fut = asyncio.get_running_loop().create_future()
         self.queue.put_nowait((jpeg, threshold, fut))
         return fut
 
-    async def submit(self, jpeg: bytes, threshold: float) -> List[ResultTuple]:
+    async def submit(self, jpeg: bytes, threshold: float) -> bytes:
         return await self.submit_nowait(jpeg, threshold)
 
     async def _worker(self) -> None:
@@ -280,7 +283,8 @@ class ModelService:
         Runs concurrently with the worker dispatching later batches."""
         loop = asyncio.get_running_loop()
         try:
-            results = await loop.run_in_executor(None, self.engine.fetch, res, n)
+            results = await loop.run_in_executor(
+                None, self.engine.fetch_wire, res, n)
         except Exception as e:
             for fut in futs:
                 if not fut.done():
@@ -407,8 +411,14 @@ class DetectSession(asyncio.DatagramProtocol):
             results = []
         msec = int((time.time() - t0) * 1000)
         STAGES.record("request_e2e", time.time() - t0)
-        resp = wire.DetectResponse(reqid=reqid, msec=msec, results=results)
-        self.send_payload(resp.pack())
+        if isinstance(results, (bytes, bytearray)):
+            # ModelService futures carry pre-packed wire records
+            # (engine.fetch_wire); plain Detector services carry tuples
+            self.send_payload(wire.pack_response_raw(reqid, msec, results))
+        else:
+            resp = wire.DetectResponse(reqid=reqid, msec=msec,
+                                       results=results)
+            self.send_payload(resp.pack())
 
     def send_payload(self, payload: bytes) -> None:
         if self.transport is None or self.closed:

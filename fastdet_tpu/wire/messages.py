@@ -141,6 +141,15 @@ class DetectResponse:
         return PAYLOAD_HEADER.pack(MAGIC_RESPONSE, self.reqid, self.msec, len(buf)) + buf
 
 
+def pack_response_raw(reqid: int, msec: int, records: bytes) -> bytes:
+    """Response payload from an ALREADY-PACKED >BBhhhh record blob.
+
+    Serving hot path: DetectionEngine.fetch_wire packs a whole batch's
+    records in one vectorized numpy pass; this just prepends the header.
+    Byte-identical to DetectResponse.pack for the same results."""
+    return PAYLOAD_HEADER.pack(MAGIC_RESPONSE, reqid, msec, len(records)) + records
+
+
 def parse_request(data: bytes) -> Optional[DetectRequest]:
     """Parse a request payload; None on malformed/short data.
 

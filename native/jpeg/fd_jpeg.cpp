@@ -213,13 +213,12 @@ inline int extend(int v, int n) {   // JPEG sign extension (F.2.2.1)
   return v - (c << n) + c;
 }
 
-// Caller must br.refill() first: one decode consumes <= 16 bits and the
-// following receive() <= 15 more, both covered by the >56-bit refill.
-int decode_huff(BitReader& br, const HuffTable& h) {
-  int look = br.peek8();
-  unsigned e = h.fast[look];
-  if (__builtin_expect(e != 0, 1)) { br.consume((int)(e >> 8)); return (int)(e & 0xFF); }
-  // slow path: lengths 9..16 (all codes <= 8 bits hit the fast table)
+// Slow path: lengths 9..16 (all codes <= 8 bits hit the fast table).
+// Kept out of line so the two-instruction fast path inlines into the
+// block-decode loops without code bloat (~62k decodes/frame; the call
+// itself was ~10% of the entropy leg, native/jpeg/bench_main A/B).
+__attribute__((noinline))
+static int decode_huff_slow(BitReader& br, const HuffTable& h) {
   int code = 0;
   for (int len = 1; len <= 16; ++len) {
     code = (code << 1) | br.get_bit();
@@ -228,6 +227,16 @@ int decode_huff(BitReader& br, const HuffTable& h) {
       return h.values[h.valptr[len] + code - h.mincode[len]];
   }
   return -1;
+}
+
+// Caller must br.refill() first: one decode consumes <= 16 bits and the
+// following receive() <= 15 more, both covered by the >56-bit refill.
+static inline __attribute__((always_inline))
+int decode_huff(BitReader& br, const HuffTable& h) {
+  int look = br.peek8();
+  unsigned e = h.fast[look];
+  if (__builtin_expect(e != 0, 1)) { br.consume((int)(e >> 8)); return (int)(e & 0xFF); }
+  return decode_huff_slow(br, h);
 }
 
 // AAN (Arai-Agui-Nakajima) scaled float IDCT: 1-D on 8 points costs 5

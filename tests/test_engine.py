@@ -112,3 +112,44 @@ def test_jpeg_decode_encode_roundtrip():
 def test_jpeg_invalid_data():
     with pytest.raises(ValueError):
         jpeg.decode_rgb(b"\x00" * 100)
+
+
+def test_fetch_wire_matches_packed_tuples(tiny_engine):
+    """fetch_wire's vectorized record blobs are byte-identical to
+    DetectResponse.pack over fetch()'s tuples (the serving hot path
+    contract: DetectSession._respond sends either form)."""
+    from fastdet_tpu.wire import messages as wm
+
+    imgs = [_test_image(7), _test_image(8)]
+    res = tiny_engine.detect_async(imgs, [0.2, 0.45])
+    tuples = tiny_engine.fetch(res, 2)
+    res2 = tiny_engine.detect_async(imgs, [0.2, 0.45])
+    blobs = tiny_engine.fetch_wire(res2, 2)
+    assert any(len(t) > 0 for t in tuples)  # synthetic weights detect lots
+    for t, blob in zip(tuples, blobs):
+        want = wm.DetectResponse(reqid=9, msec=3, results=t).pack()
+        got = wm.pack_response_raw(9, 3, blob)
+        assert got == want
+
+
+def test_fetch_wire_saturation_and_nan():
+    """_i16 edge semantics survive the vectorized path: NaN -> 0,
+    +/-inf and out-of-range saturate, truncation toward zero."""
+    import numpy as np
+    from fastdet_tpu.wire import messages as wm
+    from fastdet_tpu.runtime.engine import DetectionEngine
+
+    class _Spec:
+        image_size = 416
+
+    eng = DetectionEngine.__new__(DetectionEngine)
+    eng.spec = _Spec()
+    packed = np.zeros((1, 4, 7), np.float32)
+    # row 0: plain box; row 1: NaN x, huge w; row 2: negative coords
+    packed[0, 0] = [0.25, 0.5, 0.1, 0.2, 0.9, 7, 1]
+    packed[0, 1] = [np.nan, 0.5, 1e6, 0.2, 0.5, 3, 1]
+    packed[0, 2] = [-0.004, -2e5, 0.1, 0.2, 0.03, 1, 1]
+    tuples = eng.fetch(packed, 1)
+    blobs = eng.fetch_wire(packed, 1)
+    want = wm.DetectResponse(reqid=1, msec=0, results=tuples[0]).pack()
+    assert wm.pack_response_raw(1, 0, blobs[0]) == want
