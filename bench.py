@@ -153,7 +153,10 @@ def _threaded_fps(engine, submit, n_batches: int, batch: int,
         res = q.get()
         if res is None:
             break
-        engine.fetch(res, batch)
+        # fetch_wire = what serving consumes (ModelService resolves
+        # futures with wire-packed record blobs); the bench measures the
+        # same per-batch host cost the server pays
+        engine.fetch_wire(res, batch)
         done += batch
     if err:
         raise err[0]
