@@ -502,8 +502,10 @@ class DetectionEngine:
     # transfer per batch instead of three (per-transfer latency rivals
     # the data time on high-RTT links); the device slices it apart for
     # free. `layout` = luma sampling factors (hs, vs), static.
-    def _pipeline_planes(self, params, packed, thresholds,
+    def _pipeline_planes(self, params, packed,
                          layout=(2, 2)) -> jnp.ndarray:
+        from jax import lax
+
         from fastdet_tpu.ops import jpeg_device
 
         hs, vs = layout
@@ -513,7 +515,14 @@ class DetectionEngine:
         b = packed.shape[0]
         y = packed[:, :yb].reshape(b, size, size)
         cb = packed[:, yb:yb + cw].reshape(b, size // vs, size // hs)
-        cr = packed[:, yb + cw:].reshape(b, size // vs, size // hs)
+        cr = packed[:, yb + cw:yb + 2 * cw].reshape(
+            b, size // vs, size // hs)
+        # per-frame threshold rides the row tail as 4 f32 LE bytes (one
+        # h2d put for the whole batch, matching the sparse rows)
+        tb = packed[:, yb + 2 * cw:yb + 2 * cw + 4].astype(jnp.uint32)
+        thresholds = lax.bitcast_convert_type(
+            tb[:, 0] | (tb[:, 1] << 8) | (tb[:, 2] << 16) | (tb[:, 3] << 24),
+            jnp.float32)
 
         # The fused Pallas ingest kernel (one VMEM pass, upsample as two
         # banded MXU matmuls) is bit-identical to the XLA path and
@@ -1053,21 +1062,25 @@ class DetectionEngine:
             b = self.bucket_for(len(idxs))
             yb = size * size
             cw = (size // vs) * (size // hs)
-            # one contiguous buffer per group: [Y | Cb | Cr] per row, so
-            # the whole batch ships as a SINGLE host->device transfer;
+            # one contiguous buffer per group: [Y | Cb | Cr | thr] per
+            # row, so the whole batch ships as a SINGLE host->device
+            # transfer (the per-frame f32 threshold rides the tail like
+            # the sparse rows — one device_put RPC per batch, not two);
             # frames decode straight into row views (no copies)
-            packed = np.empty((b, yb + 2 * cw), np.uint8)
-            packed[len(idxs):, :yb] = 0      # padded slots: black...
-            packed[len(idxs):, yb:] = 128    # ...neutral chroma
+            packed = np.empty((b, yb + 2 * cw + 4), np.uint8)
+            packed[len(idxs):, :yb] = 0               # padded: black...
+            packed[len(idxs):, yb:yb + 2 * cw] = 128  # ...neutral chroma
             thr = np.full((b,), 2.0, np.float32)
             thr[: len(idxs)] = thr_all[idxs]
+            packed[:, -4:] = thr.view(np.uint8).reshape(b, 4)
             staged.append((layout, idxs, packed, thr))
             for j, i in enumerate(idxs):
                 jobs.append((
                     jpegs[i],
                     packed[j, :yb].reshape(size, size),
                     packed[j, yb:yb + cw].reshape(size // vs, size // hs),
-                    packed[j, yb + cw:].reshape(size // vs, size // hs),
+                    packed[j, yb + cw:yb + 2 * cw].reshape(
+                        size // vs, size // hs),
                 ))
         try:
             if len(jobs) > 1 and _decode_pool() is not None:
@@ -1082,7 +1095,7 @@ class DetectionEngine:
 
         parts = []
         for layout, idxs, packed, thr in staged:
-            res = self._dispatch_async(self._planes_jit(layout), packed, thr)
+            res = self._dispatch_async_packed(self._planes_jit(layout), packed)
             parts.append((res, idxs))
         return PlanesDispatch(
             parts,
@@ -1144,11 +1157,11 @@ class DetectionEngine:
                         packed[:, -4:] = thr.view(np.uint8).reshape(b, 4)
                         jobs.append((self._sparse_jit((hs, vs), tier),
                                      (self.params, self._place(packed)), b))
-                    n = size * size + 2 * (size // vs) * (size // hs)
+                    n = size * size + 2 * (size // vs) * (size // hs) + 4
                     pk = np.full((b, n), 128, np.uint8)
+                    pk[:, -4:] = thr.view(np.uint8).reshape(b, 4)
                     jobs.append((self._planes_jit((hs, vs)),
-                                 (self.params, self._place(pk),
-                                  self._place(thr)), b))
+                                 (self.params, self._place(pk)), b))
         # Compile + first-run all programs CONCURRENTLY: compilation
         # parallelizes across calls (measured on the tunneled v5e: 5 cold
         # programs 449 s serially vs 26 s threaded — remote-compile RTT
