@@ -78,6 +78,12 @@ def test_concurrent_clients_both_models(two_model_server):
     n_clients = 6
     errors = []
     counts = []
+    # Barrier per request wave: all clients release their frame at the
+    # same instant so same-model frames land inside one batching window.
+    # Without it, full-suite load on a 1-CPU host can space the requests
+    # out enough that every batch holds a single frame and the
+    # frames > batches coalescing assertion below flakes.
+    wave = threading.Barrier(n_clients, timeout=60)
 
     def client_task(i):
         try:
@@ -85,6 +91,7 @@ def test_concurrent_clients_both_models(two_model_server):
             c = DetectClient("127.0.0.1", st.port, path)
             c.open()
             for reqid in range(1, 4):
+                wave.wait()
                 c.request(reqid, 0.5, _jpeg(100 + i * 10 + reqid))
                 _, records = c.wait_response(reqid, timeout=30)
                 if path == "rsu" and any(r[0] > 9 for r in records):
