@@ -62,6 +62,48 @@ def select_batch(
     return jax.vmap(fn)(thresholds, *heads)
 
 
+def pack_wire_records(res: NMSResult, image_size: int) -> jnp.ndarray:
+    """Pack a BATCHED NMSResult into response-wire record bytes on device.
+
+    Output (B, max_det*10 + 4) uint8: max_det big-endian >BBhhhh records
+    [klass u8, conf*255 u8, x y w h i16 pixel coords — the reference's
+    result layout, server/server.py:235-238] followed by the frame's
+    valid-count as 4 LE bytes. The serving loop then slices
+    ``rec[:10*count]`` and ships it (DetectionEngine.fetch_wire) — the
+    d2h transfer is 10 B/slot instead of 28 B and the host does zero
+    per-record math.
+
+    Numeric contract: identical to the host path in fetch_wire — the
+    coordinate scale happens in f32 (fetch() uses the same f32 product,
+    so trunc decisions agree bit-for-bit), NaN -> 0, truncate toward
+    zero, saturate to i16 / u8 ranges.
+    """
+    b, md = res.scores.shape
+    coords = res.boxes * jnp.float32(image_size)           # (B, md, 4) f32
+    coords = jnp.where(jnp.isnan(coords), jnp.float32(0), coords)
+    coords = jnp.clip(jnp.trunc(coords), -32768.0, 32767.0).astype(jnp.int32)
+    conf = jnp.where(jnp.isnan(res.scores), jnp.float32(0), res.scores)
+    c_u8 = jnp.clip(jnp.trunc(conf * jnp.float32(255)), 0.0, 255.0)
+    hi = jnp.right_shift(coords, 8).astype(jnp.uint8)      # two's complement
+    lo = coords.astype(jnp.uint8)
+    rec = jnp.stack(
+        [
+            res.klass.astype(jnp.uint8),
+            c_u8.astype(jnp.uint8),
+            hi[..., 0], lo[..., 0],
+            hi[..., 1], lo[..., 1],
+            hi[..., 2], lo[..., 2],
+            hi[..., 3], lo[..., 3],
+        ],
+        axis=-1,
+    ).reshape(b, md * 10)
+    cnt = res.count.astype(jnp.uint32)                     # (B,)
+    tail = jnp.stack(
+        [cnt, cnt >> 8, cnt >> 16, cnt >> 24], axis=-1
+    ).astype(jnp.uint8)
+    return jnp.concatenate([rec, tail], axis=-1)
+
+
 def to_reference_results(
     result: NMSResult, image_size: int = 416
 ) -> List[Tuple[int, float, float, float, float, float]]:

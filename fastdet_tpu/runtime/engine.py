@@ -63,13 +63,18 @@ class SparseCaps(NamedTuple):
 
 
 def device_result(x):
-    """Unwrap a PlanesDispatch part to its device array.
+    """Unwrap a PlanesDispatch part to its packed (B, max_det, 7) array.
 
     Parts hold concurrent.futures.Futures while the engine's transfer
     worker is still streaming/enqueueing the batch (see _dispatch_async);
     fetch() unwraps internally — direct parts consumers (tests,
-    diagnostics) go through this."""
-    return x.result() if hasattr(x, "result") else x
+    diagnostics) go through this. Pipelines return (packed f32, wire
+    records u8) pairs; this yields the f32 element (the wire records are
+    fetch_wire's private fast path)."""
+    x = x.result() if hasattr(x, "result") else x
+    if isinstance(x, (tuple, list)):
+        return x[0]
+    return x
 
 DEFAULT_BUCKETS = (1, 2, 4, 8, 16)
 
@@ -471,7 +476,7 @@ class DetectionEngine:
         res: NMSResult = self._shard_map_batch(nms_fn, 4)(
             sel_b, sel_s, sel_k, thresholds
         )
-        return jnp.concatenate(
+        packed = jnp.concatenate(
             [
                 res.boxes,
                 res.scores[..., None],
@@ -480,6 +485,14 @@ class DetectionEngine:
             ],
             axis=-1,
         )
+        # Second output: the response-wire >BBhhhh record bytes, packed ON
+        # DEVICE (ops/postprocess.pack_wire_records). The serving loop's
+        # fetch_wire pulls only this array — 10 B/slot d2h instead of
+        # 28 B and zero per-record host math; fetch() pulls only `packed`.
+        # Untouched outputs are never transferred, so each caller pays for
+        # exactly one of the two.
+        wire = postprocess.pack_wire_records(res, self.spec.image_size)
+        return packed, wire
 
     # Stage-2 preprocessing (SURVEY.md §7.5): host entropy-decodes JPEG,
     # the device does dequant + IDCT (one MXU matmul) + fancy chroma
@@ -1169,8 +1182,13 @@ class DetectionEngine:
         # thread-safe; results are discarded.
         from concurrent.futures import ThreadPoolExecutor
 
+        def _warm_one(j):
+            res = j[0](*j[1])
+            self.fetch(res, j[2])       # CLI path: f32 packed d2h
+            self.fetch_wire(res, j[2])  # serving path: u8 records d2h
+
         with ThreadPoolExecutor(min(8, len(jobs))) as ex:
-            list(ex.map(lambda j: self.fetch(j[0](*j[1]), j[2]), jobs))
+            list(ex.map(_warm_one, jobs))
         dt = time.time() - t0
         logger.info(
             "engine warmup: %s buckets=%s in %.1fs", self.spec.name, self.buckets, dt
@@ -1276,14 +1294,19 @@ class DetectionEngine:
                     out[i] = part[j]
             return [r if r is not None else [] for r in out]
         res = device_result(res)
-        packed = np.asarray(res, dtype=np.float64)[:n]  # (n, max_det, 7)
+        packed = np.asarray(res, dtype=np.float32)[:n]  # (n, max_det, 7)
         size = self.spec.image_size
         # reorder/scale once in numpy and convert via tolist() (C speed);
         # per-element float(np_scalar) calls here were measurable on the
-        # serving loop at ~100 dets/image under synthetic weights
+        # serving loop at ~100 dets/image under synthetic weights.
+        # The pixel scale is an f32 product ON PURPOSE: the device wire
+        # packer (ops/postprocess.pack_wire_records) scales in f32, and
+        # keeping both products bit-identical means fetch() tuples and
+        # fetch_wire() records always truncate to the same i16 coords.
         scaled = packed[:, :, [5, 4, 0, 1, 2, 3]]
-        scaled[:, :, 2:] *= size
+        scaled[:, :, 2:] *= np.float32(size)
         counts_v = (packed[:, :, 6] > 0.5).sum(axis=1)
+        scaled = scaled.astype(np.float64)
         out: List[List[ResultTuple]] = []
         for i in range(n):
             rows = scaled[i, : int(counts_v[i])].tolist()
@@ -1310,10 +1333,24 @@ class DetectionEngine:
                 for j, i in enumerate(idxs):
                     out_w[i] = part[j]
             return [r if r is not None else b"" for r in out_w]
-        res = device_result(res)
-        packed = np.asarray(res, dtype=np.float64)[:n]  # (n, max_det, 7)
+        res = res.result() if hasattr(res, "result") else res
+        if isinstance(res, (tuple, list)):
+            # Device-packed records (ops/postprocess.pack_wire_records):
+            # one uint8 d2h pull of 10 B/slot + a 4-byte LE count tail,
+            # already in wire byte order — slice and ship.
+            rec = np.asarray(res[1])[:n]
+            cnt = rec[:, -4:].astype(np.uint32)
+            cnt = cnt[:, 0] | (cnt[:, 1] << 8) | (cnt[:, 2] << 16) | (
+                cnt[:, 3] << 24)
+            return [rec[i, : int(cnt[i]) * 10].tobytes() for i in range(n)]
+        # Host fallback for bare packed arrays (tests, diagnostics). The
+        # pixel scale is an f32 product to bit-agree with fetch() and the
+        # device packer (see fetch()).
+        packed = np.asarray(res, dtype=np.float32)[:n]  # (n, max_det, 7)
         counts_v = (packed[:, :, 6] > 0.5).sum(axis=1)
-        coords = packed[:, :, :4] * self.spec.image_size
+        coords = (packed[:, :, :4] * np.float32(self.spec.image_size)
+                  ).astype(np.float64)
+        packed = packed.astype(np.float64)
         # match _i16 exactly: NaN -> 0, truncate toward zero, saturate
         coords = np.nan_to_num(coords, nan=0.0, posinf=32767.0,
                                neginf=-32768.0)
