@@ -153,3 +153,46 @@ def test_fetch_wire_saturation_and_nan():
     blobs = eng.fetch_wire(packed, 1)
     want = wm.DetectResponse(reqid=1, msec=0, results=tuples[0]).pack()
     assert wm.pack_response_raw(1, 0, blobs[0]) == want
+
+
+def test_device_pack_wire_records_matches_host_on_edges():
+    """The DEVICE wire packer (ops/postprocess.pack_wire_records) and the
+    host fallback produce identical record bytes on the _i16/_u8 edge
+    cases: NaN coords/scores -> 0, +/-inf and out-of-range saturate,
+    truncation toward zero, two's-complement negatives, klass u8 wrap."""
+    import numpy as np
+    from fastdet_tpu.ops import postprocess
+    from fastdet_tpu.ops.nms import NMSResult
+    from fastdet_tpu.runtime.engine import DetectionEngine
+
+    class _Spec:
+        image_size = 416
+
+    eng = DetectionEngine.__new__(DetectionEngine)
+    eng.spec = _Spec()
+    boxes = np.zeros((2, 5, 4), np.float32)
+    scores = np.zeros((2, 5), np.float32)
+    klass = np.zeros((2, 5), np.int32)
+    valid = np.zeros((2, 5), bool)
+    # frame 0: plain / NaN+inf / negative / huge-positive rows
+    boxes[0, 0] = [0.25, 0.5, 0.1, 0.2]
+    boxes[0, 1] = [np.nan, np.inf, -np.inf, 0.2]
+    boxes[0, 2] = [-0.004, -2e5, 0.1, 0.2]
+    boxes[0, 3] = [9e4, 0.1, 0.1, 0.1]
+    scores[0, :4] = [0.9, np.nan, -0.2, 2.5]   # NaN conf, neg, >1
+    klass[0, :4] = [7, 3, 300, 1]              # 300 wraps u8
+    valid[0, :4] = True
+    # frame 1: empty (count 0)
+    res = NMSResult(
+        boxes=boxes, scores=scores, klass=klass, valid=valid,
+        count=np.array([4, 0], np.int32),
+    )
+    rec = np.asarray(postprocess.pack_wire_records(res, 416))
+    assert rec.shape == (2, 5 * 10 + 4) and rec.dtype == np.uint8
+    packed = np.concatenate(
+        [boxes, scores[..., None], klass[..., None].astype(np.float32),
+         valid[..., None].astype(np.float32)], axis=-1)
+    want = eng.fetch_wire(packed, 2)  # host fallback on the bare array
+    got = eng.fetch_wire((packed, rec), 2)  # device-packed branch
+    assert got == want
+    assert got[1] == b""
