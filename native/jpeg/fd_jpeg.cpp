@@ -63,6 +63,23 @@ struct HuffTable {
   // fast path: one-load lookup for codes <= 8 bits
   // entry = (code_length << 8) | symbol_value; 0 = slow path
   uint16_t fast[256];
+  // Combined lookahead (libjpeg-turbo style, plus the value): an
+  // 11-bit peek resolves the Huffman symbol AND its appended value
+  // bits in one table hit whenever code_len + value_bits <= 11, so the
+  // block loop skips decode_huff + receive + extend entirely for the
+  // short codes that dominate real streams. Entry layout (0 = fall
+  // back to fast/slow symbol decode):
+  //   bit 30          coefficient (value in low 16 bits, sign-extended)
+  //   bit 29          EOB   (AC symbol 0x00)
+  //   bit 28          ZRL   (AC symbol 0xF0)
+  //   bits 24..20     total bits to consume (code + value)
+  //   bits 19..16     zero-run length r (AC only)
+  //   bits 15..0      int16 coefficient value / DC diff
+  static constexpr int kFullBits = 11;
+  static constexpr int32_t kFullCoef = 0x40000000;
+  static constexpr int32_t kFullEob = 0x20000000;
+  static constexpr int32_t kFullZrl = 0x10000000;
+  int32_t full[1 << kFullBits];
   bool present = false;
 
   // Returns false for oversubscribed code counts (Kraft inequality
@@ -95,6 +112,50 @@ struct HuffTable {
     }
     present = true;
     return true;
+  }
+
+  // Populate the combined table. Must run after a successful build()
+  // (code < 2^l already validated, so every index below is in bounds).
+  // The symbol's meaning differs by class — AC: (run << 4) | value_bits;
+  // DC: value_bits — hence the is_ac parameter at DHT-parse time.
+  void build_full(bool is_ac) {
+    for (int i = 0; i < (1 << kFullBits); ++i) full[i] = 0;
+    int code = 0, k = 0;
+    for (int l = 1; l <= kFullBits; ++l) {
+      for (int i = 0; i < bits[l]; ++i, ++k, ++code) {
+        int sym = values[k];
+        int prefix = code << (kFullBits - l);
+        int span = 1 << (kFullBits - l);
+        if (is_ac && (sym & 15) == 0) {
+          // pure-control symbols; others with s==0 are invalid in
+          // baseline JPEG and stay on the fallback (which rejects them)
+          if (sym == 0x00 || sym == 0xF0) {
+            int32_t e = (sym == 0x00 ? kFullEob : kFullZrl) | (l << 20);
+            for (int f = 0; f < span; ++f) full[prefix | f] = e;
+          }
+          continue;
+        }
+        if (!is_ac && sym == 0) {          // DC t=0: diff is 0, no bits
+          int32_t e = kFullCoef | (l << 20);
+          for (int f = 0; f < span; ++f) full[prefix | f] = e;
+          continue;
+        }
+        int s = is_ac ? (sym & 15) : sym;
+        int r = is_ac ? (sym >> 4) : 0;
+        if (!is_ac && s > 15) continue;    // malformed DC symbol: fallback
+        if (l + s > kFullBits) continue;   // value bits don't fit: fallback
+        int rem = kFullBits - l - s;
+        for (int v = 0; v < (1 << s); ++v) {
+          // JPEG sign extension (F.2.2.1), same semantics as extend()
+          int ext = (v >> (s - 1)) ? v : v - (1 << s) + 1;
+          int32_t e = kFullCoef | ((l + s) << 20) | (r << 16) |
+                      (int32_t)((uint16_t)(int16_t)ext);
+          int base = prefix | (v << rem);
+          for (int f = 0; f < (1 << rem); ++f) full[base | f] = e;
+        }
+      }
+      code <<= 1;
+    }
   }
 };
 
@@ -195,6 +256,10 @@ struct BitReader {
 
   int peek8() { return (int)(acc >> (nbits - 8)) & 0xFF; }
 
+  int peekn(int n) {        // caller guarantees nbits >= n (post-refill)
+    return (int)(acc >> (nbits - n)) & ((1 << n) - 1);
+  }
+
   void consume(int n) { nbits -= n; }
 
   int receive(int n) {      // caller guarantees nbits >= n (post-refill)
@@ -237,6 +302,23 @@ int decode_huff(BitReader& br, const HuffTable& h) {
   unsigned e = h.fast[look];
   if (__builtin_expect(e != 0, 1)) { br.consume((int)(e >> 8)); return (int)(e & 0xFF); }
   return decode_huff_slow(br, h);
+}
+
+// DC diff: combined-table hit resolves symbol + diff bits in one peek;
+// fallback does the classic decode_huff + receive + extend. Caller must
+// br.refill() first. Returns false on an invalid DC symbol.
+static inline __attribute__((always_inline))
+bool decode_dc_diff(BitReader& br, const HuffTable& h, int* diff) {
+  int32_t e = h.full[br.peekn(HuffTable::kFullBits)];
+  if (__builtin_expect(e != 0, 1)) {
+    br.consume((e >> 20) & 31);
+    *diff = (int16_t)(e & 0xFFFF);
+    return true;
+  }
+  int t = decode_huff(br, h);
+  if (t < 0 || t > 15) return false;
+  *diff = t ? extend(br.receive(t), t) : 0;
+  return true;
 }
 
 // AAN (Arai-Agui-Nakajima) scaled float IDCT: 1-D on 8 points costs 5
@@ -455,6 +537,7 @@ struct Decoder {
             for (int i = 1; i <= 16; ++i) h.bits[i] = data[p + i];
             for (int i = 0; i < total; ++i) h.values[i] = data[p + 17 + i];
             if (!h.build()) return ERR_BAD_DATA;  // oversubscribed codes
+            h.build_full(tc == 1);
             p += 17 + total;
           }
           break;
@@ -516,9 +599,9 @@ struct Decoder {
                    bool* nonzero_ac = nullptr) {
     memset(blk, 0, 64 * sizeof(int16_t));
     br.refill();
-    int t = decode_huff(br, hdc[c.td]);
-    if (t < 0 || t > 15) return br.bad ? ERR_TRUNCATED : ERR_BAD_DATA;
-    int diff = t ? extend(br.receive(t), t) : 0;
+    int diff;
+    if (!decode_dc_diff(br, hdc[c.td], &diff))
+      return br.bad ? ERR_TRUNCATED : ERR_BAD_DATA;
     c.dc_pred += diff;
     blk[0] = (int16_t)c.dc_pred;
     int k = 1;
@@ -528,6 +611,21 @@ struct Decoder {
       // a worst-case (code + value) pair consumes 31 bits; refill only
       // when the accumulator could run dry
       if (br.nbits < 32) br.refill();
+      int32_t e = ac.full[br.peekn(HuffTable::kFullBits)];
+      if (__builtin_expect(e != 0, 1)) {  // combined symbol+value hit
+        br.consume((e >> 20) & 31);
+        if (e & HuffTable::kFullCoef) {
+          k += (e >> 16) & 15;
+          if (k > 63) return ERR_BAD_DATA;
+          blk[kZigzag[k]] = (int16_t)(e & 0xFFFF);
+          any_ac = true;
+          ++k;
+          continue;
+        }
+        if (e & HuffTable::kFullEob) break;
+        k += 16;                           // ZRL
+        continue;
+      }
       int rs = decode_huff(br, ac);
       if (rs < 0) return br.bad ? ERR_TRUNCATED : ERR_BAD_DATA;
       int r = rs >> 4, s = rs & 15;
@@ -558,9 +656,9 @@ struct Decoder {
   int decode_block_sparse(BitReader& br, Component& c, int16_t* dc_out,
                           uint64_t* mask_out, int16_t* vals, int* nnz_out) {
     br.refill();
-    int t = decode_huff(br, hdc[c.td]);
-    if (t < 0 || t > 15) return br.bad ? ERR_TRUNCATED : ERR_BAD_DATA;
-    int diff = t ? extend(br.receive(t), t) : 0;
+    int diff;
+    if (!decode_dc_diff(br, hdc[c.td], &diff))
+      return br.bad ? ERR_TRUNCATED : ERR_BAD_DATA;
     c.dc_pred += diff;
     *dc_out = (int16_t)c.dc_pred;
     uint64_t mask = 0;
@@ -571,6 +669,21 @@ struct Decoder {
       // a worst-case (code + value) pair consumes 31 bits; refill only
       // when the accumulator could run dry
       if (br.nbits < 32) br.refill();
+      int32_t e = ac.full[br.peekn(HuffTable::kFullBits)];
+      if (__builtin_expect(e != 0, 1)) {  // combined symbol+value hit
+        br.consume((e >> 20) & 31);
+        if (e & HuffTable::kFullCoef) {
+          k += (e >> 16) & 15;
+          if (k > 63) return ERR_BAD_DATA;
+          mask |= 1ull << k;
+          vals[nv++] = (int16_t)(e & 0xFFFF);
+          ++k;
+          continue;
+        }
+        if (e & HuffTable::kFullEob) break;
+        k += 16;                           // ZRL
+        continue;
+      }
       int rs = decode_huff(br, ac);
       if (rs < 0) return br.bad ? ERR_TRUNCATED : ERR_BAD_DATA;
       int r = rs >> 4, s = rs & 15;
