@@ -212,6 +212,33 @@ ZIGZAG = np.array([
 NAT2ZZ = np.argsort(ZIGZAG).astype(np.int32)  # natural pos -> zigzag idx
 
 
+def take_onehot(s: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``s[idx]`` for integer vectors, as one-hot MXU matmuls.
+
+    TPUs have no fast random gather — XLA lowers jnp.take to a ~10
+    ns/element loop, so an NB-sized probe costs ~1 ms/batch-24 (traced:
+    5 such probes were 23% of device time). The same lookup as
+    structured ops: split idx into (row, lane) of a (R, 128) view, pick
+    the row with a one-hot (K, R) @ (R, 128) matmul, pick the lane with
+    a one-hot compare + reduce. All values are integers well inside
+    f32's 2^24 exact range (offsets <= stream capacities, escape values
+    int16), and one-hot sums touch exactly one nonzero — bit-exact vs
+    jnp.take. Callers must pre-clip idx into range (same contract as
+    the probes always had).
+    """
+    (cap,) = s.shape
+    r = -(cap // -128)
+    s2 = jnp.pad(s, (0, r * 128 - cap)).reshape(r, 128).astype(jnp.float32)
+    row, col = idx // 128, idx % 128
+    oh_r = (row[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, r), 1)).astype(jnp.float32)
+    rows = jax.lax.dot(oh_r, s2,
+                       preferred_element_type=jnp.float32)  # (K, 128)
+    oh_c = (col[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, 128), 1)).astype(jnp.float32)
+    return (rows * oh_c).sum(-1).astype(s.dtype)
+
+
 def unpack_nibbles(nib: jnp.ndarray) -> jnp.ndarray:
     """(NCAP_BYTES,) uint8 -> (2*NCAP_BYTES,) int32 in [-8, 7].
 
@@ -254,15 +281,16 @@ def dc_reconstruct(dc8: jnp.ndarray, dcesc: jnp.ndarray,
                    yb: int, cb: int) -> jnp.ndarray:
     """(NB,) int8 DC deltas + (DCE,) int16 escapes -> (NB,) int32 DC.
 
-    -128 in dc8 takes the next dcesc entry (an NB-sized gather —
-    negligible); the per-component cumsum undoes JPEG's DC prediction.
+    -128 in dc8 takes the next dcesc entry (an NB-sized lookup via
+    take_onehot — a jnp.take here traced at ~1 ms/batch-24); the
+    per-component cumsum undoes JPEG's DC prediction.
     """
     d = dc8.astype(jnp.int32)
     flag = d == -128
     f32 = flag.astype(jnp.int32)
     rank = jnp.cumsum(f32) - f32                               # exclusive
     idx = jnp.clip(rank, 0, dcesc.shape[0] - 1)
-    delta = jnp.where(flag, jnp.take(dcesc, idx).astype(jnp.int32), d)
+    delta = jnp.where(flag, take_onehot(dcesc, idx).astype(jnp.int32), d)
     return jnp.concatenate([
         jnp.cumsum(delta[:yb]),
         jnp.cumsum(delta[yb:yb + cb]),
@@ -276,19 +304,20 @@ def dc_reconstruct6(dc4: jnp.ndarray, dcesc8: jnp.ndarray,
     int16 escape streams -> (NB,) int32 DC.
 
     -8 in a nibble takes the next dcesc8 entry; -128 there takes the
-    next dcesc16 entry (two NB-sized gathers — negligible); the
-    per-component cumsum undoes JPEG's DC prediction, exactly as the v5
-    chain (dc_reconstruct)."""
+    next dcesc16 entry (two NB-sized lookups via take_onehot — as
+    jnp.take these traced at ~1 ms/batch-24 EACH); the per-component
+    cumsum undoes JPEG's DC prediction, exactly as the v5 chain
+    (dc_reconstruct)."""
     nb = yb + 2 * cb
     d = unpack_nibbles(dc4)[:nb]
     f1 = d == -8
     r1 = jnp.cumsum(f1.astype(jnp.int32)) - f1.astype(jnp.int32)
     i1 = jnp.clip(r1, 0, dcesc8.shape[0] - 1)
-    d1 = jnp.where(f1, jnp.take(dcesc8, i1).astype(jnp.int32), d)
+    d1 = jnp.where(f1, take_onehot(dcesc8, i1).astype(jnp.int32), d)
     f2 = f1 & (d1 == -128)
     r2 = jnp.cumsum(f2.astype(jnp.int32)) - f2.astype(jnp.int32)
     i2 = jnp.clip(r2, 0, dcesc16.shape[0] - 1)
-    delta = jnp.where(f2, jnp.take(dcesc16, i2).astype(jnp.int32), d1)
+    delta = jnp.where(f2, take_onehot(dcesc16, i2).astype(jnp.int32), d1)
     return jnp.concatenate([
         jnp.cumsum(delta[:yb]),
         jnp.cumsum(delta[yb:yb + cb]),

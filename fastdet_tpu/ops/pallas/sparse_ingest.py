@@ -310,12 +310,14 @@ def _stream_counts(flags_s, off, nnz):
     stream, from STREAM space: S = inclusive scan of flags, probed once
     per block BOUNDARY. Blocks are contiguous in the stream
     (off[k] + nnz[k] == off[k+1]), so the upper probe of block k is the
-    lower probe of block k+1: ONE (B, NB+1)-sized gather instead of two
-    NB-sized ones — TPU gathers cost ~10 ns/element, so at NB=4056 each
-    probe eliminated is ~0.6 ms/batch-16."""
+    lower probe of block k+1: ONE (B, NB+1)-sized probe instead of two
+    NB-sized ones, and the probe itself is jpeg_device.take_onehot (as
+    a jnp.take gather it traced at ~1 ms/batch-24)."""
+    from fastdet_tpu.ops import jpeg_device
+
     cap = flags_s.shape[-1]
     s = jnp.cumsum(flags_s, axis=-1)                     # (B, CAP)
-    take = jax.vmap(jnp.take)
+    take = jax.vmap(jpeg_device.take_onehot)
     ends = jnp.concatenate([off, off[:, -1:] + nnz[:, -1:]], axis=-1)
     probe = jnp.where(
         ends > 0, take(s, jnp.clip(ends - 1, 0, cap - 1)), 0
@@ -369,12 +371,13 @@ def _batch_ac(plen, maskstream, vals, esc8, esc16, nb, *, sentinel,
     # Value offsets straight from the mask stream: the wire mask's DC
     # bit is always clear, so the inclusive popcount cumsum probed at
     # each block's mask boundary IS the exclusive AC-value offset (one
-    # (B, NB+1) gather; bits themselves are expanded in-kernel — mask
-    # bytes are far less HBM traffic than a precomputed bit plane plus
-    # its relayout copies at the pallas boundary).
+    # (B, NB+1) take_onehot probe; bits themselves are expanded
+    # in-kernel — mask bytes are far less HBM traffic than a
+    # precomputed bit plane plus its relayout copies at the pallas
+    # boundary).
     pc = jax.lax.population_count(maskstream).astype(jnp.int32)
     s = jnp.cumsum(pc, axis=-1)                          # (B, MCAP) incl.
-    take = jax.vmap(jnp.take)
+    take = jax.vmap(jpeg_device.take_onehot)
     probe = jnp.where(
         moffx > 0, take(s, jnp.clip(moffx - 1, 0, pc.shape[-1] - 1)), 0
     ).astype(jnp.int32)                                  # (B, NBp+1)

@@ -86,8 +86,9 @@ def main():
         if e.get("ph") != "X" or "dur" not in e:
             continue
         name = e.get("name", "")
+        if name.startswith("$"):   # host-side python frames (e.g.
+            continue               # $native_jpeg.py:... scan_layout)
         cat = (e.get("args") or {}).get("long_name", "") or name
-        pidname = str(e.get("pid", ""))
         if not any(k in name.lower() for k in (
                 "fusion", "conv", "dot", "copy", "pallas", "custom",
                 "while", "sort", "reduce", "scan", "dynamic", "transpose",
