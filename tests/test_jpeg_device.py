@@ -101,3 +101,26 @@ def test_grayscale_rejected_for_coeff_path(native):
     Image.fromarray(_image()[:, :, 0]).save(buf, format="JPEG")
     with pytest.raises(ValueError):
         native.decode_coefficients(buf.getvalue())
+
+
+def test_take_onehot_matches_numpy_take():
+    """take_onehot is bit-identical to s[idx] across dtypes, ragged
+    capacities (pad to 128 lanes), negative values, boundary indices,
+    and repeated indices — the contract the ingest offset probes and
+    DC escape lookups rely on (callers pre-clip idx into range)."""
+    rng = np.random.RandomState(7)
+    for cap, dtype, lo, hi in [
+        (1, np.int32, 0, 50_000),          # single entry
+        (127, np.int16, -32768, 32767),    # below one lane row
+        (128, np.int8, -128, 127),         # exactly one lane row
+        (769, np.int32, -9, 9),            # ragged multi-row
+        (18688, np.int32, 0, 60_000),      # mask-cumsum sized
+    ]:
+        s = rng.randint(lo, hi + 1, size=cap).astype(dtype)
+        idx = np.concatenate([
+            rng.randint(0, cap, size=500),
+            [0, cap - 1, cap - 1, 0],      # edges + repeats
+        ]).astype(np.int32)
+        got = np.asarray(jpeg_device.take_onehot(jnp.asarray(s),
+                                                 jnp.asarray(idx)))
+        np.testing.assert_array_equal(got, s[idx])
