@@ -122,6 +122,31 @@ def bench_calibration(n: int = 6):
     return np.stack([jpeg.decode_rgb(d) for d in make_jpegs(n)])
 
 
+def probe_link_mbps(n: int = 6, size: int = 1200 * 1024) -> float:
+    """One-point tunnel-weather measurement: wall-clock MB/s of
+    fresh-content device_puts sized like one dispatched b24 sparse batch.
+
+    The dev tunnel's effective h2d bandwidth swings by more than 10x
+    hour-to-hour (docs/ROUND7.md: 1.2 MB puts measured at 1.4 ms and at
+    57 ms the same day), so an e2e headline is only comparable across
+    runs next to the link weather it was measured under. The put wall is
+    wait-dominated, not host CPU (1.7 ms CPU on a 57 ms put), so this
+    measures the link, not the host. Fresh content per put defeats any
+    content caching in the transport."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    arrs = [rng.integers(0, 256, size, dtype=np.uint8) for _ in range(n)]
+    dev = jax.devices()[0]
+    jax.device_put(
+        rng.integers(0, 256, size, dtype=np.uint8), dev
+    ).block_until_ready()  # connection warm, excluded
+    t0 = time.perf_counter()
+    for a in arrs:
+        jax.device_put(a, dev).block_until_ready()
+    return size * n / (time.perf_counter() - t0) / 1e6
+
+
 def _threaded_fps(engine, submit, n_batches: int, batch: int,
                   inflight: int) -> float:
     """Pipelined dispatch/fetch: a producer thread runs ``submit(i)`` ->
@@ -220,11 +245,15 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 256,
     # several hundred frames (measured: pass fps still rising at frame
     # 512 with a 32-frame warm), so a short warm under-reports every pass
     run(warm_frames)
+    link_before = probe_link_mbps()
     # median of 3 passes: the dev tunnel's bandwidth fluctuates
-    # minute-to-minute (measured 25-36 MB/s), so a single pass is noisy
-    # in both directions; the median is the honest point estimate
+    # minute-to-minute (measured 25-36 MB/s, with >10x hour-scale swings
+    # — docs/ROUND7.md), so a single pass is noisy in both directions;
+    # the median is the honest point estimate, and the link probes
+    # bracketing the passes record the weather it was measured under
     passes = sorted(run(frames) for _ in range(3))
     fps = passes[1]
+    link_after = probe_link_mbps()
 
     # ---- p50 single-request end-to-end latency ----
     lat = []
@@ -235,7 +264,8 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 256,
         engine.fetch(res, 1)
         lat.append((time.time() - t0) * 1000)
     p50 = float(np.percentile(lat, 50))
-    return fps, passes, p50, compile_s, ingest["path"], weight_kind
+    link = (round(link_before, 1), round(link_after, 1))
+    return fps, passes, p50, compile_s, ingest["path"], weight_kind, link
 
 
 def bench_baseline_cpu(frames: int = 8):
@@ -568,7 +598,7 @@ def main():
         print(json.dumps(payload))
         return
 
-    fps, passes, p50, compile_s, ingest, weight_kind = bench_tpu(
+    fps, passes, p50, compile_s, ingest, weight_kind, link = bench_tpu(
         args.frames, args.batch, args.inflight, mode=args.mode)
     vs = None
     baseline_kind = None
@@ -591,6 +621,7 @@ def main():
         "north_star": "BASELINE.json ORT-CUDA e2e (unmeasurable here: no GPU/ORT)",
         "p50_ms": round(p50, 1),
         "passes_fps": [round(p, 1) for p in passes],
+        "link_probe_mbps": list(link),  # h2d weather around the passes
         "batch": args.batch,
         "inflight": args.inflight,
         "pipeline": "threaded",   # effective depth <= inflight+2, see run()
