@@ -176,15 +176,22 @@ class PlanesDispatch:
     indices to reassemble order. Returned by detect_async_planes /
     detect_async_sparse and consumed by fetch()."""
 
-    __slots__ = ("parts", "layouts", "tags", "counts")
+    __slots__ = ("parts", "layouts", "tags", "counts", "unresolved")
 
-    def __init__(self, parts, layouts=(), tags=(), counts=None):
+    def __init__(self, parts, layouts=(), tags=(), counts=None,
+                 unresolved=()):
         self.parts = parts      # [(device_result, [orig indices]), ...]
         self.layouts = layouts  # e.g. ((2, 1), (2, 2)) — for observability
         # Path observability: one tag per group, e.g. ("sparse:22",
         # "planes:21"), and frame counts per ingest kind.
         self.tags = tags
         self.counts = counts or {}
+        # Frames NO native path could decode (malformed / unsupported
+        # stream): no part covers them; the caller must route exactly
+        # these through the host pixel path instead of abandoning the
+        # parts already in flight (fetch()/fetch_wire() return empty for
+        # them if fetched anyway).
+        self.unresolved = tuple(unresolved)
 
 
 class DetectionEngine:
@@ -324,6 +331,7 @@ class DetectionEngine:
         # rounded up to multiples of the dp size so every chip gets equal
         # work with no padding surprises.
         devs = list(devices if devices is not None else jax.devices())
+        self.devices = tuple(devs)
         self.n_devices = len(devs)
         if self.n_devices > 1:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -817,15 +825,23 @@ class DetectionEngine:
 
     def _run_sparse_jobs(
         self, jobs
-    ) -> Optional[Tuple[List[int], Dict[int, Any]]]:
+    ) -> Tuple[List[int], Dict[int, Any]]:
         """Entropy-decode each job into its row; returns (overflow
-        indices, {frame index: (emitter format, TRUE SparseCounts)}),
-        or None on decode failure (caller falls back entirely). The
-        counts feed the tier-memory heuristic and the retry router (see
-        detect_async_sparse): the emitters report BOTH formats' escape
-        predictors and per-block-cap flags, so one decode tells whether
-        an overflow frame has any chance on the other tier and whether
-        a dense-staged frame would have fit std."""
+        indices, {frame index: (emitter format, TRUE SparseCounts)}).
+        The counts feed the tier-memory heuristic and the retry router
+        (see detect_async_sparse): the emitters report BOTH formats'
+        escape predictors and per-block-cap flags, so one decode tells
+        whether an overflow frame has any chance on the other tier and
+        whether a dense-staged frame would have fit std.
+
+        A frame whose entropy decode RAISES (malformed / unsupported
+        stream — not a capacity overflow) is reported as overflow with
+        counts ``None``: it fails _fits_tier for every tier, so the
+        retry router sends it down the planes/pixel ladder while its
+        batch-mates keep their sparse dispatch. Raising here instead
+        used to orphan std-tier parts already in flight on the device
+        (wasted link + device work, then a duplicate full-batch
+        fallback dispatch)."""
         from fastdet_tpu.runtime import native_jpeg
 
         def _decode(job):
@@ -840,19 +856,18 @@ class DetectionEngine:
                         data, *views[:-1])
             except native_jpeg.SparseCapacityExceeded as e:
                 return i, False, (fmt, e.counts)
+            except (ValueError, native_jpeg.NativeJpegUnavailable):
+                return i, False, None
             qrow[:64] = qy
             qrow[64:128] = qcb
             qrow[128:] = qcr
             return i, True, (fmt, cts)
 
-        try:
-            pool = _decode_pool() if len(jobs) > 1 else None
-            outcomes = (
-                list(pool.map(_decode, jobs)) if pool is not None
-                else [_decode(j) for j in jobs]
-            )
-        except (ValueError, native_jpeg.NativeJpegUnavailable):
-            return None
+        pool = _decode_pool() if len(jobs) > 1 else None
+        outcomes = (
+            list(pool.map(_decode, jobs)) if pool is not None
+            else [_decode(j) for j in jobs]
+        )
         overflow = [i for i, ok, _ in outcomes if not ok]
         counts = {i: cts for i, ok, cts in outcomes}
         return overflow, counts
@@ -925,14 +940,22 @@ class DetectionEngine:
         if size % 8 != 0 or not native_jpeg.available():
             return None
         groups: Dict[Tuple[int, int], List[int]] = {}
-        try:
-            for i, d in enumerate(jpegs):
+        probe_failed: List[int] = []
+        for i, d in enumerate(jpegs):
+            try:
                 _, _, hs, vs = native_jpeg.scan_layout(
                     d, expected_size=(size, size)
                 )
                 native_jpeg.sparse_geometry(size, size, hs, vs)
-                groups.setdefault((hs, vs), []).append(i)
-        except (ValueError, native_jpeg.NativeJpegUnavailable):
+            except (ValueError, native_jpeg.NativeJpegUnavailable):
+                # Frame outside the native decoder's subset (progressive
+                # scan, wrong size, malformed headers): route ONLY this
+                # frame to the host pixel path instead of degrading its
+                # whole batch — the probe is per-frame information.
+                probe_failed.append(i)
+                continue
+            groups.setdefault((hs, vs), []).append(i)
+        if not groups:
             return None
 
         thr_all = np.asarray(list(thresholds), np.float32)
@@ -955,10 +978,7 @@ class DetectionEngine:
             if not pending:
                 continue
             staged, jobs = self._stage_sparse(jpegs, thr_all, pending, tier)
-            decoded = self._run_sparse_jobs(jobs)
-            if decoded is None:
-                return None
-            overflow, frame_cts = decoded
+            overflow, frame_cts = self._run_sparse_jobs(jobs)
             ov = set(overflow)
             next_pending: Dict[Tuple[int, int], List[int]] = {}
             for layout, idxs, packed, thr in staged:
@@ -1016,6 +1036,7 @@ class DetectionEngine:
                 counts[count_key] = counts.get(count_key, 0) + len(keep)
                 tags.append(tag_fmt % layout)
             pending = next_pending
+        unresolved: List[int] = list(probe_failed)
         if pending or to_planes:
             # Too dense even for the dense tier: those frames re-decode
             # via the plane path (still a native fast path, 1.5-2 B/px).
@@ -1025,14 +1046,20 @@ class DetectionEngine:
                 [jpegs[i] for i in ovidx], [thr_all[i] for i in ovidx]
             )
             if sub is None:
-                return None  # caller falls back to pixel decode for all
-            for dev_res, sub_idxs in sub.parts:
-                parts.append((dev_res, [ovidx[k] for k in sub_idxs]))
-            counts["planes"] = len(ovidx)
-            tags.extend(sub.tags)
+                if not parts:
+                    return None  # nothing in flight: pixel decode for all
+                # Sparse parts are already on the device — keep them and
+                # hand ONLY these frames back for host pixel decode.
+                unresolved.extend(ovidx)
+            else:
+                for dev_res, sub_idxs in sub.parts:
+                    parts.append((dev_res, [ovidx[k] for k in sub_idxs]))
+                unresolved.extend(ovidx[k] for k in sub.unresolved)
+                counts["planes"] = len(ovidx) - len(sub.unresolved)
+                tags.extend(sub.tags)
         return PlanesDispatch(
             parts, layouts=tuple(sorted(groups)), tags=tuple(tags),
-            counts=counts,
+            counts=counts, unresolved=unresolved,
         )
 
     def detect_async_planes(
@@ -1047,8 +1074,15 @@ class DetectionEngine:
         before anything is allocated; frames then entropy-decode straight
         into the padded batch arrays, in parallel across decode threads
         on multi-core hosts (the native call releases the GIL).
-        All-or-nothing: if any frame is outside the native decoder's
-        subset, returns None and the caller decodes on host.
+
+        The header probe is all-or-nothing (it is ~4us/frame and runs
+        before anything is staged): an unsupported layout returns None
+        and the caller decodes everything on host. A frame whose FULL
+        entropy decode then fails (malformed stream past the headers) is
+        excluded from its group (rows compacted, tail re-neutralized)
+        and reported in the dispatch's ``unresolved`` — its group-mates'
+        device work is kept, matching the sparse path's per-frame
+        failure routing. None is returned only when no frame decodes.
         """
         from fastdet_tpu.runtime import native_jpeg
 
@@ -1058,13 +1092,17 @@ class DetectionEngine:
         if size % 16 != 0 or not native_jpeg.available():
             return None
         groups: Dict[Tuple[int, int], List[int]] = {}
-        try:
-            for i, d in enumerate(jpegs):
+        probe_failed: List[int] = []
+        for i, d in enumerate(jpegs):
+            try:
                 _, _, hs, vs = native_jpeg.scan_layout(
                     d, expected_size=(size, size)
                 )
-                groups.setdefault((hs, vs), []).append(i)
-        except (ValueError, native_jpeg.NativeJpegUnavailable):
+            except (ValueError, native_jpeg.NativeJpegUnavailable):
+                probe_failed.append(i)   # per-frame: see detect_async_sparse
+                continue
+            groups.setdefault((hs, vs), []).append(i)
+        if not groups:
             return None
 
         thr_all = np.asarray(list(thresholds), np.float32)
@@ -1089,32 +1127,55 @@ class DetectionEngine:
             staged.append((layout, idxs, packed, thr))
             for j, i in enumerate(idxs):
                 jobs.append((
+                    i,
                     jpegs[i],
                     packed[j, :yb].reshape(size, size),
                     packed[j, yb:yb + cw].reshape(size // vs, size // hs),
                     packed[j, yb + cw:yb + 2 * cw].reshape(
                         size // vs, size // hs),
                 ))
-        try:
-            if len(jobs) > 1 and _decode_pool() is not None:
-                list(_decode_pool().map(
-                    lambda a: native_jpeg.decode_planes_into(*a), jobs
-                ))
-            else:
-                for a in jobs:
-                    native_jpeg.decode_planes_into(*a)
-        except (ValueError, native_jpeg.NativeJpegUnavailable):
-            return None
+
+        def _decode_one(a):
+            try:
+                native_jpeg.decode_planes_into(*a[1:])
+                return None
+            except (ValueError, native_jpeg.NativeJpegUnavailable):
+                return a[0]
+
+        if len(jobs) > 1 and _decode_pool() is not None:
+            failed = {i for i in _decode_pool().map(_decode_one, jobs)
+                      if i is not None}
+        else:
+            failed = {i for i in map(_decode_one, jobs) if i is not None}
+        if len(failed) + len(probe_failed) == n:
+            return None  # nothing decodable; caller pixel-decodes all
 
         parts = []
+        tags = []
         for layout, idxs, packed, thr in staged:
+            keep = [k for k, i in enumerate(idxs) if i not in failed]
+            if not keep:
+                continue
+            if len(keep) != len(idxs):
+                # Compact surviving rows to the front (fetch() maps result
+                # row j -> j-th kept index) and re-neutralize the vacated
+                # rows: black Y / neutral chroma / threshold-2.0 tail so
+                # the batched postprocess early-exits on them.
+                yb = size * size
+                cw = (size // layout[1]) * (size // layout[0])
+                packed[: len(keep)] = packed[keep]
+                packed[len(keep):len(idxs), :yb] = 0
+                packed[len(keep):len(idxs), yb:yb + 2 * cw] = 128
+                packed[len(keep):len(idxs), -4:] = _THR_PAD_BYTES
             res = self._dispatch_async_packed(self._planes_jit(layout), packed)
-            parts.append((res, idxs))
+            parts.append((res, [idxs[k] for k in keep]))
+            tags.append("planes:%d%d" % layout)
         return PlanesDispatch(
             parts,
             layouts=tuple(sorted(groups)),
-            tags=tuple("planes:%d%d" % l for l in sorted(groups)),
-            counts={"planes": n},
+            tags=tuple(tags),
+            counts={"planes": n - len(failed) - len(probe_failed)},
+            unresolved=sorted(failed.union(probe_failed)),
         )
 
     def bucket_for(self, n: int) -> int:

@@ -217,17 +217,31 @@ class ModelService:
                 for k, v in (getattr(res, "counts", None)
                              or {"planes": len(batch)}).items():
                     self.ingest[k] = self.ingest.get(k, 0) + v
-                self._spawn_finish(res, futs_all, len(batch), t_try, sem)
-                continue
-
-            self.fallbacks += 1
-            if not self._fallback_logged:
-                self._fallback_logged = True
-                logger.info(
-                    "plane ingest unavailable for this traffic; using "
-                    "pixel decode (service=%s, batch=%d)",
-                    self.name, len(batch),
-                )
+                unresolved = sorted(getattr(res, "unresolved", ()) or ())
+                if not unresolved:
+                    self._spawn_finish(res, futs_all, len(batch), t_try, sem)
+                    continue
+                # Partial dispatch: the decodable frames are already on
+                # the device — finish them (None futs are skipped), and
+                # run ONLY the undecodable frames down the host pixel
+                # path below as their own dispatch (own inflight slot).
+                uset = set(unresolved)
+                self._spawn_finish(
+                    res,
+                    [f if i not in uset else None
+                     for i, f in enumerate(futs_all)],
+                    len(batch), t_try, sem)
+                batch = [batch[i] for i in unresolved]
+                await sem.acquire()
+            else:
+                self.fallbacks += 1
+                if not self._fallback_logged:
+                    self._fallback_logged = True
+                    logger.info(
+                        "plane ingest unavailable for this traffic; using "
+                        "pixel decode (service=%s, batch=%d)",
+                        self.name, len(batch),
+                    )
 
             # Host JPEG decode on the executor (libjpeg releases the GIL).
             def _decode(item):
@@ -287,17 +301,19 @@ class ModelService:
                 None, self.engine.fetch_wire, res, n)
         except Exception as e:
             for fut in futs:
-                if not fut.done():
+                if fut is not None and not fut.done():
                     fut.set_exception(e)
             return
         finally:
             sem.release()
         STAGES.record("infer_batch", time.perf_counter() - t0)
         self.batches += 1
-        self.frames += n
+        self.frames += sum(1 for f in futs if f is not None)
         self._maybe_log_stats()
+        # A None fut marks a frame this dispatch does not cover (an
+        # unresolved frame being retried down the pixel path).
         for fut, r in zip(futs, results):
-            if not fut.done():
+            if fut is not None and not fut.done():
                 fut.set_result(r)
 
     def _maybe_log_stats(self) -> None:

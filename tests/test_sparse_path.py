@@ -787,3 +787,167 @@ def test_server_uses_sparse_path(native_ready):
     assert len(records) == len(direct)
     for rec, d in zip(records, direct):
         assert rec[0] == d[0] and rec[1] == int(d[1] * 255)
+
+
+def _flat_jpeg():
+    """DC-only frame: fits even the tight std tier."""
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.full((416, 416, 3), 96, np.uint8)).save(
+        buf, format="JPEG", quality=90, subsampling=2)
+    return buf.getvalue()
+
+
+def _progressive_jpeg(idx=0):
+    """Progressive-scan re-encode: outside the native decoder's subset
+    (scan probe raises), but PIL decodes it on the host pixel path."""
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(_scene(idx))).convert("RGB")
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=90, progressive=True,
+             subsampling=2)
+    return buf.getvalue()
+
+
+def _count_dispatches(eng, monkeypatch):
+    """Wrap the engine's device dispatch to record each (rows, calls)."""
+    calls = []
+    orig = eng._dispatch_async_packed
+
+    def counting(fn, packed):
+        calls.append(packed.shape[0])
+        return orig(fn, packed)
+
+    monkeypatch.setattr(eng, "_dispatch_async_packed", counting)
+    return calls
+
+
+def test_engine_dense_retry_failure_keeps_std_parts(
+        tight_engine, native_ready, monkeypatch):
+    """VERDICT r2 #5: a non-capacity decode failure during the DENSE-tier
+    retry must not orphan the std-tier parts already dispatched — the
+    failing frame alone reroutes to planes; the std frame is dispatched
+    exactly once (no duplicate device work)."""
+    from fastdet_tpu.runtime import native_jpeg
+
+    flat = _flat_jpeg()       # rides the (tight) std tier
+    dense = _scene(2)         # overflows tight std -> dense v5 retry
+    tight_engine._tier_hint.clear()
+
+    def boom(*a, **k):
+        raise ValueError("injected mid-dense-retry failure")
+
+    monkeypatch.setattr(native_jpeg, "decode_sparse5_into", boom)
+    calls = _count_dispatches(tight_engine, monkeypatch)
+    res = tight_engine.detect_async_sparse([dense, flat], [0.5, 0.5])
+    assert res is not None
+    # std part kept + one planes dispatch for the failing frame, and
+    # exactly one dispatch each — no full-batch redo.
+    assert res.counts == {"sparse": 1, "planes": 1}, res.counts
+    assert res.unresolved == ()
+    assert len(calls) == 2
+    covered = sorted(i for _, idxs in res.parts for i in idxs)
+    assert covered == [0, 1]
+    got = tight_engine.fetch(res, 2)
+    ref_flat = tight_engine.fetch(
+        tight_engine.detect_async_sparse([flat], [0.5]), 1)[0]
+    ref_dense = tight_engine.fetch(
+        tight_engine.detect_async_planes([dense], [0.5]), 1)[0]
+    assert got[1] == ref_flat
+    assert got[0] == ref_dense
+
+
+def test_engine_sparse_unresolved_when_planes_also_fails(
+        tight_engine, native_ready, monkeypatch):
+    """When every fallback decode fails too, the dispatched sparse parts
+    are still returned and the failing frame is reported unresolved
+    (caller pixel-decodes exactly that frame; fetch gives it [])."""
+    from fastdet_tpu.runtime import native_jpeg
+
+    flat = _flat_jpeg()
+    dense = _scene(2)
+    tight_engine._tier_hint.clear()
+
+    def boom(*a, **k):
+        raise ValueError("injected decode failure")
+
+    monkeypatch.setattr(native_jpeg, "decode_sparse5_into", boom)
+    monkeypatch.setattr(native_jpeg, "decode_planes_into", boom)
+    res = tight_engine.detect_async_sparse([dense, flat], [0.5, 0.5])
+    assert res is not None
+    assert res.counts == {"sparse": 1}, res.counts
+    assert res.unresolved == (0,)
+    got = tight_engine.fetch(res, 2)
+    assert got[0] == []
+    ref_flat = tight_engine.fetch(
+        tight_engine.detect_async_sparse([flat], [0.5]), 1)[0]
+    assert got[1] == ref_flat
+
+
+def test_engine_planes_partial_decode_failure(engine, native_ready):
+    """A frame whose headers scan clean but whose entropy stream is
+    truncated fails alone: its group-mate keeps its compacted row and
+    result; the bad frame is unresolved."""
+    good = _scene(0)
+    trunc = good[: int(len(good) * 0.6)]   # headers intact, stream cut
+    res = engine.detect_async_planes([trunc, good], [0.5, 0.5])
+    assert res is not None
+    assert res.unresolved == (0,)
+    assert res.counts == {"planes": 1}
+    got = engine.fetch(res, 2)
+    assert got[0] == []
+    ref = engine.fetch(engine.detect_async_planes([good], [0.5]), 1)[0]
+    assert got[1] == ref
+
+
+def test_engine_sparse_probe_failure_routes_per_frame(engine, native_ready):
+    """A progressive frame (probe raises) no longer drags its batch-mates
+    off the sparse path: they dispatch, it comes back unresolved."""
+    engine._tier_hint.clear()
+    good = _scene(1)
+    prog = _progressive_jpeg(1)
+    res = engine.detect_async_sparse([prog, good], [0.5, 0.5])
+    assert res is not None
+    assert res.counts == {"sparse": 1}, res.counts
+    assert res.unresolved == (0,)
+    ref = engine.fetch(engine.detect_async_sparse([good], [0.5]), 1)[0]
+    assert engine.fetch(res, 2)[1] == ref
+
+
+@pytest.mark.slow
+def test_server_pixel_path_for_unresolved_frames(native_ready, monkeypatch):
+    """End-to-end: a batch mixing a sparse-decodable frame with a
+    progressive one resolves BOTH — the good frame via its kept sparse
+    dispatch, the progressive one via the host pixel path — with
+    correct per-frame results."""
+    from tests.test_server import ServerThread
+    from fastdet_tpu.runtime.client import DetectClient
+    from fastdet_tpu.runtime.server import ModelService
+
+    monkeypatch.setenv("FASTDET_BATCH_WINDOW_MS", "300")
+    spec, params = weights.load_model("synthetic:tiny", num_classes=80)
+    eng = DetectionEngine(spec, params, mode="f32", buckets=(1, 2))
+    eng.warmup()
+    svc = ModelService(eng, name="tiny")
+    good, prog = _scene(0), _progressive_jpeg(0)
+    with ServerThread({"tiny": svc}) as st:
+        c = DetectClient("127.0.0.1", st.port, "tiny")
+        c.open()
+        c.request(1, 0.5, good)
+        c.request(2, 0.5, prog)
+        _, rec_good = c.wait_response(1, timeout=60)
+        _, rec_prog = c.wait_response(2, timeout=60)
+        c.close()
+    assert svc.ingest["sparse"] >= 1
+    assert svc.ingest["pixels"] == 1
+    direct_good = eng.fetch(eng.detect_async_sparse([good], [0.5]), 1)[0]
+    assert len(rec_good) == len(direct_good)
+    from fastdet_tpu.runtime import jpeg as jpeg_mod
+
+    img = jpeg_mod.decode_rgb(prog)
+    direct_prog = eng.fetch(eng.detect_async([img], [0.5]), 1)[0]
+    assert len(rec_prog) == len(direct_prog)
+    for rec, d in zip(rec_prog, direct_prog):
+        assert rec[0] == d[0] and rec[1] == int(d[1] * 255)

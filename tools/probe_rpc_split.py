@@ -58,7 +58,7 @@ def main():
         _, _, hs, vs = native_jpeg.scan_layout(d, expected_size=(size, size))
         groups.setdefault((hs, vs), []).append(i)
     staged, jobs = eng._stage_sparse(jpegs, thr_all, groups, "std")
-    assert eng._run_sparse_jobs(jobs) is not None
+    assert not eng._run_sparse_jobs(jobs)[0]  # no overflow
     (layout, idxs, packed, thr), = staged
     fn = eng._sparse_jit(layout, "std")
     print(f"row bytes: {packed.shape[1]} x b{b} = "
