@@ -122,7 +122,8 @@ def bench_calibration(n: int = 6):
     return np.stack([jpeg.decode_rgb(d) for d in make_jpegs(n)])
 
 
-def probe_link_mbps(n: int = 6, size: int = 1200 * 1024) -> float:
+def probe_link_mbps(n: int = 6, size: int = 1200 * 1024,
+                    device=None) -> float:
     """One-point tunnel-weather measurement: wall-clock MB/s of
     fresh-content device_puts sized like one dispatched b24 sparse batch.
 
@@ -131,13 +132,16 @@ def probe_link_mbps(n: int = 6, size: int = 1200 * 1024) -> float:
     57 ms the same day), so an e2e headline is only comparable across
     runs next to the link weather it was measured under. The put wall is
     wait-dominated, not host CPU (1.7 ms CPU on a 57 ms put), so this
-    measures the link, not the host. Fresh content per put defeats any
-    content caching in the transport."""
+    measures the link, not the host. Payloads come from an UNSEEDED rng:
+    unique bytes on every call (and across the before/after pair), so a
+    content-caching transport can never serve a probe from cache.
+    ``device`` should be the device the engine dispatches to (callers
+    pass ``engine.devices[0]``); default is device 0."""
     import jax
 
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng()   # entropy-seeded: fresh bytes per call
     arrs = [rng.integers(0, 256, size, dtype=np.uint8) for _ in range(n)]
-    dev = jax.devices()[0]
+    dev = device if device is not None else jax.devices()[0]
     jax.device_put(
         rng.integers(0, 256, size, dtype=np.uint8), dev
     ).block_until_ready()  # connection warm, excluded
@@ -145,6 +149,70 @@ def probe_link_mbps(n: int = 6, size: int = 1200 * 1024) -> float:
     for a in arrs:
         jax.device_put(a, dev).block_until_ready()
     return size * n / (time.perf_counter() - t0) / 1e6
+
+
+def measure_legs(engine, jpegs, batch: int, inflight: int,
+                 n_batches: int = 10):
+    """Stable-leg attribution emitted beside the headline (VERDICT r2
+    #2): the e2e number is confounded by tunnel weather, so the JSON
+    line carries the legs that are NOT —
+
+      host_pack_fps  entropy decode + pack per batch, zero dispatch
+                     (pure host CPU; the serving producer's stable leg)
+      device_fps     ONE pre-staged batch re-dispatched in a pipelined
+                     loop (put + exec + wire-blob fetch, no host pack)
+
+    plus bytes_per_frame of the staged rows so the link probes convert
+    to a link-bound fps. Returns (host_pack_fps, device_fps,
+    bytes_per_frame) or None when the content doesn't ride one std-tier
+    sparse group (legs would not describe the headline path).
+    """
+    from collections import deque
+
+    from fastdet_tpu.runtime import native_jpeg
+    from fastdet_tpu.runtime.engine import PlanesDispatch
+
+    bj = [jpegs[i % len(jpegs)] for i in range(batch)]
+    thr_all = np.full((batch,), BENCH_THRESHOLD, np.float32)
+    size = engine.spec.image_size
+    groups = {}
+    for i, d in enumerate(bj):
+        _, _, hs, vs = native_jpeg.scan_layout(d, expected_size=(size, size))
+        groups.setdefault((hs, vs), []).append(i)
+
+    staged, jobs = engine._stage_sparse(bj, thr_all, groups, "std")
+    overflow, _ = engine._run_sparse_jobs(jobs)
+    if overflow or len(staged) != 1:
+        return None
+
+    # host leg: decode+pack only
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        s, j = engine._stage_sparse(bj, thr_all, groups, "std")
+        engine._run_sparse_jobs(j)
+    host_dt = time.perf_counter() - t0
+
+    # device+link leg: re-dispatch the staged rows, pipelined like serving
+    (layout, idxs, packed, _thr), = staged
+    fn = engine._sparse_jit(layout, "std")
+
+    def submit():
+        res = engine._dispatch_async_packed(fn, packed)
+        return PlanesDispatch([(res, list(idxs))], counts={"sparse": batch})
+
+    engine.fetch_wire(submit(), batch)   # warm
+    q = deque()
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        q.append(submit())
+        if len(q) >= inflight:
+            engine.fetch_wire(q.popleft(), batch)
+    while q:
+        engine.fetch_wire(q.popleft(), batch)
+    dev_dt = time.perf_counter() - t0
+
+    return (n_batches * batch / host_dt, n_batches * batch / dev_dt,
+            packed.nbytes / batch)
 
 
 def _threaded_fps(engine, submit, n_batches: int, batch: int,
@@ -245,7 +313,8 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 256,
     # several hundred frames (measured: pass fps still rising at frame
     # 512 with a 32-frame warm), so a short warm under-reports every pass
     run(warm_frames)
-    link_before = probe_link_mbps()
+    dev0 = engine.devices[0]
+    link_before = probe_link_mbps(device=dev0)
     # median of 3 passes: the dev tunnel's bandwidth fluctuates
     # minute-to-minute (measured 25-36 MB/s, with >10x hour-scale swings
     # — docs/ROUND7.md), so a single pass is noisy in both directions;
@@ -253,7 +322,8 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 256,
     # bracketing the passes record the weather it was measured under
     passes = sorted(run(frames) for _ in range(3))
     fps = passes[1]
-    link_after = probe_link_mbps()
+    link_after = probe_link_mbps(device=dev0)
+    legs = measure_legs(engine, jpegs, batch, inflight)
 
     # ---- p50 single-request end-to-end latency ----
     lat = []
@@ -265,7 +335,7 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 256,
         lat.append((time.time() - t0) * 1000)
     p50 = float(np.percentile(lat, 50))
     link = (round(link_before, 1), round(link_after, 1))
-    return fps, passes, p50, compile_s, ingest["path"], weight_kind, link
+    return fps, passes, p50, compile_s, ingest["path"], weight_kind, link, legs
 
 
 def bench_baseline_cpu(frames: int = 8):
@@ -598,7 +668,7 @@ def main():
         print(json.dumps(payload))
         return
 
-    fps, passes, p50, compile_s, ingest, weight_kind, link = bench_tpu(
+    fps, passes, p50, compile_s, ingest, weight_kind, link, legs = bench_tpu(
         args.frames, args.batch, args.inflight, mode=args.mode)
     vs = None
     baseline_kind = None
@@ -612,7 +682,7 @@ def main():
         # exists here. The ratio is real but reflects that anchor only.
         baseline_kind = "torch-cpu-%dcore" % anchor.get(
             "host_cpus", os.cpu_count() or 1)
-    print(json.dumps({
+    out = {
         "metric": METRIC,
         "value": round(fps, 2),
         "unit": "frames/s",
@@ -629,7 +699,24 @@ def main():
         "weights": weight_kind,
         "mode": args.mode,
         "compile_s": round(compile_s, 1),
-    }))
+    }
+    if legs is not None:
+        # Stable-leg attribution (VERDICT r2 #2): host_pack_fps and the
+        # per-frame wire bytes don't move with tunnel weather; device_fps
+        # moves only with the link legs it contains. sol_fps is the
+        # docs/ROUND7.md speed-of-light model evaluated at THIS run's
+        # measured weather — headline >> below sol_fps means weather or
+        # regression; headline ~ sol_fps means the pipeline is at its
+        # bound.
+        host_fps, device_fps, bpf = legs
+        link_mbps = float(np.mean(link))
+        link_fps = link_mbps * 1e6 / bpf if bpf else None
+        out["host_pack_fps"] = round(host_fps, 1)
+        out["device_fps"] = round(device_fps, 1)
+        out["wire_bytes_per_frame"] = int(bpf)
+        out["link_bound_fps"] = round(link_fps, 1)
+        out["sol_fps"] = round(min(host_fps, device_fps, link_fps), 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
