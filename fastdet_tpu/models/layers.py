@@ -54,6 +54,31 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
     ).astype(x.dtype)
 
 
+def conv2d_train(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
+                 pad=None) -> jnp.ndarray:
+    """Training-path convolution: operands AND output in the compute
+    dtype, no f32-accumulate-then-downcast.
+
+    :func:`conv2d`'s ``preferred_element_type=f32`` + output cast is
+    right for inference but untransposable under ``jax.grad`` with a
+    bf16 compute dtype (the cotangent reaches the conv as f32 against
+    bf16 operands and lax rejects the mix). Keeping the whole conv in
+    one dtype is the standard mixed-precision recipe — the TPU MXU
+    accumulates bf16 products in f32 internally either way, and the
+    loss is computed on f32-cast heads (yolov3.apply)."""
+    if pad is None:
+        k = w.shape[0]
+        p = (k - 1) // 2
+        pad = ((p, p), (p, p))
+    return jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=list(pad),
+        dimension_numbers=_DIMENSION_NUMBERS,
+    )
+
+
 def space_to_depth(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     """NHWC (..., H, W, C) -> (..., H/f, W/f, f*f*C), phase-major
     channel order: out channel = p*(f*C) + q*C + c for row phase p, col
@@ -116,7 +141,7 @@ def conv_bn_block_train(
     params: Params, x: jnp.ndarray, stride: int = 1, act: bool = True
 ) -> jnp.ndarray:
     """Training conv block: conv + batch-stat BN (+ LeakyReLU)."""
-    y = conv2d(x, params["w"], stride)
+    y = conv2d_train(x, params["w"], stride)
     if "bn" in params:
         y = batch_norm_train(params["bn"], y)
     else:

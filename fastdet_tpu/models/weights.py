@@ -138,11 +138,21 @@ def _flatten(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
     return flat
 
 
-def save_npz(path: str, spec: ModelSpec, params: Dict[str, Any]) -> None:
+def save_npz(path: str, spec: ModelSpec, params: Dict[str, Any],
+             dtype=None) -> None:
+    """Write the native .npz archive.
+
+    ``dtype=np.float16`` halves checkpoint size for git-committed
+    weights; :func:`load_npz` upcasts back to float32 (a trained
+    model's dynamic range fits f16 comfortably — conv weights are
+    O(1) after BN folding and BN stats are O(1e2) at most)."""
     meta = json.dumps(
         {"arch": spec.name, "num_classes": spec.num_classes, "format": 1}
     )
     flat = _flatten(params)
+    if dtype is not None:
+        flat = {k: v.astype(dtype) if np.issubdtype(v.dtype, np.floating)
+                else v for k, v in flat.items()}
     flat["__meta__"] = np.frombuffer(meta.encode("utf-8"), dtype=np.uint8).copy()
     # write-then-rename: a process killed mid-save must never leave a
     # truncated .npz at the target path (conversion caches read it back
@@ -161,12 +171,15 @@ def load_npz(path: str) -> Tuple[ModelSpec, Dict[str, Any]]:
         for key in z.files:
             if key == "__meta__":
                 continue
+            v = z[key]
+            if v.dtype == np.float16:   # storage-compressed checkpoint
+                v = v.astype(np.float32)
             parts = key.split("/")
             node = params.setdefault(parts[0], {})
             if parts[1] == "bn":
-                node.setdefault("bn", {})[parts[2]] = jnp.asarray(z[key])
+                node.setdefault("bn", {})[parts[2]] = jnp.asarray(v)
             else:
-                node[parts[1]] = jnp.asarray(z[key])
+                node[parts[1]] = jnp.asarray(v)
     return spec, params
 
 

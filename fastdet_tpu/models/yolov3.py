@@ -306,7 +306,7 @@ def apply(
         if isinstance(l, Conv):
             p = params[l.name]
             if train and "bn" in p:
-                y = layers.conv2d(cur, p["w"], l.stride, l.pad)
+                y = layers.conv2d_train(cur, p["w"], l.stride, l.pad)
                 y, bmean, bvar = layers.batch_norm_train_stats(p["bn"], y)
                 if bn_stats is not None:
                     bn_stats[l.name] = {"mean": bmean, "var": bvar}

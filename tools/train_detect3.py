@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Train the 3-class shape detector that proves end-to-end detection.
+
+VERDICT round 2, directive #1: the framework had never detected a real
+object (no egress for public YOLOv3 weights — tools/fetch_weights.py
+fails DNS). This closes the gap with first-party evidence: yolov3-tiny
+(num_classes=3) trained from scratch with the project's own training
+subsystem (fastdet_tpu.parallel.train) on procedurally generated scenes
+with exact ground truth (fastdet_tpu.data.synth), until HELD-OUT frames
+localize their planted objects.
+
+Seed plan (disjoint by construction, documented for the tests):
+  train      seeds 1000 .. 1000+n_train-1
+  validation seeds 20000 .. 20000+n_val-1
+  test       seeds 30000+   (tests/test_trained_detector.py ONLY)
+
+The dataset lives RESIDENT ON DEVICE (uint8 images + prebuilt dense
+targets); each step ships only a batch-index vector, so the tunneled
+host->device link (~15-25 MB/s, docs/ROUND7.md) costs one upload total
+instead of one batch per step.
+
+Output: weights/detect3_tiny.npz (float16 storage, ~17 MB) + a sidecar
+.json with the final held-out metrics.
+
+Usage: python tools/train_detect3.py [--steps 3000] [--batch 16]
+           [--n-train 384] [--n-val 64] [--out weights/detect3_tiny.npz]
+"""
+
+import argparse
+import functools
+import hashlib
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+EVAL_THR = 0.3
+
+
+def load_or_make(split: str, seeds, cache_dir="/tmp/fastdet_shapes"):
+    """Generate (or load cached) scenes + targets for a seed range."""
+    from fastdet_tpu.data import synth
+
+    os.makedirs(cache_dir, exist_ok=True)
+    key = hashlib.sha1(
+        ("v1:" + split + ":" + ",".join(map(str, seeds))).encode()
+    ).hexdigest()[:16]
+    path = os.path.join(cache_dir, f"{split}_{key}.npz")
+    if os.path.exists(path):
+        with np.load(path, allow_pickle=True) as z:
+            return z["imgs"], list(z["boxes"]), list(z["labels"])
+    t0 = time.time()
+    imgs, boxes, labels = synth.make_dataset(seeds)
+    np.savez(path, imgs=imgs,
+             boxes=np.asarray(boxes, dtype=object),
+             labels=np.asarray(labels, dtype=object))
+    print(f"[data] {split}: {len(seeds)} scenes in {time.time()-t0:.1f}s")
+    return imgs, boxes, labels
+
+
+def evaluate(res_np, boxes, labels, size):
+    """Frame-level scores from a device-fetched NMSResult batch."""
+    from fastdet_tpu.data import synth
+    from fastdet_tpu.ops.postprocess import to_reference_results
+
+    loc_ok = strict_ok = 0
+    total_fp = 0
+    n = len(boxes)
+    for i in range(n):
+        one = type(res_np)(*[a[i] for a in res_np])
+        dets = to_reference_results(one, size)
+        m, t, fp = synth.match_detections(dets, boxes[i], labels[i], size)
+        loc_ok += m == t
+        strict_ok += (m == t) and fp == 0
+        total_fp += fp
+    return loc_ok / n, strict_ok / n, total_fp / n
+
+
+def main(argv):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--n-train", type=int, default=384)
+    ap.add_argument("--n-val", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--eval-every", type=int, default=250)
+    ap.add_argument("--target-strict", type=float, default=0.97,
+                    help="early-stop when held-out strict success passes this")
+    ap.add_argument("--out", default="weights/detect3_tiny.npz")
+    args = ap.parse_args(argv[1:])
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fastdet_tpu.models import weights as weights_io
+    from fastdet_tpu.models import yolov3
+    from fastdet_tpu.ops.postprocess import postprocess_batch
+    from fastdet_tpu.parallel import train as train_lib
+
+    print("[env] devices:", jax.devices())
+    spec = yolov3.get_spec("tiny", 3)
+    size = spec.image_size
+
+    tr_imgs, tr_boxes, tr_labels = load_or_make(
+        "train", range(1000, 1000 + args.n_train))
+    va_imgs, va_boxes, va_labels = load_or_make(
+        "val", range(20000, 20000 + args.n_val))
+
+    t0 = time.time()
+    tgts = train_lib.build_targets(spec, tr_boxes, tr_labels)
+    print(f"[data] targets built in {time.time()-t0:.1f}s "
+          f"shapes={[t.shape for t in tgts]}")
+
+    # one-time uploads: ~200 MB images + ~30 MB targets + 33 MB val
+    t0 = time.time()
+    data = jax.device_put(tr_imgs)
+    t13, t26 = (jax.device_put(t) for t in tgts)
+    val = jax.device_put(va_imgs)
+    jax.block_until_ready((data, t13, t26, val))
+    print(f"[h2d] dataset resident in {time.time()-t0:.1f}s")
+
+    warmup = min(100, max(1, args.steps // 10))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warmup_steps=warmup,
+        decay_steps=max(args.steps, warmup + 1), end_value=args.lr * 0.05)
+    opt = optax.chain(
+        optax.clip_by_global_norm(10.0),
+        optax.adamw(sched, weight_decay=5e-4,
+                    mask=train_lib._decay_mask),
+    )
+    params = weights_io.synthetic_params(spec, seed=42)
+    state = train_lib.init_train_state(spec, params, opt)
+    base_step = train_lib.make_train_step(
+        spec, opt, compute_dtype=jnp.bfloat16)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(st, idx):
+        imgs = jnp.take(data, idx, axis=0).astype(jnp.float32) / 255.0
+        return base_step(st, imgs, jnp.take(t13, idx, axis=0),
+                         jnp.take(t26, idx, axis=0))
+
+    @jax.jit
+    def eval_fn(params):
+        x = val.astype(jnp.float32) / 255.0
+        heads = yolov3.apply(spec, yolov3.fold_params(spec, params), x,
+                             train=False, compute_dtype=jnp.bfloat16)
+        return postprocess_batch(heads, spec, jnp.float32(EVAL_THR))
+
+    rng = np.random.RandomState(7)
+    t_start = time.time()
+    best = (-1.0, -1.0)
+    history = []
+    for s in range(1, args.steps + 1):
+        idx = rng.randint(len(tr_imgs), size=args.batch).astype(np.int32)
+        state, metrics = step(state, idx)
+        if s % 50 == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            print(f"[step {s:5d}] loss={m['loss']:9.3f} "
+                  f"coord={m['coord']:8.3f} obj={m['obj']:8.3f} "
+                  f"cls={m['cls']:7.3f} "
+                  f"({(time.time()-t_start)/s*1e3:.0f} ms/step)")
+        if s % args.eval_every == 0 or s == args.steps:
+            res = jax.device_get(eval_fn(state.params))
+            loc, strict, fp = evaluate(res, va_boxes, va_labels, size)
+            print(f"[eval {s:5d}] held-out: localize={loc:.3f} "
+                  f"strict={strict:.3f} fp/frame={fp:.2f}")
+            history.append({"step": s, "localize": loc,
+                            "strict": strict, "fp_per_frame": fp})
+            if (strict, loc) > best:
+                best = (strict, loc)
+                os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+                weights_io.save_npz(
+                    args.out, spec, jax.device_get(state.params),
+                    dtype=np.float16)
+                print(f"[ckpt] saved {args.out} "
+                      f"({os.path.getsize(args.out)/1e6:.1f} MB)")
+            if strict >= args.target_strict:
+                print(f"[done] target reached at step {s}")
+                break
+
+    meta = {
+        "arch": "tiny", "num_classes": 3,
+        "classes": list(__import__("fastdet_tpu.data.synth",
+                                   fromlist=["SHAPE_CLASSES"]).SHAPE_CLASSES),
+        "train_seeds": [1000, 1000 + args.n_train],
+        "val_seeds": [20000, 20000 + args.n_val],
+        "steps_run": history[-1]["step"] if history else 0,
+        "batch": args.batch,
+        "final_eval": history[-1] if history else None,
+        "best_strict": best[0], "best_localize": best[1],
+        "history": history,
+        "wall_s": round(time.time() - t_start, 1),
+    }
+    with open(os.path.splitext(args.out)[0] + ".json", "w") as fp:
+        json.dump(meta, fp, indent=1)
+    print(f"[meta] {json.dumps(meta['final_eval'])}")
+    print(f"[total] {time.time()-t_start:.0f}s")
+
+
+if __name__ == "__main__":
+    main(sys.argv)
