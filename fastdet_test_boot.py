@@ -35,6 +35,12 @@ if os.environ.get("FASTDET_TEST_REEXEC") != "1":
     # This takes the slow tier's big graphs (sharded train step, 416px
     # engines) from minutes to seconds on re-runs.
     env["FASTDET_CPU_CACHE"] = "1"
+    # Deterministic warmup in tests: the lazy background warm (engine
+    # cold-start optimization) would make ingest-routing assertions racy
+    # — which tier a frame rides would depend on whether the background
+    # thread finished first. tests/test_lazy_warmup.py re-enables it
+    # explicitly to test exactly that machinery.
+    env.setdefault("FASTDET_LAZY_WARM", "0")
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -45,13 +45,18 @@ def build_targets(
     gt_boxes: Sequence[np.ndarray],    # per image: (N, 4) normalized cx cy w h
     gt_labels: Sequence[np.ndarray],   # per image: (N,) int, 0-indexed classes
     grids: Optional[Sequence[int]] = None,
+    multi_anchor_thr: Optional[float] = 0.35,
 ) -> List[np.ndarray]:
     """Dense per-scale targets (B, H, W, 3, 5+C).
 
     Channel layout: [tx_off, ty_off, tw_log, th_log, obj, one-hot classes].
-    Each ground-truth box is assigned to the single best-matching anchor
-    (max IoU of width/height against the anchor table) at its center cell.
-    """
+    Each ground-truth box is assigned to its best-matching anchor (max
+    IoU of width/height against the anchor table) at its center cell —
+    and, when ``multi_anchor_thr`` is set, to every OTHER anchor whose
+    wh-IoU clears the threshold too (the standard recall trick: objects
+    near an anchor-size boundary otherwise train only one of the two
+    near-equally-responsible predictors, and the one that fires at test
+    time may be the untrained one)."""
     b = len(gt_boxes)
     c = spec.num_classes
     grids = list(grids) if grids is not None else yolov3.head_grid_sizes(spec)
@@ -76,18 +81,24 @@ def build_targets(
             wh = np.array([w, h], np.float32) * spec.image_size
             inter = np.minimum(flat, wh).prod(axis=1)
             union = flat.prod(axis=1) + wh.prod() - inter
-            best = int(np.argmax(inter / np.maximum(union, 1e-9)))
-            s, k = divmod(best, anchors.shape[1])
-            g = grids[s]
-            gx = min(int(cx * g), g - 1)
-            gy = min(int(cy * g), g - 1)
-            t = targets[s][i, gy, gx, k]
-            t[0] = cx * g - gx
-            t[1] = cy * g - gy
-            t[2] = np.log(max(wh[0], 1e-6) / anchors[s, k, 0])
-            t[3] = np.log(max(wh[1], 1e-6) / anchors[s, k, 1])
-            t[4] = 1.0
-            t[5 + int(lab)] = 1.0
+            iou = inter / np.maximum(union, 1e-9)
+            best = int(np.argmax(iou))
+            chosen = {best}
+            if multi_anchor_thr is not None:
+                chosen.update(np.nonzero(iou >= multi_anchor_thr)[0].tolist())
+            for a in chosen:
+                s, k = divmod(a, anchors.shape[1])
+                g = grids[s]
+                gx = min(int(cx * g), g - 1)
+                gy = min(int(cy * g), g - 1)
+                t = targets[s][i, gy, gx, k]
+                t[:] = 0.0
+                t[0] = cx * g - gx
+                t[1] = cy * g - gy
+                t[2] = np.log(max(wh[0], 1e-6) / anchors[s, k, 0])
+                t[3] = np.log(max(wh[1], 1e-6) / anchors[s, k, 1])
+                t[4] = 1.0
+                t[5 + int(lab)] = 1.0
     return targets
 
 

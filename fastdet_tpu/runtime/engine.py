@@ -386,6 +386,12 @@ class DetectionEngine:
         # Tier memory: layout -> "dense" when recent traffic of that
         # layout mostly overflowed the std tier (see detect_async_sparse)
         self._tier_hint: Dict[Tuple[int, int], str] = {}
+        # Programs still compiling on the background warm thread (lazy
+        # warmup, VERDICT r2 #4): routing treats these paths as
+        # unavailable instead of blocking a request on their compile.
+        self._lazy_pending: set = set()
+        self._lazy_thread = None
+        self.background_warm_s: Optional[float] = None
         self.max_batch = self.buckets[-1]
 
     def _place(self, arr: np.ndarray):
@@ -975,6 +981,14 @@ class DetectionEngine:
                 for lay, idxs in dense_start.items():
                     pending.setdefault(lay, []).extend(idxs)
                     pending[lay].sort()
+                # Lazy warmup: while the dense-tier program is still
+                # background-compiling, over-budget frames ride planes/
+                # pixels instead of blocking on the compile.
+                for lay in [l for l, idxs in pending.items()
+                            if not self._path_ready(
+                                ("sparse", l, "dense",
+                                 self.bucket_for(len(idxs))))]:
+                    to_planes.extend(pending.pop(lay))
             if not pending:
                 continue
             staged, jobs = self._stage_sparse(jpegs, thr_all, pending, tier)
@@ -1102,6 +1116,13 @@ class DetectionEngine:
                 probe_failed.append(i)   # per-frame: see detect_async_sparse
                 continue
             groups.setdefault((hs, vs), []).append(i)
+        # Lazy warmup: groups whose plane program is still background-
+        # compiling fall through to the pixel path (unresolved) rather
+        # than blocking a request on the compile.
+        for lay in [l for l, idxs in groups.items()
+                    if not self._path_ready(
+                        ("planes", l, self.bucket_for(len(idxs))))]:
+            probe_failed.extend(groups.pop(lay))
         if not groups:
             return None
 
@@ -1206,7 +1227,20 @@ class DetectionEngine:
                 logger.warning("FASTDET_WARM_LAYOUTS: ignoring %r", tok)
                 continue
             warm_layouts.append(layout)
-        jobs = []  # (jitted fn, args, batch) — one per program to warm
+        # Lazy split (VERDICT r2 #4 — cold start): only the FIRST-CHOICE
+        # serving programs compile before warmup returns (pixel fallback
+        # + sparse std tier per warm layout); the overflow fallbacks
+        # (sparse dense tier, planes) compile on a background thread.
+        # Until a lazy program is ready, the dispatch routers treat its
+        # path as unavailable and route those frames down the
+        # already-warm ladder (dense -> planes -> pixels), so the first
+        # over-budget frame NEVER blocks on a compile — it just rides a
+        # fatter wire until the background warm lands (pinned by
+        # tests/test_lazy_warmup.py). FASTDET_LAZY_WARM=0 restores the
+        # all-eager behavior.
+        lazy = os.environ.get("FASTDET_LAZY_WARM", "1") != "0"
+        jobs = []       # (jitted fn, args, batch, key) eager
+        lazy_jobs = []  # same, background
         for b in buckets or self.buckets:
             imgs = np.zeros((b, size, size, 3), np.uint8)
             thr = np.full((b,), 0.1, np.float32)
@@ -1214,28 +1248,28 @@ class DetectionEngine:
             # device backends the first d2h transfer pays a large one-time
             # setup cost that must not land on the first real request
             jobs.append((self._jit,
-                         (self.params, self._place(imgs), self._place(thr)), b))
+                         (self.params, self._place(imgs), self._place(thr)),
+                         b, None))
             if warm_planes:
                 for hs, vs in warm_layouts:
-                    # sparse is the first-choice ingest; the dense tier
-                    # and planes are its per-frame overflow fallbacks, so
-                    # ALL THREE compile per warm layout — an unwarmed
-                    # fallback would pay a mid-serving compile stall on
-                    # the first over-budget frame (observed: reference
-                    # rsu2.jpg overflows the std escape budget).
                     for tier in ("std", "dense"):
                         caps = self._sparse_caps((hs, vs), tier)
                         packed = np.zeros(
                             (b, self._sparse_row_bytes(caps)),
                             np.uint8)
                         packed[:, -4:] = thr.view(np.uint8).reshape(b, 4)
-                        jobs.append((self._sparse_jit((hs, vs), tier),
-                                     (self.params, self._place(packed)), b))
+                        job = (self._sparse_jit((hs, vs), tier),
+                               (self.params, self._place(packed)), b,
+                               ("sparse", (hs, vs), tier, b))
+                        (lazy_jobs if lazy and tier == "dense"
+                         else jobs).append(job)
                     n = size * size + 2 * (size // vs) * (size // hs) + 4
                     pk = np.full((b, n), 128, np.uint8)
                     pk[:, -4:] = thr.view(np.uint8).reshape(b, 4)
-                    jobs.append((self._planes_jit((hs, vs)),
-                                 (self.params, self._place(pk)), b))
+                    job = (self._planes_jit((hs, vs)),
+                           (self.params, self._place(pk)), b,
+                           ("planes", (hs, vs), b))
+                    (lazy_jobs if lazy else jobs).append(job)
         # Compile + first-run all programs CONCURRENTLY: compilation
         # parallelizes across calls (measured on the tunneled v5e: 5 cold
         # programs 449 s serially vs 26 s threaded — remote-compile RTT
@@ -1251,10 +1285,48 @@ class DetectionEngine:
         with ThreadPoolExecutor(min(8, len(jobs))) as ex:
             list(ex.map(_warm_one, jobs))
         dt = time.time() - t0
+
+        if lazy_jobs:
+            self._lazy_pending.update(j[3] for j in lazy_jobs)
+
+            def _background():
+                t1 = time.time()
+                with ThreadPoolExecutor(min(8, len(lazy_jobs))) as ex:
+                    for j in lazy_jobs:
+                        def _one(j=j):
+                            try:
+                                _warm_one(j)
+                            finally:
+                                self._lazy_pending.discard(j[3])
+                        ex.submit(_one)
+                self.background_warm_s = time.time() - t1
+                logger.info("engine background warm: %s in %.1fs",
+                            self.spec.name, self.background_warm_s)
+
+            import threading
+
+            self._lazy_thread = threading.Thread(
+                target=_background, daemon=True,
+                name="fastdet-bg-warm")
+            self._lazy_thread.start()
+
         logger.info(
-            "engine warmup: %s buckets=%s in %.1fs", self.spec.name, self.buckets, dt
+            "engine warmup: %s buckets=%s in %.1fs (background programs: %d)",
+            self.spec.name, self.buckets, dt, len(lazy_jobs)
         )
         return dt
+
+    def wait_warm(self, timeout: Optional[float] = None) -> None:
+        """Block until the background warm (if any) finishes."""
+        t = self._lazy_thread
+        if t is not None:
+            t.join(timeout)
+
+    def _path_ready(self, key) -> bool:
+        """False while ``key``'s program is still background-compiling.
+        Engines that never ran warmup() have nothing pending — every
+        path is 'ready' and compiles on first use (tests, CLIs)."""
+        return key not in self._lazy_pending
 
     # ------------------------------------------------------------------
     # Synchronous API (detector CLI, tests)

@@ -22,7 +22,7 @@ def test_build_targets_places_box_in_right_cell():
     spec = _small_spec()
     boxes = [np.array([[0.53, 0.28, 0.5, 0.5]], np.float32)]  # big box
     labels = [np.array([2])]
-    targets = train.build_targets(spec, boxes, labels)
+    targets = train.build_targets(spec, boxes, labels, multi_anchor_thr=None)
     assert len(targets) == 2
     # 0.5*64 = 32px box; tiny anchors scale0 are (81,82),(135,169),(344,319)
     # vs scale1 (10,14),(23,27),(37,58): best IoU for 32x32 is (23,27) ->
@@ -38,6 +38,24 @@ def test_build_targets_places_box_in_right_cell():
     # no other positives anywhere
     assert targets[0][..., 4].sum() == 0
     assert g1[..., 4].sum() == 1
+
+
+def test_build_targets_multi_anchor_default():
+    """Default assignment adds every anchor whose wh-IoU clears the
+    threshold: the 32x32 box trains (23,27) AND (37,58) (wh-IoU 0.477),
+    both at the same cell, with identical class/offset payloads."""
+    spec = _small_spec()
+    boxes = [np.array([[0.53, 0.28, 0.5, 0.5]], np.float32)]
+    labels = [np.array([2])]
+    targets = train.build_targets(spec, boxes, labels)
+    g1 = targets[1]
+    nz = np.argwhere(g1[0, :, :, :, 4] > 0)
+    assert nz.tolist() == [[1, 2, 1], [1, 2, 2]]
+    for k in (1, 2):
+        t = g1[0, 1, 2, k]
+        np.testing.assert_allclose(t[0], 0.53 * 4 - 2, rtol=1e-5)
+        assert t[5 + 2] == 1.0
+    assert targets[0][..., 4].sum() == 0
 
 
 @pytest.mark.slow

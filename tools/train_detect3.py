@@ -111,12 +111,28 @@ def main(argv):
     va_imgs, va_boxes, va_labels = load_or_make(
         "val", range(20000, 20000 + args.n_val))
 
+    # Targets for all four flip variants (none / hflip / vflip / both):
+    # the step flips IMAGES on device and gathers the matching
+    # pre-built target plane — 4x effective pose diversity with zero
+    # per-step host work. (Transposes would also be free for images but
+    # swap box w/h, which changes anchor assignment — not worth the
+    # asymmetry.)
     t0 = time.time()
-    tgts = train_lib.build_targets(spec, tr_boxes, tr_labels)
-    print(f"[data] targets built in {time.time()-t0:.1f}s "
+    variants = []
+    for f in range(4):
+        boxes_f = []
+        for b in tr_boxes:
+            b = b.copy()
+            if f & 1:
+                b[:, 0] = 1.0 - b[:, 0]
+            if f & 2:
+                b[:, 1] = 1.0 - b[:, 1]
+            boxes_f.append(b)
+        variants.append(train_lib.build_targets(spec, boxes_f, tr_labels))
+    tgts = [np.stack([v[s] for v in variants]) for s in range(2)]
+    print(f"[data] flip-variant targets built in {time.time()-t0:.1f}s "
           f"shapes={[t.shape for t in tgts]}")
 
-    # one-time uploads: ~200 MB images + ~30 MB targets + 33 MB val
     t0 = time.time()
     data = jax.device_put(tr_imgs)
     t13, t26 = (jax.device_put(t) for t in tgts)
@@ -138,15 +154,30 @@ def main(argv):
     base_step = train_lib.make_train_step(
         spec, opt, compute_dtype=jnp.bfloat16)
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def step(st, idx):
-        imgs = jnp.take(data, idx, axis=0).astype(jnp.float32) / 255.0
-        return base_step(st, imgs, jnp.take(t13, idx, axis=0),
-                         jnp.take(t26, idx, axis=0))
+    # The resident dataset arrays are jit ARGUMENTS, not closure
+    # captures (a closed-over ~200 MB array would be embedded in the
+    # traced program), and the state is NOT donated: on this tunneled
+    # backend a donated first execution wedged indefinitely (observed
+    # twice, >25 min; identical program without donation runs in 15 s
+    # and 0.03 s/step after). Three live copies of an 8.6M-param state
+    # are noise next to 16 GB HBM.
+    @jax.jit
+    def step(st, data_, t13_, t26_, idx, flip, cj_scale, cj_off, key):
+        imgs = jnp.take(data_, idx, axis=0).astype(jnp.float32) / 255.0
+        fh = (flip & 1).astype(bool)
+        fv = ((flip >> 1) & 1).astype(bool)
+        imgs = jnp.where(fh[:, None, None, None], imgs[:, :, ::-1, :], imgs)
+        imgs = jnp.where(fv[:, None, None, None], imgs[:, ::-1, :, :], imgs)
+        # photometric jitter + sensor noise: the held-out recall gap was
+        # objectness failing on unseen color/background combinations
+        imgs = imgs * cj_scale[:, None, None, :] + cj_off[:, None, None, :]
+        imgs = imgs + jax.random.normal(key, imgs.shape) * 0.02
+        imgs = jnp.clip(imgs, 0.0, 1.0)
+        return base_step(st, imgs, t13_[flip, idx], t26_[flip, idx])
 
     @jax.jit
-    def eval_fn(params):
-        x = val.astype(jnp.float32) / 255.0
+    def eval_fn(params, val_):
+        x = val_.astype(jnp.float32) / 255.0
         heads = yolov3.apply(spec, yolov3.fold_params(spec, params), x,
                              train=False, compute_dtype=jnp.bfloat16)
         return postprocess_batch(heads, spec, jnp.float32(EVAL_THR))
@@ -155,9 +186,14 @@ def main(argv):
     t_start = time.time()
     best = (-1.0, -1.0)
     history = []
+    key0 = jax.random.PRNGKey(11)
     for s in range(1, args.steps + 1):
         idx = rng.randint(len(tr_imgs), size=args.batch).astype(np.int32)
-        state, metrics = step(state, idx)
+        flip = rng.randint(4, size=args.batch).astype(np.int32)
+        cj_s = rng.uniform(0.75, 1.25, (args.batch, 3)).astype(np.float32)
+        cj_o = rng.uniform(-0.12, 0.12, (args.batch, 3)).astype(np.float32)
+        state, metrics = step(state, data, t13, t26, idx, flip, cj_s, cj_o,
+                              jax.random.fold_in(key0, s))
         if s % 50 == 0:
             m = {k: float(v) for k, v in metrics.items()}
             print(f"[step {s:5d}] loss={m['loss']:9.3f} "
@@ -165,7 +201,7 @@ def main(argv):
                   f"cls={m['cls']:7.3f} "
                   f"({(time.time()-t_start)/s*1e3:.0f} ms/step)")
         if s % args.eval_every == 0 or s == args.steps:
-            res = jax.device_get(eval_fn(state.params))
+            res = jax.device_get(eval_fn(state.params, val))
             loc, strict, fp = evaluate(res, va_boxes, va_labels, size)
             print(f"[eval {s:5d}] held-out: localize={loc:.3f} "
                   f"strict={strict:.3f} fp/frame={fp:.2f}")
