@@ -285,6 +285,7 @@ def test_engine_std_format_v5_fallback_identical(native_ready, engine,
     eng5 = DetectionEngine(spec, params, mode="f32", buckets=(1, 2))
     assert eng5._sparse_fmt["std"] == 5
     assert engine._sparse_fmt["std"] == 6
+    engine._tier_hint.clear()   # routing assertion on the shared engine
     data = _scene(0)
     r5 = eng5.detect_async_sparse([data], [0.3])
     r6 = engine.detect_async_sparse([data], [0.3])
