@@ -271,6 +271,14 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 256,
     t0 = time.time()
     engine.warmup()
     compile_s = time.time() - t0
+    # Measurement hygiene: the lazy background warm keeps compiling and
+    # first-running the fallback programs on ITS thread — on a 1-core
+    # host that steals most of the CPU from the producer loop and the
+    # host-pack leg (measured: host_pack_fps 930 -> 304 with the warm
+    # still running). Serving starts at compile_s either way; the bench
+    # waits so the passes measure steady state, and reports both times.
+    engine.wait_warm()
+    bg_warm_s = engine.background_warm_s
 
     jpegs = make_jpegs(64)
     thresholds = [BENCH_THRESHOLD] * batch
@@ -335,7 +343,8 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 256,
         lat.append((time.time() - t0) * 1000)
     p50 = float(np.percentile(lat, 50))
     link = (round(link_before, 1), round(link_after, 1))
-    return fps, passes, p50, compile_s, ingest["path"], weight_kind, link, legs
+    return (fps, passes, p50, compile_s, bg_warm_s, ingest["path"],
+            weight_kind, link, legs)
 
 
 def bench_baseline_cpu(frames: int = 8):
@@ -681,8 +690,8 @@ def main():
         print(json.dumps(payload))
         return
 
-    fps, passes, p50, compile_s, ingest, weight_kind, link, legs = bench_tpu(
-        args.frames, args.batch, args.inflight, mode=args.mode)
+    (fps, passes, p50, compile_s, bg_warm_s, ingest, weight_kind, link,
+     legs) = bench_tpu(args.frames, args.batch, args.inflight, mode=args.mode)
     vs = None
     baseline_kind = None
     if os.path.exists(BASELINE_FILE):
@@ -712,6 +721,9 @@ def main():
         "weights": weight_kind,
         "mode": args.mode,
         "compile_s": round(compile_s, 1),
+        # fallback programs keep compiling on a background thread after
+        # warmup() returns (serving is already up at compile_s)
+        "bg_warm_s": round(bg_warm_s, 1) if bg_warm_s else None,
     }
     if legs is not None:
         # Stable-leg attribution (VERDICT r2 #2): host_pack_fps and the

@@ -36,6 +36,27 @@ def enable_compile_cache(path: str = _DEFAULT_DIR) -> None:
             sc = sys.modules.get("sitecustomize")
             if sc is not None and ".axon_site" in (getattr(sc, "__file__", "") or ""):
                 return
+        if backend == "cpu":
+            # Partition CPU artifacts by host CPU identity: this
+            # container's cache volume can outlive the physical host it
+            # ran on, and XLA:CPU AOT results bake in machine features —
+            # a cache written on an AMX-capable host fails feature
+            # checks on the next one (observed: every load logging
+            # 'machine-feature mismatch ... SIGILL' and recompiling,
+            # which silently tripled the quick test tier).
+            import hashlib
+            import platform
+
+            ident = platform.machine() + ":" + platform.processor()
+            try:
+                with open("/proc/cpuinfo") as fp:
+                    for line in fp:
+                        if line.startswith("flags"):
+                            ident += ":" + line.strip()
+                            break
+            except OSError:
+                pass
+            backend += "-" + hashlib.sha1(ident.encode()).hexdigest()[:10]
         path = os.path.join(path, backend)
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

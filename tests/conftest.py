@@ -51,6 +51,31 @@ def native_ready():
     return native_jpeg
 
 
+@pytest.fixture(autouse=True, scope="session")
+def _single_device_default_engines():
+    """Engines built WITHOUT an explicit devices list run single-device
+    under pytest. The bare default would grab all 8 virtual CPU devices
+    and compile dp-8 GSPMD programs for dozens of tests that aren't
+    about data parallelism at all — measured as a large multiple of the
+    quick tier's compile time (VERDICT r2 #7). Multi-chip coverage is
+    explicit: test_engine_multichip / the dp serving stress test pass
+    devices=cpu_devices."""
+    import jax
+
+    from fastdet_tpu.runtime import engine as engine_mod
+
+    orig = engine_mod.DetectionEngine.__init__
+
+    def patched(self, spec, params, **kw):
+        if kw.get("devices") is None:
+            kw["devices"] = jax.devices()[:1]
+        return orig(self, spec, params, **kw)
+
+    engine_mod.DetectionEngine.__init__ = patched
+    yield
+    engine_mod.DetectionEngine.__init__ = orig
+
+
 @pytest.fixture(scope="session")
 def tiny_f32_engine():
     """Shared synthetic:tiny f32 engine, buckets (1, 2) — the standard

@@ -63,10 +63,13 @@ def test_adversarial_mixed_batch_routing(tiny_f32_engine, native_ready):
     assert set(res.counts) <= NATIVE_KEYS
     assert sum(res.counts.values()) == 2
     got = eng.fetch(res, 2)
-    for i, data in enumerate((noise, scene)):
-        eng._tier_hint.clear()
-        single = eng.fetch(eng.detect_async_sparse([data], [0.5]), 1)[0]
-        assert got[i] == single
+    from tests.test_sparse_path import _pairref
+
+    # bucket-matched refs (see _pairref): noise rode the dense retry as
+    # a 1-frame group; scene kept its std row in the 2-frame group
+    eng._tier_hint.clear()
+    assert got[0] == eng.fetch(eng.detect_async_sparse([noise], [0.5]), 1)[0]
+    assert got[1] == _pairref(eng, scene)
 
 
 def test_adversarial_sparse_reconstruction_exact(tiny_f32_engine,

@@ -99,8 +99,9 @@ def test_pending_planes_routes_to_unresolved(tight_engine, native_ready):
     got = eng.fetch(res, 2)
     assert got[0] == []
     eng._lazy_pending.clear()
-    ref_flat = eng.fetch(eng.detect_async_sparse([flat], [0.5]), 1)[0]
-    assert got[1] == ref_flat
+    from tests.test_sparse_path import _pairref
+
+    assert got[1] == _pairref(eng, flat)
 
 
 def test_warmup_lazy_background_completes(native_ready, monkeypatch):

@@ -103,14 +103,22 @@ def test_engine_applies_s2d_and_matches(monkeypatch, tmp_path):
 
     frames = [rng.randint(0, 255, (64, 64, 3), np.uint8) for _ in range(2)]
 
+    import jax
+
+    # single device ON PURPOSE: this is a graph-rewrite equivalence
+    # test, and the default 8-device dp mesh only multiplies its compile
+    # time (dp sharding correctness lives in test_engine_multichip)
+    dev = jax.devices()[:1]
     monkeypatch.setenv("FASTDET_S2D_STEM", "0")
     e_off = DetectionEngine(spec, folded, mode="int8", buckets=(2,),
-                            folded=True, calibration_images=calib)
+                            folded=True, calibration_images=calib,
+                            devices=dev)
     assert not any(isinstance(l, yolov3.SpaceToDepth)
                    for l in e_off.spec.layers)
     monkeypatch.setenv("FASTDET_S2D_STEM", "1")
     e_on = DetectionEngine(spec, folded, mode="int8", buckets=(2,),
-                           folded=True, calibration_images=calib)
+                           folded=True, calibration_images=calib,
+                           devices=dev)
     assert isinstance(e_on.spec.layers[0], yolov3.SpaceToDepth)
 
     thr = [0.0, 0.0]

@@ -58,6 +58,21 @@ def _scene(idx, quality=90, subsampling=2):
     return buf.getvalue()
 
 
+def _pairref(eng, data, thr=0.5, planes=False):
+    """Single-frame reference computed AT BUCKET 2.
+
+    The padding bucket is part of the XLA program, and with synthetic
+    weights' near-tied scores a different program moves results by
+    float ulps — so a frame that was served inside a 2-frame batch must
+    be compared against a same-bucket reference (dispatch the frame
+    twice, read row 0), not a bucket-1 dispatch. (Under the old
+    default-8-device test engines every dispatch rode bucket 8, which
+    hid this; tests now run single-device — conftest.)"""
+    eng._tier_hint.clear()
+    fn = eng.detect_async_planes if planes else eng.detect_async_sparse
+    return eng.fetch(fn([data, data], [thr, thr]), 2)[0]
+
+
 class SparseFrame:
     """One frame decoded to v5 streams with roomy scratch capacities."""
 
@@ -446,11 +461,13 @@ def test_engine_sparse_mixed_overflow_batch(tight_engine, native_ready):
     assert res.counts == {"sparse": 1, "sparse_dense": 1}, res.counts
     assert sorted(res.tags) == ["sparse+:22", "sparse:22"]
     got = tight_engine.fetch(res, 2)
-    singles = [
-        tight_engine.fetch(tight_engine.detect_async_sparse([d], [0.5]), 1)[0]
-        for d in (normal, flat)
-    ]
-    assert got == singles
+    # bucket-matched refs: normal rode the dense retry as a 1-frame
+    # group (bucket 1); flat kept its std row in the 2-frame group
+    tight_engine._tier_hint.clear()
+    ref_normal = tight_engine.fetch(
+        tight_engine.detect_async_sparse([normal], [0.5]), 1)[0]
+    ref_flat = _pairref(tight_engine, flat)
+    assert got == [ref_normal, ref_flat]
 
 
 def test_engine_sparse_partial_overflow_preserves_row_mapping(
@@ -474,7 +491,7 @@ def test_engine_sparse_partial_overflow_preserves_row_mapping(
     assert res is not None
     assert res.counts == {"planes": 1, "sparse": 1}, res.counts
     got = engine.fetch(res, 2)
-    ref_normal = engine.fetch(engine.detect_async_sparse([normal], [0.5]), 1)[0]
+    ref_normal = _pairref(engine, normal)
     ref_dense = engine.fetch(engine.detect_async_planes([dense], [0.5]), 1)[0]
     assert got[1] == ref_normal
     assert got[0] == ref_dense
@@ -625,9 +642,8 @@ def test_engine_tier_memory(native_ready):
     r3 = eng.detect_async_sparse(clean, [0.5, 0.5])
     assert r3.counts == {"sparse_dense": 2}   # this batch still rides dense
     assert eng._tier_hint == {}
-    ref = [
-        eng.fetch(eng.detect_async_sparse([d], [0.5]), 1)[0] for d in clean
-    ]
+    ref = [_pairref(eng, d) for d in clean]
+    eng._tier_hint.clear()
     assert eng.fetch(r3, 2) == ref            # tiers reconstruct identically
     # ...and the next clean batch is back on std rows
     calls.clear()
@@ -852,8 +868,7 @@ def test_engine_dense_retry_failure_keeps_std_parts(
     covered = sorted(i for _, idxs in res.parts for i in idxs)
     assert covered == [0, 1]
     got = tight_engine.fetch(res, 2)
-    ref_flat = tight_engine.fetch(
-        tight_engine.detect_async_sparse([flat], [0.5]), 1)[0]
+    ref_flat = _pairref(tight_engine, flat)
     ref_dense = tight_engine.fetch(
         tight_engine.detect_async_planes([dense], [0.5]), 1)[0]
     assert got[1] == ref_flat
@@ -882,9 +897,7 @@ def test_engine_sparse_unresolved_when_planes_also_fails(
     assert res.unresolved == (0,)
     got = tight_engine.fetch(res, 2)
     assert got[0] == []
-    ref_flat = tight_engine.fetch(
-        tight_engine.detect_async_sparse([flat], [0.5]), 1)[0]
-    assert got[1] == ref_flat
+    assert got[1] == _pairref(tight_engine, flat)
 
 
 def test_engine_planes_partial_decode_failure(engine, native_ready):
@@ -899,8 +912,7 @@ def test_engine_planes_partial_decode_failure(engine, native_ready):
     assert res.counts == {"planes": 1}
     got = engine.fetch(res, 2)
     assert got[0] == []
-    ref = engine.fetch(engine.detect_async_planes([good], [0.5]), 1)[0]
-    assert got[1] == ref
+    assert got[1] == _pairref(engine, good, planes=True)
 
 
 def test_engine_sparse_probe_failure_routes_per_frame(engine, native_ready):
