@@ -62,7 +62,11 @@ def main(argv):
 
     spec, params = weights_io.load_model(path, arch=arch, num_classes=num_classes)
     engine = DetectionEngine(spec, params, mode=mode, buckets=(1,))
-    engine.warmup()
+    # fallbacks=False: one-shot CLI — warm only the hot programs so the
+    # first image's printed wall time isn't compile time; the overflow
+    # fallbacks compile on first use instead of on a background thread
+    # that would hold the interpreter at exit.
+    engine.warmup(fallbacks=False)
     detector = TPUDetector(engine, path=path)
     for img_path in args:
         with open(img_path, "rb") as fp:

@@ -1205,8 +1205,15 @@ class DetectionEngine:
                 return b
         return self.buckets[-1]
 
-    def warmup(self, buckets: Optional[Sequence[int]] = None) -> float:
-        """AOT-compile every batch bucket; returns total compile seconds."""
+    def warmup(self, buckets: Optional[Sequence[int]] = None,
+               fallbacks: bool = True) -> float:
+        """AOT-compile every batch bucket; returns total compile seconds.
+
+        ``fallbacks=False`` skips the overflow-fallback programs (dense
+        tier, planes) entirely — no background thread, they compile on
+        first use instead. One-shot CLIs use this: a background compile
+        would otherwise hold the interpreter at exit (the executor's
+        atexit join) for programs the process will likely never run."""
         from fastdet_tpu.runtime import native_jpeg
 
         t0 = time.time()
@@ -1240,7 +1247,7 @@ class DetectionEngine:
         # all-eager behavior.
         lazy = os.environ.get("FASTDET_LAZY_WARM", "1") != "0"
         jobs = []       # (jitted fn, args, batch, key) eager
-        lazy_jobs = []  # same, background
+        lazy_jobs = []  # same, background (dropped if fallbacks=False)
         for b in buckets or self.buckets:
             imgs = np.zeros((b, size, size, 3), np.uint8)
             thr = np.full((b,), 0.1, np.float32)
@@ -1258,11 +1265,15 @@ class DetectionEngine:
                             (b, self._sparse_row_bytes(caps)),
                             np.uint8)
                         packed[:, -4:] = thr.view(np.uint8).reshape(b, 4)
+                        if tier == "dense" and not fallbacks:
+                            continue
                         job = (self._sparse_jit((hs, vs), tier),
                                (self.params, self._place(packed)), b,
                                ("sparse", (hs, vs), tier, b))
                         (lazy_jobs if lazy and tier == "dense"
                          else jobs).append(job)
+                    if not fallbacks:
+                        continue
                     n = size * size + 2 * (size // vs) * (size // hs) + 4
                     pk = np.full((b, n), 128, np.uint8)
                     pk[:, -4:] = thr.view(np.uint8).reshape(b, 4)
