@@ -154,11 +154,18 @@ def fold_conv_bn(params: Params) -> Params:
 
     w' = w * gamma / sqrt(var + eps)   (per output channel)
     b' = beta - mean * gamma / sqrt(var + eps)
+
+    numpy inputs stay numpy (pure host math): engine startup folds the
+    whole model host-side — on remote-device backends the jnp version
+    was an eager per-layer RPC storm (~20 s for yolov3-full through the
+    tunnel). jax arrays / tracers keep the jnp path so fold_params
+    remains usable inside jit (the trainer's eval fn does this).
     """
     if "bn" not in params:
         return {"w": params["w"], "b": params["b"]}
     bn = params["bn"]
-    inv = bn["gamma"] / jnp.sqrt(bn["var"] + BN_EPS)
+    xp = np if type(params["w"]) is np.ndarray else jnp
+    inv = bn["gamma"] / xp.sqrt(bn["var"] + BN_EPS)
     w = params["w"] * inv[None, None, None, :]
     b = bn["beta"] - bn["mean"] * inv
     return {"w": w, "b": b}

@@ -115,13 +115,40 @@ def calibrate(
     imgs = np.asarray(calib_images)
     if imgs.dtype == np.uint8:
         imgs = imgs.astype(np.float32) / 255.0
-    fn = jax.jit(lambda ims: collect_act_absmax(spec, folded_params, ims))
-    sin, sout = jax.device_get(fn(jnp.asarray(imgs)))
+
+    # Two startup-cost rules learned on the tunneled backend
+    # (docs/ROUND8.md): (1) params enter the jit as an ARGUMENT, not a
+    # closure — closed-over arrays are embedded in the traced program;
+    # (2) the per-layer absmax dict is STACKED device-side so the
+    # result is two device_gets, not ~150 scalar round-trips (measured
+    # at 60+ s of the old 87 s calibration wall).
+    names_in = [l.name for l in spec.layers if isinstance(l, Conv)]
+    names_out = [l.name for l in spec.layers
+                 if isinstance(l, Conv) and l.bn]
+
+    def stacked(p, ims):
+        sin, sout = collect_act_absmax(spec, p, ims)
+        return (jnp.stack([sin[n] for n in names_in]),
+                jnp.stack([sout[n] for n in names_out]))
+
+    # Calibration runs on the HOST CPU backend when one exists and the
+    # default device is remote: it's a one-off forward over a handful
+    # of frames, and running it on the accelerator costs a full f32
+    # parameter upload through the tunnel first (248 MB for yolov3-full
+    # — 10-60 s of pure link weather vs a stable ~9 s of host compute).
+    args = (folded_params, imgs)
+    try:
+        if jax.default_backend() != "cpu":
+            cpu = jax.local_devices(backend="cpu")[0]
+            args = jax.device_put(args, cpu)
+    except RuntimeError:
+        pass  # no host CPU backend registered: use the default device
+    vin, vout = jax.device_get(jax.jit(stacked)(*args))
     scales: Dict[str, Dict[str, float]] = {}
-    for name, v in sin.items():
+    for name, v in zip(names_in, vin):
         scales[name] = {"x": float(max(v, 1e-6)) / 127.0}
-        if name in sout:
-            scales[name]["y"] = float(max(sout[name], 1e-6)) / 127.0
+    for name, v in zip(names_out, vout):
+        scales[name]["y"] = float(max(v, 1e-6)) / 127.0
     return scales
 
 
@@ -147,14 +174,17 @@ def quantize_params(
         w = np.asarray(p["w"], np.float32)
         w_scale = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-8) / 127.0
         w_q = np.clip(np.round(w / w_scale[None, None, None, :]), -127, 127)
+        # host numpy out (like the loaders): the engine device_puts the
+        # finished tree once; per-tensor jnp.asarray here was an eager
+        # upload storm on remote backends
         entry = {
-            "w_q": jnp.asarray(w_q.astype(np.int8)),
-            "w_scale": jnp.asarray(w_scale),
+            "w_q": w_q.astype(np.int8),
+            "w_scale": w_scale,
             "b": p["b"],
-            "x_scale": jnp.float32(act_scales[l.name]["x"]),
+            "x_scale": np.float32(act_scales[l.name]["x"]),
         }
         if emit.get(l.name) and "y" in act_scales[l.name]:
-            entry["y_scale"] = jnp.float32(act_scales[l.name]["y"])
+            entry["y_scale"] = np.float32(act_scales[l.name]["y"])
         out[l.name] = entry
     return out
 

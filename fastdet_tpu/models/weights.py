@@ -77,17 +77,20 @@ def parse_darknet_bytes(raw: bytes, spec: ModelSpec) -> Dict[str, Any]:
                 var = take(o).copy()
                 entry: Dict[str, Any] = {
                     "bn": {
-                        "gamma": jnp.asarray(gamma),
-                        "beta": jnp.asarray(beta),
-                        "mean": jnp.asarray(mean),
-                        "var": jnp.asarray(var),
+                        "gamma": gamma,
+                        "beta": beta,
+                        "mean": mean,
+                        "var": var,
                     }
                 }
             else:
-                entry = {"b": jnp.asarray(take(o).copy())}
+                entry = {"b": take(o).copy()}
             w = take(o * in_ch * k * k).reshape(o, in_ch, k, k)
-            # OIHW -> HWIO
-            entry["w"] = jnp.asarray(np.ascontiguousarray(w.transpose(2, 3, 1, 0)))
+            # OIHW -> HWIO. Loaders return HOST numpy: on remote-device
+            # backends jnp.asarray here was an eager per-tensor upload
+            # (~30 s for yolov3-full); the engine/trainer device_put the
+            # finished tree once instead.
+            entry["w"] = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
             params[l.name] = entry
             in_ch = o
         elif isinstance(l, yolov3.Route):
@@ -177,9 +180,9 @@ def load_npz(path: str) -> Tuple[ModelSpec, Dict[str, Any]]:
             parts = key.split("/")
             node = params.setdefault(parts[0], {})
             if parts[1] == "bn":
-                node.setdefault("bn", {})[parts[2]] = jnp.asarray(v)
+                node.setdefault("bn", {})[parts[2]] = v
             else:
-                node[parts[1]] = jnp.asarray(v)
+                node[parts[1]] = v
     return spec, params
 
 
@@ -208,16 +211,16 @@ def synthetic_params(spec: ModelSpec, seed: int = 0) -> Dict[str, Any]:
             w = (rng.randn(k, k, in_ch, o) * std).astype(np.float32)
             if l.bn:
                 entry = {
-                    "w": jnp.asarray(w),
+                    "w": w,
                     "bn": {
-                        "gamma": jnp.ones((o,), jnp.float32),
-                        "beta": jnp.zeros((o,), jnp.float32),
-                        "mean": jnp.zeros((o,), jnp.float32),
-                        "var": jnp.ones((o,), jnp.float32),
+                        "gamma": np.ones((o,), np.float32),
+                        "beta": np.zeros((o,), np.float32),
+                        "mean": np.zeros((o,), np.float32),
+                        "var": np.ones((o,), np.float32),
                     },
                 }
             else:
-                entry = {"w": jnp.asarray(w), "b": jnp.zeros((o,), jnp.float32)}
+                entry = {"w": w, "b": np.zeros((o,), np.float32)}
             params[l.name] = entry
             in_ch = o
         elif isinstance(l, yolov3.Route):

@@ -47,7 +47,18 @@ def enable_compile_cache(path: str = _DEFAULT_DIR) -> None:
             import hashlib
             import platform
 
-            ident = platform.machine() + ":" + platform.processor()
+            import sys as _sys
+
+            sc = _sys.modules.get("sitecustomize")
+            ident = ":".join([
+                platform.machine(), platform.processor(),
+                jax.__version__,
+                # the axon plugin's jaxlib emits AOT artifacts with
+                # pseudo-features (prefer-no-gather/-scatter) a stripped
+                # local process can't load — same host, different stack
+                "axon" if ".axon_site" in (getattr(sc, "__file__", "")
+                                           or "") else "plain",
+            ])
             try:
                 with open("/proc/cpuinfo") as fp:
                     for line in fp:
