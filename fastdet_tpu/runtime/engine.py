@@ -1248,15 +1248,27 @@ class DetectionEngine:
         lazy = os.environ.get("FASTDET_LAZY_WARM", "1") != "0"
         jobs = []       # (jitted fn, args, batch, key) eager
         lazy_jobs = []  # same, background (dropped if fallbacks=False)
-        for b in buckets or self.buckets:
+        warm_buckets = list(buckets or self.buckets)
+        for b in warm_buckets:
             imgs = np.zeros((b, size, size, 3), np.uint8)
             thr = np.full((b,), 0.1, np.float32)
             # exercise the FULL path including the host fetch: on tunneled
             # device backends the first d2h transfer pays a large one-time
-            # setup cost that must not land on the first real request
-            jobs.append((self._jit,
-                         (self.params, self._place(imgs), self._place(thr)),
-                         b, None))
+            # setup cost that must not land on the first real request.
+            # Pixel programs beyond the smallest bucket ride the
+            # background set when lazy: the pixel path serves rare
+            # decode-failure frames (usually few at a time), and its
+            # large-bucket warm ships the biggest zero-batch of the warm
+            # set (b x 519 KB) for the least-likely program. There is no
+            # readiness gate on detect_async — a big undecodable batch
+            # arriving before the background warm lands just pays the
+            # compile then (correct, merely slower, and only in the
+            # first seconds of uptime).
+            job = (self._jit,
+                   (self.params, self._place(imgs), self._place(thr)),
+                   b, ("pixels", b))
+            (lazy_jobs if lazy and fallbacks and b != min(warm_buckets)
+             else jobs).append(job)
             if warm_planes:
                 for hs, vs in warm_layouts:
                     for tier in ("std", "dense"):
