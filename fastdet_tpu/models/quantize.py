@@ -137,13 +137,29 @@ def calibrate(
     # parameter upload through the tunnel first (248 MB for yolov3-full
     # — 10-60 s of pure link weather vs a stable ~9 s of host compute).
     args = (folded_params, imgs)
+    offloaded = False
     try:
         if jax.default_backend() != "cpu":
             cpu = jax.local_devices(backend="cpu")[0]
             args = jax.device_put(args, cpu)
+            offloaded = True
     except RuntimeError:
         pass  # no host CPU backend registered: use the default device
-    vin, vout = jax.device_get(jax.jit(stacked)(*args))
+    if offloaded:
+        # Don't persist this compile: CPU AOT artifacts produced inside
+        # a remote-device-plugin process carry pseudo machine features
+        # (prefer-no-gather/-scatter) that NO later process can load —
+        # each would log a feature-mismatch error and recompile anyway,
+        # while the dead artifact (~10 MB) accumulates in the cache.
+        key = "jax_persistent_cache_min_compile_time_secs"
+        old = getattr(jax.config, key)
+        jax.config.update(key, 1e9)
+        try:
+            vin, vout = jax.device_get(jax.jit(stacked)(*args))
+        finally:
+            jax.config.update(key, old)
+    else:
+        vin, vout = jax.device_get(jax.jit(stacked)(*args))
     scales: Dict[str, Dict[str, float]] = {}
     for name, v in zip(names_in, vin):
         scales[name] = {"x": float(max(v, 1e-6)) / 127.0}

@@ -50,31 +50,22 @@ def _bucket(name: str) -> str:
     return "other"
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="int8")
-    ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--arch", default="full")
-    args = ap.parse_args()
+def profile_engine(eng, jpegs, thrs, iters: int = 8) -> dict:
+    """Trace ``iters`` sparse-path batches and bucket device op time.
 
-    from bench import bench_calibration, load_bench_model, make_jpegs
-    from fastdet_tpu.runtime.engine import DetectionEngine
+    Returns {"buckets": {name: ms_per_batch}, "total_ms_per_batch": t,
+    "device_only_fps": fps} — the numbers behind the device-health
+    figure; also consumed by bench.py --all into BENCH_DETAIL.json."""
     from fastdet_tpu.utils.profiling import device_trace
 
-    spec, params, kind = load_bench_model(args.arch, 80)
-    eng = DetectionEngine(
-        spec, params, mode=args.mode, buckets=(args.batch,),
-        calibration_images=bench_calibration())
-    jpegs = make_jpegs(args.batch)
-    thrs = [0.3] * args.batch
+    batch = len(jpegs)
     for _ in range(3):  # warm every program + transfer paths
-        eng.fetch(eng.detect_async_sparse(jpegs, thrs), args.batch)
+        eng.fetch(eng.detect_async_sparse(jpegs, thrs), batch)
 
     trace_dir = tempfile.mkdtemp(prefix="fastdet_trace_")
     with device_trace(trace_dir):
-        for _ in range(args.iters):
-            eng.fetch(eng.detect_async_sparse(jpegs, thrs), args.batch)
+        for _ in range(iters):
+            eng.fetch(eng.detect_async_sparse(jpegs, thrs), batch)
 
     events = _load_trace_events(trace_dir)
     # keep complete duration events from device-side tracks (XLA ops
@@ -97,16 +88,44 @@ def main():
         b = _bucket(cat if len(cat) > len(name) else name)
         buckets[b] = buckets.get(b, 0.0) + e["dur"]
         total += e["dur"]
-    per_batch_ms = total / 1000.0 / args.iters
+    per_batch_ms = total / 1000.0 / iters
+    return {
+        "buckets": {b: round(us / 1000.0 / iters, 2)
+                    for b, us in sorted(buckets.items(),
+                                        key=lambda kv: -kv[1])},
+        "total_ms_per_batch": round(per_batch_ms, 2),
+        "device_only_fps": (round(1000.0 * batch / per_batch_ms, 1)
+                            if per_batch_ms > 0 else None),
+        "trace_dir": trace_dir,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="int8")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--arch", default="full")
+    args = ap.parse_args()
+
+    from bench import bench_calibration, load_bench_model, make_jpegs
+    from fastdet_tpu.runtime.engine import DetectionEngine
+
+    spec, params, kind = load_bench_model(args.arch, 80)
+    eng = DetectionEngine(
+        spec, params, mode=args.mode, buckets=(args.batch,),
+        calibration_images=bench_calibration())
+    jpegs = make_jpegs(args.batch)
+    thrs = [0.3] * args.batch
+    prof = profile_engine(eng, jpegs, thrs, args.iters)
     print(f"model={args.arch} mode={args.mode} weights={kind} "
           f"batch={args.batch} iters={args.iters}")
-    for b, us in sorted(buckets.items(), key=lambda kv: -kv[1]):
-        print(f"  {b:16s} {us / 1000.0 / args.iters:8.2f} ms/batch "
-              f"({100 * us / total:5.1f}%)")
-    if per_batch_ms > 0:
-        print(f"  device total     {per_batch_ms:8.2f} ms/batch "
-              f"-> {1000.0 * args.batch / per_batch_ms:7.1f} f/s device-only")
-    print(f"trace: {trace_dir}")
+    total = prof["total_ms_per_batch"]
+    for b, ms in prof["buckets"].items():
+        print(f"  {b:16s} {ms:8.2f} ms/batch ({100 * ms / total:5.1f}%)")
+    print(f"  device total     {total:8.2f} ms/batch "
+          f"-> {prof['device_only_fps']:7.1f} f/s device-only")
+    print(f"trace: {prof['trace_dir']}")
 
 
 if __name__ == "__main__":
