@@ -26,6 +26,16 @@ import numpy as np
 
 SHAPE_CLASSES = ("disc", "box", "tri")
 
+# Extended 9-class palette, the shape-world analog of the reference's
+# custom 9-class RSU model (server registry grammar ``rsu:9:<model>``,
+# /root/reference/server/server.py:354-358). Classes 0-2 match
+# SHAPE_CLASSES; 3-8 are geometrically distinct under random rotation
+# and color. make_scene(seed) with the default num_classes=3 is BYTE-
+# STABLE (the committed 3-class checkpoint and its tests depend on the
+# seed->scene mapping).
+SHAPE_CLASSES_9 = ("disc", "box", "tri", "ring", "frame", "cross",
+                   "bar", "dots", "stripes")
+
 # Object size range in pixels (short side), at 416. Matches the tiny
 # anchor table's middle range (models/yolov3.ANCHORS_TINY).
 MIN_SIZE = 56
@@ -74,13 +84,15 @@ def _shape_mask_and_box(
     """
     s = rng.randint(MIN_SIZE, MAX_SIZE + 1)
     aspect = rng.uniform(0.7, 1.4)
+    if klass == 6:        # bar: force a long thin aspect
+        aspect = rng.uniform(3.2, 4.5)
     w_px = s * math.sqrt(aspect)
     h_px = s / math.sqrt(aspect)
     theta = rng.uniform(0, 2 * math.pi)
 
-    if klass == 0:        # disc (axis-aligned ellipse)
+    if klass in (0, 3, 7, 8):   # axis-aligned-extent shapes
         bw, bh = w_px, h_px
-    elif klass == 1:      # box (rotated filled rectangle)
+    elif klass in (1, 4, 5, 6):  # rotated-rect-extent shapes
         c, sn = abs(math.cos(theta)), abs(math.sin(theta))
         bw = w_px * c + h_px * sn
         bh = w_px * sn + h_px * c
@@ -109,10 +121,38 @@ def _shape_mask_and_box(
 
     if klass == 0:
         mask = (xr / (w_px / 2)) ** 2 + (yr / (h_px / 2)) ** 2 <= 1.0
-    elif klass == 1:
+    elif klass == 3:      # ring (annulus)
+        r2 = (xr / (w_px / 2)) ** 2 + (yr / (h_px / 2)) ** 2
+        mask = (r2 <= 1.0) & (r2 >= 0.55 ** 2)
+    elif klass == 7:      # dots: 3x3 grid of small discs
+        mask = np.zeros(xr.shape, bool)
+        r = min(w_px, h_px) / 9.0
+        for gy in (-1, 0, 1):
+            for gx in (-1, 0, 1):
+                dx = xr - gx * (w_px / 2 - r)
+                dy = yr - gy * (h_px / 2 - r)
+                mask |= dx * dx + dy * dy <= r * r
+    elif klass == 8:      # stripes: axis-aligned patch of diagonal bands
+        inside = (np.abs(xr) <= w_px / 2) & (np.abs(yr) <= h_px / 2)
+        period = max(6.0, min(w_px, h_px) / 4.0)
+        band = ((xr + yr) / period) % 1.0 < 0.55
+        mask = inside & band
+        # guarantee the tight box spans the patch (corner pixels on)
+        mask |= inside & (np.abs(xr) >= w_px / 2 - 1.5)
+        mask |= inside & (np.abs(yr) >= h_px / 2 - 1.5)
+    elif klass in (1, 4, 5, 6):
         u = xr * math.cos(theta) + yr * math.sin(theta)
         v = -xr * math.sin(theta) + yr * math.cos(theta)
-        mask = (np.abs(u) <= w_px / 2) & (np.abs(v) <= h_px / 2)
+        in_rect = (np.abs(u) <= w_px / 2) & (np.abs(v) <= h_px / 2)
+        if klass in (1, 6):          # box / bar: filled rectangle
+            mask = in_rect
+        elif klass == 4:             # frame: rectangle outline
+            t = 0.18 * min(w_px, h_px)
+            inner = (np.abs(u) <= w_px / 2 - t) & (np.abs(v) <= h_px / 2 - t)
+            mask = in_rect & ~inner
+        else:                        # cross: two crossing bars
+            mask = ((np.abs(u) <= w_px / 6) & (np.abs(v) <= h_px / 2)) | (
+                (np.abs(u) <= w_px / 2) & (np.abs(v) <= h_px / 6))
     else:
         mask = np.ones(xr.shape, bool)
         n = len(verts)
@@ -157,13 +197,17 @@ def _iou(a, b) -> float:
 
 
 def make_scene(
-    seed: int, size: int = 416, max_objects: int = 3
+    seed: int, size: int = 416, max_objects: int = 3,
+    num_classes: int = 3,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One labeled scene.
 
     Returns (image uint8 (size,size,3), boxes float32 (N,4) normalized
-    cx cy w h, labels int32 (N,) 0-indexed into SHAPE_CLASSES).
-    """
+    cx cy w h, labels int32 (N,) 0-indexed into SHAPE_CLASSES (3) /
+    SHAPE_CLASSES_9 (9). The default num_classes=3 path consumes the
+    rng identically to before this parameter existed — the committed
+    3-class checkpoint's seed->scene mapping is frozen."""
+    assert num_classes in (3, 9)
     rng = np.random.RandomState(seed)
     img = _background(rng, size)
     boxes: List[Tuple[float, float, float, float]] = []
@@ -172,7 +216,7 @@ def make_scene(
     attempts = 0
     while len(boxes) < n_obj and attempts < 20:
         attempts += 1
-        klass = rng.randint(len(SHAPE_CLASSES))
+        klass = rng.randint(num_classes)
         mask, (y0, x0), box = _shape_mask_and_box(rng, klass, size)
         if any(_iou(box, b) > 0.25 for b in boxes):
             continue
@@ -232,12 +276,13 @@ def match_detections(
 
 
 def make_dataset(
-    seeds: Sequence[int], size: int = 416, max_objects: int = 3
+    seeds: Sequence[int], size: int = 416, max_objects: int = 3,
+    num_classes: int = 3,
 ) -> Tuple[np.ndarray, List[np.ndarray], List[np.ndarray]]:
     """Stack of scenes for the given seeds: (images, boxes list, labels list)."""
     imgs, boxes, labels = [], [], []
     for s in seeds:
-        im, bx, lb = make_scene(s, size, max_objects)
+        im, bx, lb = make_scene(s, size, max_objects, num_classes)
         imgs.append(im)
         boxes.append(bx)
         labels.append(lb)

@@ -41,20 +41,22 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 EVAL_THR = 0.3
 
 
-def load_or_make(split: str, seeds, cache_dir="/tmp/fastdet_shapes"):
+def load_or_make(split: str, seeds, cache_dir="/tmp/fastdet_shapes",
+                 num_classes: int = 3):
     """Generate (or load cached) scenes + targets for a seed range."""
     from fastdet_tpu.data import synth
 
     os.makedirs(cache_dir, exist_ok=True)
+    tag = "" if num_classes == 3 else f":c{num_classes}"
     key = hashlib.sha1(
-        ("v1:" + split + ":" + ",".join(map(str, seeds))).encode()
+        ("v1" + tag + ":" + split + ":" + ",".join(map(str, seeds))).encode()
     ).hexdigest()[:16]
     path = os.path.join(cache_dir, f"{split}_{key}.npz")
     if os.path.exists(path):
         with np.load(path, allow_pickle=True) as z:
             return z["imgs"], list(z["boxes"]), list(z["labels"])
     t0 = time.time()
-    imgs, boxes, labels = synth.make_dataset(seeds)
+    imgs, boxes, labels = synth.make_dataset(seeds, num_classes=num_classes)
     np.savez(path, imgs=imgs,
              boxes=np.asarray(boxes, dtype=object),
              labels=np.asarray(labels, dtype=object))
@@ -90,8 +92,13 @@ def main(argv):
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--target-strict", type=float, default=0.97,
                     help="early-stop when held-out strict success passes this")
-    ap.add_argument("--out", default="weights/detect3_tiny.npz")
+    ap.add_argument("--classes", type=int, default=3, choices=(3, 9),
+                    help="shape classes: 3 (disc/box/tri) or the 9-class "
+                         "palette (the rsu:9 analog)")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args(argv[1:])
+    if args.out is None:
+        args.out = f"weights/detect{args.classes}_tiny.npz"
 
     import jax
     import jax.numpy as jnp
@@ -103,13 +110,20 @@ def main(argv):
     from fastdet_tpu.parallel import train as train_lib
 
     print("[env] devices:", jax.devices())
-    spec = yolov3.get_spec("tiny", 3)
+    spec = yolov3.get_spec("tiny", args.classes)
     size = spec.image_size
 
+    # Disjoint seed plans per class count (3-class documented in the
+    # module docstring; 9-class: train 100000+, val 120000+, test
+    # 130000+ reserved for tests)
+    tr_base, va_base = (1000, 20000) if args.classes == 3 else (
+        100000, 120000)
     tr_imgs, tr_boxes, tr_labels = load_or_make(
-        "train", range(1000, 1000 + args.n_train))
+        "train", range(tr_base, tr_base + args.n_train),
+        num_classes=args.classes)
     va_imgs, va_boxes, va_labels = load_or_make(
-        "val", range(20000, 20000 + args.n_val))
+        "val", range(va_base, va_base + args.n_val),
+        num_classes=args.classes)
 
     # Targets for all four flip variants (none / hflip / vflip / both):
     # the step flips IMAGES on device and gathers the matching
@@ -219,12 +233,14 @@ def main(argv):
                 print(f"[done] target reached at step {s}")
                 break
 
+    from fastdet_tpu.data import synth as synth_mod
+
     meta = {
-        "arch": "tiny", "num_classes": 3,
-        "classes": list(__import__("fastdet_tpu.data.synth",
-                                   fromlist=["SHAPE_CLASSES"]).SHAPE_CLASSES),
-        "train_seeds": [1000, 1000 + args.n_train],
-        "val_seeds": [20000, 20000 + args.n_val],
+        "arch": "tiny", "num_classes": args.classes,
+        "classes": list(synth_mod.SHAPE_CLASSES if args.classes == 3
+                        else synth_mod.SHAPE_CLASSES_9),
+        "train_seeds": [tr_base, tr_base + args.n_train],
+        "val_seeds": [va_base, va_base + args.n_val],
         "steps_run": history[-1]["step"] if history else 0,
         "batch": args.batch,
         "final_eval": history[-1] if history else None,
