@@ -92,6 +92,9 @@ def main(argv):
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--target-strict", type=float, default=0.97,
                     help="early-stop when held-out strict success passes this")
+    ap.add_argument("--dtype", default="bf16", choices=("bf16", "f32"),
+                    help="train compute dtype (f32 dodges a remote-"
+                         "compiler crash on the 9-class bf16 backward)")
     ap.add_argument("--classes", type=int, default=3, choices=(3, 9),
                     help="shape classes: 3 (disc/box/tri) or the 9-class "
                          "palette (the rsu:9 analog)")
@@ -143,7 +146,11 @@ def main(argv):
                 b[:, 1] = 1.0 - b[:, 1]
             boxes_f.append(b)
         variants.append(train_lib.build_targets(spec, boxes_f, tr_labels))
-    tgts = [np.stack([v[s] for v in variants]) for s in range(2)]
+    # FLATTENED (4*N, g, g, 3, 5+C) with index flip*N+i — a double-axis
+    # t[flip, idx] gather on the 14-channel 9-class targets reliably
+    # crashes the remote XLA compiler helper (HTTP 500, 3/3 attempts;
+    # single-axis take compiles fine and is the same math)
+    tgts = [np.concatenate([v[s] for v in variants]) for s in range(2)]
     print(f"[data] flip-variant targets built in {time.time()-t0:.1f}s "
           f"shapes={[t.shape for t in tgts]}")
 
@@ -166,7 +173,8 @@ def main(argv):
     params = weights_io.synthetic_params(spec, seed=42)
     state = train_lib.init_train_state(spec, params, opt)
     base_step = train_lib.make_train_step(
-        spec, opt, compute_dtype=jnp.bfloat16)
+        spec, opt,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else None)
 
     # The resident dataset arrays are jit ARGUMENTS, not closure
     # captures (a closed-over ~200 MB array would be embedded in the
@@ -187,7 +195,9 @@ def main(argv):
         imgs = imgs * cj_scale[:, None, None, :] + cj_off[:, None, None, :]
         imgs = imgs + jax.random.normal(key, imgs.shape) * 0.02
         imgs = jnp.clip(imgs, 0.0, 1.0)
-        return base_step(st, imgs, t13_[flip, idx], t26_[flip, idx])
+        fi = flip * data_.shape[0] + idx
+        return base_step(st, imgs, jnp.take(t13_, fi, axis=0),
+                         jnp.take(t26_, fi, axis=0))
 
     @jax.jit
     def eval_fn(params, val_):
