@@ -37,7 +37,19 @@ def _load_trace_events(trace_dir: str):
         return json.load(fp).get("traceEvents", [])
 
 
-def _bucket(name: str) -> str:
+def _bucket(name: str, category: str = "") -> str:
+    # Prefer the profiler's own hlo_category: XLA names conv+requant
+    # fusions things like 'clamp_convert_fusion', which the name-based
+    # rules misfiled under elementwise (docs/ROUND8.md first table
+    # over-reported elementwise 49% / convs 16%; by category the convs
+    # carry most of that time).
+    c = category.lower()
+    if "convolution" in c or c == "dot":
+        return "conv/matmul"
+    if "sort" in c or "while" in c:
+        return "postprocess"
+    if "data formatting" in c:
+        return "layout/copy"
     n = name.lower()
     if "pallas" in n or "sparse" in n or "custom-call" in n:
         return "ingest-kernel"
@@ -79,13 +91,15 @@ def profile_engine(eng, jpegs, thrs, iters: int = 8) -> dict:
         name = e.get("name", "")
         if name.startswith("$"):   # host-side python frames (e.g.
             continue               # $native_jpeg.py:... scan_layout)
-        cat = (e.get("args") or {}).get("long_name", "") or name
+        args_d = e.get("args") or {}
+        cat = args_d.get("long_name", "") or name
         if not any(k in name.lower() for k in (
                 "fusion", "conv", "dot", "copy", "pallas", "custom",
                 "while", "sort", "reduce", "scan", "dynamic", "transpose",
                 "broadcast", "concatenate", "slice", "iota", "cumsum")):
             continue
-        b = _bucket(cat if len(cat) > len(name) else name)
+        b = _bucket(cat if len(cat) > len(name) else name,
+                    args_d.get("hlo_category", ""))
         buckets[b] = buckets.get(b, 0.0) + e["dur"]
         total += e["dur"]
     per_batch_ms = total / 1000.0 / iters
