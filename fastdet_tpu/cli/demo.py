@@ -50,6 +50,19 @@ def centered_square_area(w: int, h: int):
     return ((1 - ratio) / 2, 0.0, ratio, 1.0)
 
 
+def _names_for(args, num_classes):
+    from fastdet_tpu.utils import labels
+
+    table = {
+        "coco": labels.COCO_NAMES, "rsu": labels.RSU_NAMES,
+        "shapes": labels.SHAPES3_NAMES, "shapes9": labels.SHAPES9_NAMES,
+    }
+    if args.labels != "auto":
+        return table[args.labels]
+    return {3: labels.SHAPES3_NAMES, 9: labels.RSU_NAMES}.get(
+        num_classes, labels.COCO_NAMES)
+
+
 def build_detector(args):
     from fastdet_tpu import client_api
     from fastdet_tpu.utils import labels
@@ -57,8 +70,11 @@ def build_detector(args):
     if args.dummy:
         return client_api.DummyDetector()
     if args.url:
-        names = labels.RSU_NAMES if args.url.rstrip("/").endswith("rsu") \
-            else labels.COCO_NAMES
+        if args.labels != "auto":
+            names = _names_for(args, 0)
+        else:
+            names = labels.RSU_NAMES if args.url.rstrip("/").endswith("rsu") \
+                else labels.COCO_NAMES
         return client_api.RemoteDetector(args.url, names=names)
     from fastdet_tpu.models import weights as weights_io
     from fastdet_tpu.runtime.engine import DetectionEngine
@@ -66,9 +82,7 @@ def build_detector(args):
     spec, params = weights_io.load_model(args.weights, num_classes=args.classes)
     engine = DetectionEngine(spec, params, mode=args.mode, buckets=(1, 4))
     return client_api.LocalDetector(
-        engine,
-        names=labels.RSU_NAMES if args.classes == 9 else labels.COCO_NAMES,
-    )
+        engine, names=_names_for(args, spec.num_classes))
 
 
 def run_oneshot(det, args, threshold):
@@ -171,6 +185,10 @@ def main(argv):
     ap.add_argument("-t", "--threshold", type=float, default=None,
                     help="default: 0.3 COCO / 0.1 RSU (scene defaults)")
     ap.add_argument("-m", "--mode", default=None)
+    ap.add_argument("--labels", default="auto",
+                    choices=("auto", "coco", "rsu", "shapes", "shapes9"),
+                    help="label table (auto: 3 classes->shapes, 9->rsu, "
+                         "else coco)")
     ap.add_argument("--stream", action="store_true",
                     help="continuous capture loop with box retention")
     ap.add_argument("--interval", type=float, default=DEFAULT_INTERVAL,

@@ -33,6 +33,15 @@ RSU_NAMES: List[str] = [
 ]
 
 
+# Label tables for the first-party trained shape checkpoints
+# (fastdet_tpu.data.synth; weights/detect{3,9}_tiny.npz) — 0-indexed on
+# disk like coco.names/rsu.names; name_of() applies the 1-indexed wire
+# convention.
+SHAPES3_NAMES: List[str] = ["disc", "box", "tri"]
+SHAPES9_NAMES: List[str] = ["disc", "box", "tri", "ring", "frame",
+                            "cross", "bar", "dots", "stripes"]
+
+
 def load_names(path: str) -> List[str]:
     with open(path) as fp:
         return [line.strip() for line in fp if line.strip()]
