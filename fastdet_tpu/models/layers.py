@@ -79,17 +79,24 @@ def conv2d_train(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
     )
 
 
-def space_to_depth(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
-    """NHWC (..., H, W, C) -> (..., H/f, W/f, f*f*C), phase-major
-    channel order: out channel = p*(f*C) + q*C + c for row phase p, col
-    phase q. Pure relayout (reshape/transpose) — dtype-preserving."""
+def space_to_depth(x: jnp.ndarray, factor: int = 2,
+                   pad_channels: int = 0) -> jnp.ndarray:
+    """NHWC (..., H, W, C) -> (..., H/f, W/f, f*f*C [+pad zeros]),
+    phase-major channel order: out channel = p*(f*C) + q*C + c for row
+    phase p, col phase q. Pure relayout (reshape/transpose) —
+    dtype-preserving. ``pad_channels`` appends zero channels (int8 MXU
+    lane packing wants >=32 input channels; see yolov3.SpaceToDepth)."""
     f = factor
     *lead, h, w, c = x.shape
     y = x.reshape(*lead, h // f, f, w // f, f, c)
     nd = len(lead)
     perm = tuple(range(nd)) + tuple(
         nd + i for i in (0, 2, 1, 3, 4))
-    return y.transpose(perm).reshape(*lead, h // f, w // f, f * f * c)
+    out = y.transpose(perm).reshape(*lead, h // f, w // f, f * f * c)
+    if pad_channels:
+        pad = [(0, 0)] * (nd + 2) + [(0, pad_channels)]
+        out = jnp.pad(out, pad)
+    return out
 
 
 def leaky_relu(x: jnp.ndarray) -> jnp.ndarray:

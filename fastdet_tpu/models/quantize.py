@@ -53,7 +53,7 @@ def _walk(spec: ModelSpec, params, x, conv_fn):
         if isinstance(l, Conv):
             cur = conv_fn(l, params[l.name], cur)
         elif isinstance(l, SpaceToDepth):
-            cur = layers.space_to_depth(cur, l.factor)
+            cur = layers.space_to_depth(cur, l.factor, l.pad_channels)
         elif isinstance(l, MaxPool):
             cur = layers.maxpool2d(cur, l.size, l.stride)
         elif isinstance(l, Upsample):
@@ -288,7 +288,8 @@ def apply_int8(
                 else:
                     cur, cs = yf, None
         elif isinstance(l, SpaceToDepth):
-            cur = layers.space_to_depth(cur, l.factor)  # relayout: int8-safe
+            # relayout (+zero channels): int8-safe
+            cur = layers.space_to_depth(cur, l.factor, l.pad_channels)
         elif isinstance(l, MaxPool):
             cur = layers.maxpool2d(cur, l.size, l.stride)  # int8-capable
         elif isinstance(l, Upsample):

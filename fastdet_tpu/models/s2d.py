@@ -83,6 +83,18 @@ def stem_to_s2d(
                         w0[di + 1, dj + 1]
     b0p = np.tile(np.asarray(p0["b"], np.float32), 4)
 
+    # Pad conv0' input channels up to 32: int8 convolutions with fewer
+    # than 32 input channels fall off the MXU's packed-lane path
+    # (microbenchmarked 11x slower at 12ch than at 32ch for the SAME
+    # 3x3->128 kernel — docs/ROUND8.md). The s2d layer appends zero
+    # channels and the kernel gets matching zero input rows, so every
+    # int32 accumulation (and float sum) is unchanged.
+    pad_c = 0
+    if 4 * cin < 32:
+        pad_c = 32 - 4 * cin
+        w0p = np.concatenate(
+            [w0p, np.zeros((3, 3, pad_c, 4 * f0), np.float32)], axis=2)
+
     # conv1': 2x2, pad ((1,0),(1,0)), 4*f0 (phase-major) -> f1.
     w1p = np.zeros((2, 2, 4 * f0, f1), np.float32)
     for di in (-1, 0, 1):
@@ -93,7 +105,7 @@ def stem_to_s2d(
                 (2 * r + s) * f0:(2 * r + s + 1) * f0] = w1[di + 1, dj + 1]
 
     new_layers = [
-        SpaceToDepth(2),
+        SpaceToDepth(2, pad_channels=pad_c),
         replace(c0, filters=4 * f0),
         replace(c1, ksize=2, stride=1, pad=((1, 0), (1, 0))),
     ]

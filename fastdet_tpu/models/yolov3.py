@@ -72,12 +72,18 @@ class MaxPool:
 
 @dataclass(frozen=True)
 class SpaceToDepth:
-    """NHWC (H, W, C) -> (H/f, W/f, f*f*C), phase-major channel order
-    (row phase, col phase, source channel). Pure relayout — inserted by
-    the inference-only stem rewrite in models/s2d.py to turn the
-    MXU-starved first convolutions (3 input channels) into well-shaped
-    GEMMs. Value-preserving, so int8 tensors pass through unchanged."""
+    """NHWC (H, W, C) -> (H/f, W/f, f*f*C [+ pad_channels zeros]),
+    phase-major channel order (row phase, col phase, source channel).
+    Pure relayout — inserted by the inference-only stem rewrite in
+    models/s2d.py to turn the MXU-starved first convolutions (3 input
+    channels) into well-shaped GEMMs. Value-preserving, so int8 tensors
+    pass through unchanged. ``pad_channels`` appends zero channels:
+    int8 convolutions with fewer than 32 input channels fall off the
+    MXU's packed-lane path (measured 11x slower at 12ch vs 32ch for
+    the SAME kernel, docs/ROUND8.md); the consumer conv's kernel gets
+    matching zero input rows, so sums are bit-identical."""
     factor: int = 2
+    pad_channels: int = 0
 
 
 @dataclass(frozen=True)
@@ -316,7 +322,7 @@ def apply(
             else:
                 cur = layers.conv_block(p, cur, l.stride, l.act, l.pad)
         elif isinstance(l, SpaceToDepth):
-            cur = layers.space_to_depth(cur, l.factor)
+            cur = layers.space_to_depth(cur, l.factor, l.pad_channels)
         elif isinstance(l, MaxPool):
             cur = layers.maxpool2d(cur, l.size, l.stride)
         elif isinstance(l, Upsample):
