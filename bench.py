@@ -621,6 +621,7 @@ def bench_all(frames: int = 128):
         if p and ".axon_site" not in p)
     svc = services["full"]
     out = {}
+    load_err = None
     with _row("multiclient"):
         for phase, n_frames in (("warmup", 12), ("timed", per_client)):
             b0, f0 = svc.batches, svc.frames
@@ -630,13 +631,23 @@ def bench_all(frames: int = 128):
                  "--clients", str(n_clients), "--per-client", str(n_frames),
                  "--window", "6", "--threshold", str(BENCH_THRESHOLD)],
                 capture_output=True, text=True, timeout=600, env=cl_env)
+            # A failed launch (stripped PYTHONPATH, import error) must
+            # record an error row, not abort the whole bench session and
+            # lose every collected result (advisor r3).
+            if proc.returncode != 0 or not proc.stdout.strip():
+                load_err = (f"client_load rc={proc.returncode} "
+                            f"stderr={proc.stderr.strip()[-400:]!r}")
+                break
             out = json.loads(proc.stdout.strip().splitlines()[-1])
     detail["multiclient"] = {
         "clients": n_clients,
         "clients_process": "separate",
         "total_fps": out.get("fps"),
+        "frames_answered": out.get("frames"),
+        "p50_ms": out.get("p50_ms"),
+        "p99_ms": out.get("p99_ms"),
         "avg_batch": round((svc.frames - f0) / max(1, svc.batches - b0), 2),
-        "errors": out.get("errors", ["no output from client_load"]),
+        "errors": [load_err] if load_err else out.get("errors", []),
     }
     loop.call_soon_threadsafe(lambda: (server.request_shutdown(),
                                        [t.cancel() for t in asyncio.all_tasks(loop)]))

@@ -109,6 +109,14 @@ def _shape_mask_and_box(
         bh = float(verts[:, 1].max() - verts[:, 1].min())
 
     margin = 4
+    # Fail loudly when the sampled extent cannot fit: RandomState.uniform
+    # with low > high silently samples the REVERSED interval, yielding
+    # out-of-bounds centers and corrupt ground truth for small `size`
+    # (advisor r3). The bar class at MAX_SIZE needs size >= ~375.
+    if bw + 2 * margin > size or bh + 2 * margin > size:
+        raise ValueError(
+            f"shape extent {bw:.0f}x{bh:.0f}+margin exceeds scene size "
+            f"{size}; MIN_SIZE/MAX_SIZE are tuned for size>=384")
     cx = rng.uniform(bw / 2 + margin, size - bw / 2 - margin)
     cy = rng.uniform(bh / 2 + margin, size - bh / 2 - margin)
 

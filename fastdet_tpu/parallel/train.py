@@ -92,6 +92,13 @@ def build_targets(
                 gx = min(int(cx * g), g - 1)
                 gy = min(int(cy * g), g - 1)
                 t = targets[s][i, gy, gx, k]
+                # A threshold-extra assignment never evicts a slot some
+                # earlier box already claimed (best-anchor writes win;
+                # advisor r3: the unconditional zero+write silently
+                # erased an earlier box's best-anchor target when two
+                # objects shared a cell+anchor).
+                if a != best and t[4] == 1.0:
+                    continue
                 t[:] = 0.0
                 t[0] = cx * g - gx
                 t[1] = cy * g - gy

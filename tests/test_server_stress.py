@@ -9,6 +9,7 @@ via masking, client.py:79; C# client wraps 0xffff->1,
 RemoteYOLODetector.cs:184).
 """
 
+import os
 import threading
 import time
 
@@ -202,14 +203,12 @@ def test_seqno_wrap_through_real_server(convention):
         c.close()
 
 
-@pytest.mark.slow
-def test_70k_packet_stream_through_real_server():
-    """A genuine >65535-packet stream: windowed single-packet requests
-    through the real server across the wrap. Loss-tolerant accounting
-    (UDP under self-inflicted load), but the stream must keep flowing
-    after the boundary and the session must survive."""
+def _stream_pass(total):
+    """One windowed >wrap stream; returns the answered fraction.
+
+    Strict invariants (wrap survival, tail round-trip, single session)
+    are asserted inside; the loss RATE is returned for the caller."""
     data = _small_jpeg()
-    total = 70000
     with ServerThread({"detect": DetectorService(DummyDetector())}) as st:
         c = DetectClient("127.0.0.1", st.port, "detect")
         c.open()
@@ -240,15 +239,27 @@ def test_70k_packet_stream_through_real_server():
         c.request(total + 1, 0.5, data)
         _, recs = c.wait_response(total + 1, timeout=10)
         assert recs
-        # Loss bound is deliberately loose: the subject here is seqno-
-        # wrap survival (the strict assertions above/below), and this is
-        # self-inflicted UDP load on a 1-core SHARED host — a CPU-steal
-        # spell stalls the event loop and overflows the rcvbuf through
-        # no fault of the server's (observed: 57% answered during a
-        # degraded-host window, 100% re-run idle).
-        assert answered > total * 0.5, f"only {answered}/{total} answered"
         assert len(st.server.sessions) == 1
         c.close()
+    return answered / total
+
+
+@pytest.mark.slow
+def test_70k_packet_stream_through_real_server():
+    """A genuine >65535-packet stream: windowed single-packet requests
+    through the real server across the wrap. The answered-rate bound is
+    TIGHT by default (0.9 — a server dropping responses is a
+    regression); because this is self-inflicted UDP load on a 1-core
+    shared host, a failing pass is retried ONCE (observed: 57% answered
+    during a host CPU-steal window, 100% idle — advisor r3 rejected a
+    permanently loosened bound for that). Shared-host CI can lower the
+    bound explicitly via FASTDET_STRESS_MIN_ANSWERED."""
+    total = 70000
+    bound = float(os.environ.get("FASTDET_STRESS_MIN_ANSWERED", "0.9"))
+    rate = _stream_pass(total)
+    if rate <= bound:   # degraded-host suspicion: one clean retry
+        rate = _stream_pass(total)
+    assert rate > bound, f"only {rate:.1%} answered (bound {bound:.0%})"
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,10 @@ def run_clients(port, fixtures, n_clients, per_client, window):
          "--clients", str(n_clients), "--per-client", str(per_client),
          "--window", str(window), "--threshold", "0.1"],
         capture_output=True, text=True, timeout=600, env=env)
+    if proc.returncode != 0 or not proc.stdout.strip():
+        raise RuntimeError(
+            f"client_load rc={proc.returncode} "
+            f"stderr={proc.stderr.strip()[-400:]!r}")
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     return out["wall_s"], out["errors"]
 

@@ -29,16 +29,23 @@ def run_clients(port, path, fixtures, n_clients, per_client, window,
     from fastdet_tpu.runtime.client import DetectClient
 
     errs = []
+    completed = [0] * n_clients   # frames actually answered, per client —
+    # the reported fps divides sum(completed), not clients*per_client, so
+    # a stalled/errored client lowers the number instead of inflating it
+    # (advisor r3: errors alongside an overstated fps).
+    lat_ms = [[] for _ in range(n_clients)]   # per-frame answer latency
 
     def client_task(ci, n_frames):
         try:
             c = DetectClient("127.0.0.1", port, path)
             c.open()
             sent = done = 0
+            sent_at = {}
             last = time.time()
             while done < n_frames:
                 while sent - done < window and sent < n_frames:
                     sent += 1
+                    sent_at[sent] = time.time()
                     c.request(sent, threshold,
                               fixtures[(ci + sent) % len(fixtures)])
                 c.poll(0.02)
@@ -46,6 +53,9 @@ def run_clients(port, path, fixtures, n_clients, per_client, window,
                 while (done + 1) in c.responses:
                     done += 1
                     c.responses.pop(done)
+                    lat_ms[ci].append(
+                        (time.time() - sent_at.pop(done)) * 1000.0)
+                    completed[ci] = done
                     adv = True
                 if adv:
                     last = time.time()
@@ -63,7 +73,7 @@ def run_clients(port, path, fixtures, n_clients, per_client, window,
         t.start()
     for t in ts:
         t.join()
-    return time.time() - t0, errs
+    return time.time() - t0, sum(completed), lat_ms, errs
 
 
 def main():
@@ -80,12 +90,20 @@ def main():
     files = args.files or [
         os.path.join(REPO, "testdata", f"scene{i}.jpg") for i in (1, 2, 3)]
     fixtures = [open(f, "rb").read() for f in files]
-    wall, errs = run_clients(args.port, args.path, fixtures, args.clients,
-                             args.per_client, args.window, args.threshold)
+    wall, answered, lat_ms, errs = run_clients(
+        args.port, args.path, fixtures, args.clients,
+        args.per_client, args.window, args.threshold)
+    flat = sorted(ms for per in lat_ms for ms in per)
+    pct = (lambda q: round(flat[min(len(flat) - 1,
+                                    int(q * len(flat)))], 1)) if flat else (
+        lambda q: None)
     print(json.dumps({
         "wall_s": round(wall, 3),
-        "frames": args.clients * args.per_client,
-        "fps": round(args.clients * args.per_client / wall, 1),
+        "frames": answered,
+        "frames_requested": args.clients * args.per_client,
+        "fps": round(answered / wall, 1) if wall > 0 else 0.0,
+        "p50_ms": pct(0.50),
+        "p99_ms": pct(0.99),
         "errors": errs,
     }))
 
