@@ -161,11 +161,19 @@ def measure_legs(engine, jpegs, batch: int, inflight: int,
                      (pure host CPU; the serving producer's stable leg)
       device_fps     ONE pre-staged batch re-dispatched in a pipelined
                      loop (put + exec + wire-blob fetch, no host pack)
+      inpass_link_mbps  sustained h2d of batch-sized FRESH buffers,
+                     pipelined at the pass's inflight depth
 
-    plus bytes_per_frame of the staged rows so the link probes convert
-    to a link-bound fps. Returns (host_pack_fps, device_fps,
-    bytes_per_frame) or None when the content doesn't ride one std-tier
-    sparse group (legs would not describe the headline path).
+    The link leg is measured the way the passes actually use the link —
+    pipelined puts of in-pass-sized payloads — NOT by the small blocking
+    bracket probes: round 3's probe-derived bound (371 f/s) sat 36%
+    BELOW the measured headline (584 f/s) because six sequential
+    blocking 1.2 MB puts pay per-put latency the pipelined pass never
+    does (VERDICT r3 weak #2). bytes_per_frame of the staged rows
+    converts it to a link-bound fps. Returns (host_pack_fps,
+    device_fps, bytes_per_frame, inpass_link_mbps) or None when the
+    content doesn't ride one std-tier sparse group (legs would not
+    describe the headline path).
     """
     from collections import deque
 
@@ -211,8 +219,24 @@ def measure_legs(engine, jpegs, batch: int, inflight: int,
         engine.fetch_wire(q.popleft(), batch)
     dev_dt = time.perf_counter() - t0
 
+    # link leg: pipelined puts of fresh entropy buffers sized like the
+    # staged batch (unique bytes — uncacheable), blocked once at the
+    # end. This is the transfer pattern of the passes themselves.
+    import jax
+
+    rng = np.random.default_rng()
+    bufs = [rng.integers(0, 256, packed.nbytes, dtype=np.uint8)
+            for _ in range(n_batches)]
+    dev = engine.devices[0]
+    jax.device_put(bufs[0], dev).block_until_ready()   # path warm
+    t0 = time.perf_counter()
+    refs = [jax.device_put(b, dev) for b in bufs]
+    jax.block_until_ready(refs)
+    link_dt = time.perf_counter() - t0
+    inpass_link_mbps = n_batches * packed.nbytes / link_dt / 1e6
+
     return (n_batches * batch / host_dt, n_batches * batch / dev_dt,
-            packed.nbytes / batch)
+            packed.nbytes / batch, inpass_link_mbps)
 
 
 def _threaded_fps(engine, submit, n_batches: int, batch: int,
@@ -784,17 +808,26 @@ def main():
         # per-frame wire bytes don't move with tunnel weather; device_fps
         # moves only with the link legs it contains. sol_fps is the
         # docs/ROUND7.md speed-of-light model evaluated at THIS run's
-        # measured weather — headline >> below sol_fps means weather or
-        # regression; headline ~ sol_fps means the pipeline is at its
-        # bound.
-        host_fps, device_fps, bpf = legs
-        link_mbps = float(np.mean(link))
-        link_fps = link_mbps * 1e6 / bpf if bpf else None
+        # measured weather — headline well below sol_fps means weather
+        # or regression; headline ~ sol_fps means the pipeline is at
+        # its bound. link_bound_fps comes from the IN-PASS pipelined
+        # link leg (VERDICT r3 weak #2: the old bracket-probe bound sat
+        # 36% below the measured headline — not a bound at all); the
+        # bracket probes stay in link_probe_mbps as weather context.
+        host_fps, device_fps, bpf, inpass_mbps = legs
+        link_fps = inpass_mbps * 1e6 / bpf if bpf else None
         out["host_pack_fps"] = round(host_fps, 1)
         out["device_fps"] = round(device_fps, 1)
         out["wire_bytes_per_frame"] = int(bpf)
+        out["inpass_link_mbps"] = round(inpass_mbps, 1)
         out["link_bound_fps"] = round(link_fps, 1)
         out["sol_fps"] = round(min(host_fps, device_fps, link_fps), 1)
+        # A bound the measurement exceeds is a broken bound — fail the
+        # bench loudly rather than record a self-contradictory artifact
+        # (VERDICT r3 #3). 5% grace covers timer noise between legs.
+        assert fps <= out["sol_fps"] * 1.05, (
+            f"measured {fps:.1f} f/s exceeds sol_fps {out['sol_fps']} — "
+            "a leg under-measures its capacity; fix the leg model")
     print(json.dumps(out))
 
 

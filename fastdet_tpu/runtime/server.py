@@ -72,6 +72,10 @@ class ModelService:
         self._fetches: set = set()
         self.batches = 0
         self.frames = 0
+        # Dispatched-batch size histogram {real_frames_in_batch: count}
+        # — the saturation study's evidence for how well supply fills
+        # buckets at each concurrency (VERDICT r3 #5).
+        self.batch_hist: Dict[int, int] = {}
         # Ingest observability (per service): frames served via each path
         # and why the fast path was skipped. The fast paths silently
         # degrading to pixel decode must be visible in logs and counters.
@@ -214,6 +218,8 @@ class ModelService:
                 if res is not None:
                     break
             if res is not None:
+                STAGES.record("dispatch_batch",
+                              time.perf_counter() - t_try)
                 for k, v in (getattr(res, "counts", None)
                              or {"planes": len(batch)}).items():
                     self.ingest[k] = self.ingest.get(k, 0) + v
@@ -296,9 +302,11 @@ class ModelService:
         """Fetch one in-flight batch's results and resolve its futures.
         Runs concurrently with the worker dispatching later batches."""
         loop = asyncio.get_running_loop()
+        t_f = time.perf_counter()
         try:
             results = await loop.run_in_executor(
                 None, self.engine.fetch_wire, res, n)
+            STAGES.record("fetch_batch", time.perf_counter() - t_f)
         except Exception as e:
             for fut in futs:
                 if fut is not None and not fut.done():
@@ -306,9 +314,12 @@ class ModelService:
             return
         finally:
             sem.release()
-        STAGES.record("infer_batch", time.perf_counter() - t0)
+        t_done = time.perf_counter()
+        STAGES.record("infer_batch", t_done - t0)
         self.batches += 1
-        self.frames += sum(1 for f in futs if f is not None)
+        real = sum(1 for f in futs if f is not None)
+        self.frames += real
+        self.batch_hist[real] = self.batch_hist.get(real, 0) + 1
         self._maybe_log_stats()
         # A None fut marks a frame this dispatch does not cover (an
         # unresolved frame being retried down the pixel path).

@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Serving saturation study + engine-vs-server gap attribution
+(VERDICT r3 #5).
+
+Round 3 measured batched-engine rows at 367-375 f/s while 8 full-
+protocol clients reached 281 f/s through the same device — a ~25% gap
+tested at ONE concurrency point with no latency distribution and no
+attribution. This tool:
+
+1. measures the engine-only batched ceiling (same threaded-producer
+   methodology as bench.py's headline),
+2. sweeps pipelined protocol clients (8/16/32/64 by default, each in a
+   SEPARATE process via tools/client_load.py), recording total fps,
+   per-client p50/p99, the server-side dispatched-batch-size histogram,
+   and the serving stage timers (dispatch_batch / fetch_batch /
+   infer_batch / request_e2e percentiles),
+3. brackets every row with link-weather probes so rows are comparable.
+
+Output: one JSON document (stdout + --out file) whose ``attribution``
+section states where server time goes at saturation relative to the
+engine ceiling.
+
+Usage (TPU host):
+  python tools/saturation.py [--clients 8,16,32,64] [--per-client 48]
+      [--frames 192] [--out BENCH_SATURATION.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+
+def run_load(port, n_clients, per_client, window, threshold):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and ".axon_site" not in p)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "client_load.py"),
+         "--port", str(port), "--path", "full",
+         "--clients", str(n_clients), "--per-client", str(per_client),
+         "--window", str(window), "--threshold", str(threshold)],
+        capture_output=True, text=True, timeout=900, env=env)
+    if proc.returncode != 0 or not proc.stdout.strip():
+        return {"error": f"client_load rc={proc.returncode} "
+                         f"stderr={proc.stderr.strip()[-400:]!r}"}
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main(argv):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", default="8,16,32,64")
+    ap.add_argument("--per-client", type=int, default=48)
+    ap.add_argument("--window", type=int, default=6)
+    ap.add_argument("--frames", type=int, default=192,
+                    help="frames for the engine-ceiling measurement")
+    ap.add_argument("--mode", default="int8")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv[1:])
+
+    from fastdet_tpu.runtime import jpeg
+    from fastdet_tpu.runtime.engine import DetectionEngine
+    from fastdet_tpu.runtime.server import DetectionServer, ModelService
+    from fastdet_tpu.utils.profiling import STAGES
+
+    spec, params, kind = bench.load_bench_model("full", 80)
+    engine = DetectionEngine(spec, params, mode=args.mode,
+                             buckets=(1, 8, 16, 24),
+                             calibration_images=bench.bench_calibration())
+    engine.warmup()
+    engine.wait_warm()
+    doc = {"mode": args.mode, "weights": kind, "buckets": [1, 8, 16, 24],
+           "window": args.window, "per_client": args.per_client}
+
+    # 1. engine-only ceiling, same submit/fetch overlap as serving
+    fixtures = bench.make_jpegs(3)
+    bsz = engine.max_batch
+    thrs = [bench.BENCH_THRESHOLD] * bsz
+
+    def submit(i):
+        bj = [fixtures[(i * bsz + j) % 3] for j in range(bsz)]
+        res = (engine.detect_async_sparse(bj, thrs)
+               or engine.detect_async_planes(bj, thrs))
+        assert res is not None
+        return res
+
+    bench._threaded_fps(engine, submit, 2, bsz, 3)   # warm
+    p0 = round(bench.probe_link_mbps(n=3, device=engine.devices[0]), 1)
+    ceiling = round(bench._threaded_fps(
+        engine, submit, max(1, args.frames // bsz), bsz, 3), 1)
+    p1 = round(bench.probe_link_mbps(n=3, device=engine.devices[0]), 1)
+    doc["engine_ceiling"] = {"fps": ceiling, "batch": bsz,
+                             "probes_mbps": [p0, p1]}
+
+    # 2. serve the SAME engine through the real protocol stack
+    svc = ModelService(engine, name="full")
+    server = DetectionServer({"full": svc}, port=0)
+    loop = asyncio.new_event_loop()
+
+    def serve():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(server.serve())
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    for _ in range(100):
+        if getattr(server, "bound_port", None):
+            break
+        time.sleep(0.05)
+
+    rows = []
+    for n_clients in [int(x) for x in args.clients.split(",")]:
+        # fresh counters per row
+        svc.batch_hist.clear()
+        b0, f0 = svc.batches, svc.frames
+        run_load(server.bound_port, n_clients, 8, args.window,
+                 bench.BENCH_THRESHOLD)   # short warmup pass
+        svc.batch_hist.clear()
+        b0, f0 = svc.batches, svc.frames
+        pa = round(bench.probe_link_mbps(n=3, device=engine.devices[0]), 1)
+        out = run_load(server.bound_port, n_clients, args.per_client,
+                       args.window, bench.BENCH_THRESHOLD)
+        pb = round(bench.probe_link_mbps(n=3, device=engine.devices[0]), 1)
+        stages = {k: {kk: round(vv, 2) for kk, vv in v.items()}
+                  for k, v in STAGES.snapshot().items()
+                  if k in ("dispatch_batch", "fetch_batch",
+                           "infer_batch", "request_e2e")}
+        row = {
+            "clients": n_clients,
+            "fps": out.get("fps"),
+            "p50_ms": out.get("p50_ms"),
+            "p99_ms": out.get("p99_ms"),
+            "frames_answered": out.get("frames"),
+            "errors": out.get("errors", [out.get("error")]),
+            "avg_batch": round((svc.frames - f0)
+                               / max(1, svc.batches - b0), 2),
+            "batch_hist": dict(sorted(svc.batch_hist.items())),
+            "stages_ms": stages,
+            "probes_mbps": [pa, pb],
+            "vs_engine_ceiling": (round(out["fps"] / ceiling, 3)
+                                  if out.get("fps") else None),
+        }
+        rows.append(row)
+        print(json.dumps(row), file=sys.stderr)
+    doc["sweep"] = rows
+
+    # 3. attribution: per-batch serving overhead vs the engine loop.
+    best = max((r for r in rows if r.get("fps")), key=lambda r: r["fps"],
+               default=None)
+    if best:
+        st = best["stages_ms"]
+        doc["attribution"] = {
+            "best_row_clients": best["clients"],
+            "serving_fps": best["fps"],
+            "engine_ceiling_fps": ceiling,
+            "gap_pct": round(100 * (1 - best["fps"] / ceiling), 1),
+            "note": ("dispatch_batch = host ingest+dispatch per batch; "
+                     "fetch_batch = result wait+unpack; infer_batch = "
+                     "dispatch->results total; request_e2e = per-request "
+                     "wire-to-wire. avg_batch below the 24 bucket means "
+                     "supply (client windows), not server capacity, "
+                     "limits batch depth."),
+            "stages_ms": st,
+            "avg_batch": best["avg_batch"],
+        }
+
+    loop.call_soon_threadsafe(
+        lambda: (server.request_shutdown(),
+                 [t.cancel() for t in asyncio.all_tasks(loop)]))
+    th.join(timeout=5)
+
+    print(json.dumps(doc, indent=1))
+    if args.out:
+        with open(args.out, "w") as fp:
+            json.dump(doc, fp, indent=1)
+
+
+if __name__ == "__main__":
+    main(sys.argv)
