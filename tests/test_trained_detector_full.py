@@ -1,0 +1,93 @@
+"""END-TO-END proof the FLAGSHIP ARCH detects (VERDICT r3 #1).
+
+Rounds 2-3 proved detection only on yolov3-tiny; the full Darknet-53
+3-scale architecture — the reference's primary registry entry
+``full:80`` (server/server.py:353-358) and the model behind every
+headline bench — had only ever run synthetic weights. The committed
+checkpoint weights/detect9_full.npz was trained FROM SCRATCH by the
+project's own training subsystem (tools/train_detect3.py --arch full)
+on the 9-class shape world (held-out best: localize 0.927, fp/frame
+0.0 — weights/detect9_full.json).
+
+These tests drive the full serving stack — protocol client -> RTSP/RTP
+server -> native ingest -> engine -> device postprocess -> wire records
+— over HELD-OUT scenes (seed range 130100+, disjoint from training
+100000+ and validation 120000+) in BOTH bf16 and int8, with the
+>=90%-of-frames acceptance bar of VERDICT r3 #1.
+"""
+
+import pathlib
+
+import pytest
+
+from fastdet_tpu.data import synth
+from fastdet_tpu.models import weights
+from fastdet_tpu.runtime import jpeg
+from fastdet_tpu.runtime.engine import DetectionEngine
+from tests.test_trained_detector import _frame_scores, _serve_and_collect
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+CKPT = REPO / "weights" / "detect9_full.npz"
+
+TEST_SEEDS = range(130100, 130116)   # held-out 9-class test range
+CALIB_SEEDS = range(140500, 140506)
+THRESHOLD = 0.2
+REQUIRED_FRAME_RATE = 0.9
+
+pytestmark = pytest.mark.skipif(
+    not CKPT.exists(), reason="trained full-arch checkpoint not present")
+
+
+@pytest.fixture(scope="module")
+def held_out():
+    imgs, boxes, labels = synth.make_dataset(TEST_SEEDS, num_classes=9)
+    jpegs = [jpeg.encode_rgb(im, quality=90) for im in imgs]
+    return jpegs, boxes, labels
+
+
+@pytest.fixture(scope="module")
+def calib_images():
+    imgs, _, _ = synth.make_dataset(CALIB_SEEDS, num_classes=9)
+    return imgs
+
+
+@pytest.mark.slow
+def test_trained_full_arch_full_stack_bf16_and_int8(held_out,
+                                                    calib_images):
+    jpegs, boxes, labels = held_out
+    spec, params = weights.load_npz(str(CKPT))
+    assert (spec.name, spec.num_classes) == ("yolov3", 9)
+    assert spec.num_outputs == 3          # the 3-scale flagship head
+
+    ok_by_mode = {}
+    for mode in ("bf16", "int8"):
+        eng = DetectionEngine(
+            spec, params, mode=mode, buckets=(1, 2),
+            calibration_images=calib_images if mode == "int8" else None)
+        results, svc = _serve_and_collect(eng, jpegs)
+        ok, matched, total = _frame_scores(results, boxes, labels)
+        rate = sum(ok) / len(ok)
+        assert svc.ingest["pixels"] == 0, svc.ingest   # native wire only
+        assert rate >= REQUIRED_FRAME_RATE, (
+            f"{mode}: only {sum(ok)}/{len(ok)} held-out frames fully "
+            f"localized ({matched}/{total} objects)")
+        ok_by_mode[mode] = ok
+
+    diff = sum(a != b for a, b in
+               zip(ok_by_mode["bf16"], ok_by_mode["int8"]))
+    assert diff <= max(1, len(jpegs) // 10), (
+        f"bf16 and int8 disagree on {diff} frames")
+
+
+def test_full_checkpoint_metadata_documented():
+    import json
+
+    spec, params = weights.load_npz(str(CKPT))
+    assert (spec.name, spec.num_classes) == ("yolov3", 9)
+    side = CKPT.with_suffix(".json")
+    assert side.exists(), "training metadata sidecar missing"
+    meta = json.loads(side.read_text())
+    assert meta["arch"] == "full"
+    assert meta["train_seeds"][0] >= 100000
+    assert meta["val_seeds"][0] >= 120000   # disjoint from 130100+
+    assert meta["best_localize"] >= 0.9

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Train the 3-class shape detector that proves end-to-end detection.
+"""Train the shape detectors that prove end-to-end detection.
 
 VERDICT round 2, directive #1: the framework had never detected a real
 object (no egress for public YOLOv3 weights — tools/fetch_weights.py
@@ -8,6 +8,13 @@ fails DNS). This closes the gap with first-party evidence: yolov3-tiny
 subsystem (fastdet_tpu.parallel.train) on procedurally generated scenes
 with exact ground truth (fastdet_tpu.data.synth), until HELD-OUT frames
 localize their planted objects.
+
+Round 4 (VERDICT r3 #1) extends the same trainer to ``--arch full``:
+the flagship Darknet-53 3-scale architecture — the one behind the
+reference's primary registry entry ``full:80``
+(/root/reference/server/server.py:353-358) and every headline bench —
+trained on the 9-class shape world so the full arch demonstrably
+*detects*, not just runs synthetic weights.
 
 Seed plan (disjoint by construction, documented for the tests):
   train      seeds 1000 .. 1000+n_train-1
@@ -42,12 +49,20 @@ EVAL_THR = 0.3
 
 
 def load_or_make(split: str, seeds, cache_dir="/tmp/fastdet_shapes",
-                 num_classes: int = 3):
-    """Generate (or load cached) scenes + targets for a seed range."""
+                 num_classes: int = 3, jpeg_q: int = 0):
+    """Generate (or load cached) scenes + targets for a seed range.
+
+    ``jpeg_q`` > 0 round-trips each scene through JPEG at that quality:
+    serving traffic is JPEG (the engine ingests q~90 re-encodes), and a
+    model trained on raw pixels loses measurable recall to compression
+    artifacts it never saw (r4: 13/16 vs 15/16 held-out frames). Ground
+    truth is unchanged — the boxes describe the same objects."""
     from fastdet_tpu.data import synth
 
     os.makedirs(cache_dir, exist_ok=True)
     tag = "" if num_classes == 3 else f":c{num_classes}"
+    if jpeg_q:
+        tag += f":q{jpeg_q}"
     key = hashlib.sha1(
         ("v1" + tag + ":" + split + ":" + ",".join(map(str, seeds))).encode()
     ).hexdigest()[:16]
@@ -57,6 +72,12 @@ def load_or_make(split: str, seeds, cache_dir="/tmp/fastdet_shapes",
             return z["imgs"], list(z["boxes"]), list(z["labels"])
     t0 = time.time()
     imgs, boxes, labels = synth.make_dataset(seeds, num_classes=num_classes)
+    if jpeg_q:
+        from fastdet_tpu.runtime import jpeg as jpeg_mod
+
+        imgs = np.stack([
+            jpeg_mod.decode_rgb(jpeg_mod.encode_rgb(im, quality=jpeg_q))
+            for im in imgs])
     np.savez(path, imgs=imgs,
              boxes=np.asarray(boxes, dtype=object),
              labels=np.asarray(labels, dtype=object))
@@ -98,10 +119,23 @@ def main(argv):
     ap.add_argument("--classes", type=int, default=3, choices=(3, 9),
                     help="shape classes: 3 (disc/box/tri) or the 9-class "
                          "palette (the rsu:9 analog)")
+    ap.add_argument("--arch", default="tiny", choices=("tiny", "full"),
+                    help="tiny (2-scale) or the flagship Darknet-53 "
+                         "full (3-scale)")
+    ap.add_argument("--eval-chunk", type=int, default=32,
+                    help="eval forward batch size (full at b96 would "
+                         "spike peak activation memory)")
+    ap.add_argument("--init-from", default=None,
+                    help="resume/fine-tune from an existing .npz "
+                         "checkpoint instead of random init")
+    ap.add_argument("--jpeg-q", type=int, default=0,
+                    help="round-trip train/val scenes through JPEG at "
+                         "this quality (0 = raw pixels) to match the "
+                         "serving traffic domain")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv[1:])
     if args.out is None:
-        args.out = f"weights/detect{args.classes}_tiny.npz"
+        args.out = f"weights/detect{args.classes}_{args.arch}.npz"
 
     import jax
     import jax.numpy as jnp
@@ -113,7 +147,8 @@ def main(argv):
     from fastdet_tpu.parallel import train as train_lib
 
     print("[env] devices:", jax.devices())
-    spec = yolov3.get_spec("tiny", args.classes)
+    spec = yolov3.get_spec(args.arch, args.classes)
+    n_scales = spec.num_outputs
     size = spec.image_size
 
     # Disjoint seed plans per class count (3-class documented in the
@@ -123,10 +158,10 @@ def main(argv):
         100000, 120000)
     tr_imgs, tr_boxes, tr_labels = load_or_make(
         "train", range(tr_base, tr_base + args.n_train),
-        num_classes=args.classes)
+        num_classes=args.classes, jpeg_q=args.jpeg_q)
     va_imgs, va_boxes, va_labels = load_or_make(
         "val", range(va_base, va_base + args.n_val),
-        num_classes=args.classes)
+        num_classes=args.classes, jpeg_q=args.jpeg_q)
 
     # Targets for all four flip variants (none / hflip / vflip / both):
     # the step flips IMAGES on device and gathers the matching
@@ -149,16 +184,22 @@ def main(argv):
     # FLATTENED (4*N, g, g, 3, 5+C) with index flip*N+i — a double-axis
     # t[flip, idx] gather on the 14-channel 9-class targets reliably
     # crashes the remote XLA compiler helper (HTTP 500, 3/3 attempts;
-    # single-axis take compiles fine and is the same math)
-    tgts = [np.concatenate([v[s] for v in variants]) for s in range(2)]
+    # single-axis take compiles fine and is the same math).
+    # Full-arch targets (3 scales incl. 52x52) are ~4x tiny's — stored
+    # float16 on device (offsets/log-ratios are O(1); f16's 1e-3
+    # rounding is far under the loss's useful resolution) and cast back
+    # to f32 inside the step.
+    tgt_store = np.float16 if args.arch == "full" else np.float32
+    tgts = [np.concatenate([v[s] for v in variants]).astype(tgt_store)
+            for s in range(n_scales)]
     print(f"[data] flip-variant targets built in {time.time()-t0:.1f}s "
-          f"shapes={[t.shape for t in tgts]}")
+          f"shapes={[t.shape for t in tgts]} store={tgt_store.__name__}")
 
     t0 = time.time()
     data = jax.device_put(tr_imgs)
-    t13, t26 = (jax.device_put(t) for t in tgts)
+    dev_tgts = tuple(jax.device_put(t) for t in tgts)
     val = jax.device_put(va_imgs)
-    jax.block_until_ready((data, t13, t26, val))
+    jax.block_until_ready((data, dev_tgts, val))
     print(f"[h2d] dataset resident in {time.time()-t0:.1f}s")
 
     warmup = min(100, max(1, args.steps // 10))
@@ -170,7 +211,13 @@ def main(argv):
         optax.adamw(sched, weight_decay=5e-4,
                     mask=train_lib._decay_mask),
     )
-    params = weights_io.synthetic_params(spec, seed=42)
+    if args.init_from:
+        spec_ck, params = weights_io.load_npz(args.init_from)
+        assert (spec_ck.name, spec_ck.num_classes) == \
+            (spec.name, spec.num_classes), "checkpoint arch mismatch"
+        print(f"[init] resumed from {args.init_from}")
+    else:
+        params = weights_io.synthetic_params(spec, seed=42)
     state = train_lib.init_train_state(spec, params, opt)
     base_step = train_lib.make_train_step(
         spec, opt,
@@ -184,7 +231,7 @@ def main(argv):
     # and 0.03 s/step after). Three live copies of an 8.6M-param state
     # are noise next to 16 GB HBM.
     @jax.jit
-    def step(st, data_, t13_, t26_, idx, flip, cj_scale, cj_off, key):
+    def step(st, data_, tgts_, idx, flip, cj_scale, cj_off, key):
         imgs = jnp.take(data_, idx, axis=0).astype(jnp.float32) / 255.0
         fh = (flip & 1).astype(bool)
         fv = ((flip >> 1) & 1).astype(bool)
@@ -196,8 +243,9 @@ def main(argv):
         imgs = imgs + jax.random.normal(key, imgs.shape) * 0.02
         imgs = jnp.clip(imgs, 0.0, 1.0)
         fi = flip * data_.shape[0] + idx
-        return base_step(st, imgs, jnp.take(t13_, fi, axis=0),
-                         jnp.take(t26_, fi, axis=0))
+        picked = tuple(jnp.take(t, fi, axis=0).astype(jnp.float32)
+                       for t in tgts_)
+        return base_step(st, imgs, *picked)
 
     @jax.jit
     def eval_fn(params, val_):
@@ -205,6 +253,20 @@ def main(argv):
         heads = yolov3.apply(spec, yolov3.fold_params(spec, params), x,
                              train=False, compute_dtype=jnp.bfloat16)
         return postprocess_batch(heads, spec, jnp.float32(EVAL_THR))
+
+    def eval_chunked(params, val_):
+        """device_get'd NMSResult over the val set, in eval-chunk slices
+        (one compile per distinct chunk shape; full at one b96 forward
+        would spike peak activation memory on the training HBM)."""
+        outs = []
+        n = val_.shape[0]
+        cs = args.eval_chunk
+        for lo in range(0, n - n % cs, cs):
+            outs.append(jax.device_get(eval_fn(params, val_[lo:lo + cs])))
+        if n % cs:
+            outs.append(jax.device_get(eval_fn(params, val_[n - n % cs:])))
+        return type(outs[0])(*[np.concatenate(cols)
+                               for cols in zip(*outs)])
 
     rng = np.random.RandomState(7)
     t_start = time.time()
@@ -216,7 +278,7 @@ def main(argv):
         flip = rng.randint(4, size=args.batch).astype(np.int32)
         cj_s = rng.uniform(0.75, 1.25, (args.batch, 3)).astype(np.float32)
         cj_o = rng.uniform(-0.12, 0.12, (args.batch, 3)).astype(np.float32)
-        state, metrics = step(state, data, t13, t26, idx, flip, cj_s, cj_o,
+        state, metrics = step(state, data, dev_tgts, idx, flip, cj_s, cj_o,
                               jax.random.fold_in(key0, s))
         if s % 50 == 0:
             m = {k: float(v) for k, v in metrics.items()}
@@ -225,7 +287,7 @@ def main(argv):
                   f"cls={m['cls']:7.3f} "
                   f"({(time.time()-t_start)/s*1e3:.0f} ms/step)")
         if s % args.eval_every == 0 or s == args.steps:
-            res = jax.device_get(eval_fn(state.params, val))
+            res = eval_chunked(state.params, val)
             loc, strict, fp = evaluate(res, va_boxes, va_labels, size)
             print(f"[eval {s:5d}] held-out: localize={loc:.3f} "
                   f"strict={strict:.3f} fp/frame={fp:.2f}")
@@ -246,7 +308,7 @@ def main(argv):
     from fastdet_tpu.data import synth as synth_mod
 
     meta = {
-        "arch": "tiny", "num_classes": args.classes,
+        "arch": args.arch, "num_classes": args.classes,
         "classes": list(synth_mod.SHAPE_CLASSES if args.classes == 3
                         else synth_mod.SHAPE_CLASSES_9),
         "train_seeds": [tr_base, tr_base + args.n_train],
