@@ -59,7 +59,14 @@ from jax.experimental.pallas import tpu as pltpu
 # Bigger tiles amortize the per-tile unrolled select and per-step grid
 # overhead over more rows.
 def _pick_bt(nb: int) -> int:
-    for bt in range(64, 7, -8):
+    import os
+
+    # 128-block tiles: the escape stages and per-tile floor (grid step,
+    # branch regions, offset DMA) are per-tile-fixed, and realistic
+    # content always pays them (esc rate 0.2-0.6/block) — measured
+    # 3.85 -> 3.56 ms/batch-24 over 64-block tiles (docs/ROUND9.md).
+    cap = int(os.environ.get("FASTDET_SPARSE_BT", "128"))
+    for bt in range(cap, 7, -8):
         if nb % bt == 0:
             return bt
     return 8
@@ -78,6 +85,15 @@ def _slt64() -> np.ndarray:
 
 
 @functools.lru_cache()
+def _grp(n: int, per: int) -> np.ndarray:
+    """(n, n//per) 0/1 grouping matrix: G[l, w] = [l // per == w] — the
+    word-packing reduction for the packed one-hot selects."""
+    g = np.zeros((n, n // per), np.float32)
+    g[np.arange(n), np.arange(n) // per] = 1.0
+    return g
+
+
+@functools.lru_cache()
 def _pmat64() -> np.ndarray:
     """Zigzag->natural lane permutation as a matmul: nat = zz @ _pmat64().
 
@@ -88,6 +104,17 @@ def _pmat64() -> np.ndarray:
     p = np.zeros((64, 64), np.float32)
     p[np.arange(64), jpeg_device.ZIGZAG] = 1.0
     return p
+
+
+def _perm_bytes(x, mat_ref):
+    """Exact int16-range x @ mat for a 0/1 matrix, as two DEFAULT-
+    precision dots on byte halves (bf16-exact operands) instead of one
+    6-pass HIGHEST dot."""
+    hi = jax.lax.dot((x >> 8).astype(jnp.float32), mat_ref[:],
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    lo = jax.lax.dot((x & 255).astype(jnp.float32), mat_ref[:],
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    return (hi << 8) + lo
 
 
 def _load_window(ref, start, width, lanes_iota):
@@ -105,25 +132,108 @@ def _load_window(ref, start, width, lanes_iota):
     return win[0, :width]
 
 
-def _kernel(moff_ref, off_ref, eoff1_ref, eoff2_ref, ms_ref, vals_ref,
-            esc8_ref, esc16_ref, slt_ref, pmat_ref, out_ref, mwin_ref,
-            win_ref, ewin1_ref, ewin2_ref, *, bt, sentinel):
+def _seg_load(ref, start, rows, lanes_iota):
+    """(rows, 128) = stream[start : start+rows*128], start unaligned.
+
+    The 2-row merge of _load_window applied to a whole row block: one
+    dynamic (rows+1)-sublane slice, two lane rotates, one select."""
+    row = start // LANES
+    col = start % LANES
+    span = ref[pl.ds(row, rows + 1), :]
+    rot_a = pltpu.roll(span[:rows, :], -col, 1)
+    rot_b = pltpu.roll(span[1:, :], -col, 1)
+    return jnp.where(lanes_iota + col < LANES, rot_a, rot_b)
+
+
+def _windows_matmul(stream_ref, offc, s0, rows, width, lanes_iota):
+    """All bt windows of one tile as TWO MXU matmuls per 128-entry row
+    chunk — the vectorized replacement for bt serial _load_window calls
+    (profiled 6.6 ms/batch-24, 53% of device time, docs/ROUND9.md).
+
+    win[j, k] = stream[off[j] + k] for k < nnz[j], where blocks are
+    contiguous (off[j] + nnz[j] == off[j+1]):
+
+        win = sum_r  B1_r @ QV_r^T
+        B1_r[j, l]  = [off[j] <= i(l) < off[j+1]]      (membership)
+        QV_r[k, l]  = [i(l) - offsel(l) == k] * seg[l] (rank one-hot)
+        offsel(l)   = off[block containing i(l)] = sum_j B1_r[j,l]*off[j]
+
+    built from broadcast compares on (bt, 128) / (width, 128) tiles —
+    no per-element addressing, no serial per-block work. Values are
+    small ints (nibbles / mask bytes), bf16-exact, so the default MXU
+    precision is fine. ``offc`` is the tile's (bt+1, 1) offset column.
+    """
+    seg = _seg_load(stream_ref, s0, rows, lanes_iota)
+    lo = (offc[:-1] - s0)                    # (bt, 1) local starts
+    hi = (offc[1:] - s0)                     # (bt, 1) local ends
+    w_full = rows * LANES
+    # ONE wide dot, not one per 128-entry chunk: per-dot launch cost
+    # (~0.15 us fill/drain on tiny matmuls) dominated the first cut of
+    # this path at ~14 dots/tile x 1536 tiles. Sum_r A_r @ B_r^T ==
+    # [A_0|A_1|...] @ [B_0|B_1|...]^T with concatenation along the
+    # CONTRACTED lane axis, so the chunk structure survives only in the
+    # cheap VPU build of qv.
+    i_full = jax.lax.broadcasted_iota(jnp.int32, (1, w_full), 1)
+    member = (lo <= i_full) & (i_full < hi)               # (bt, w_full)
+    offsel = jnp.sum(jnp.where(member, lo, 0), axis=0,
+                     keepdims=True)                       # (1, w_full)
+    q = i_full - offsel                                   # (1, w_full)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 0)
+    qv = jnp.concatenate(
+        [jnp.where(kcol == q[:, r * LANES:(r + 1) * LANES],
+                   seg[r:r + 1, :], 0)
+         for r in range(rows)], axis=1)                   # (width, w_full)
+    return jax.lax.dot_general(
+        member.astype(jnp.float32), qv.astype(jnp.float32),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
+def _kernel(offs_ref, offt_ref, ms_ref, vals_ref, esc8_ref, esc16_ref,
+            slt_ref, pmat_ref, grp4_ref, grpe_ref, out_ref, mwin_ref,
+            win_ref, ewin1_ref, ewin2_ref, *, bt, nb1, sentinel):
+    # offs_ref: ONE SMEM row holding [moff | off | eoff1 | eoff2], each
+    # nb1 wide; offt_ref: ONE (4bt+4, 1) column of the tile's offsets in
+    # the same order. Four separate inputs measured ~0.5 ms/batch of
+    # pure per-tile DMA-issue + region overhead (docs/ROUND9.md).
     t = pl.program_id(1)
     base = t * bt
+    MOFF, OFF, EOFF1, EOFF2 = 0, nb1, 2 * nb1, 3 * nb1
+    bt1 = bt + 1
     lanes_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    iota8 = lanes_iota[0, :8]
-    # Assemble the tile's value windows and mask windows. The v5 mask is
-    # a variable-length byte prefix per block: an 8-wide window of the
-    # mask stream with bytes >= the block's plen zeroed (they belong to
-    # the NEXT block). plen comes from adjacent differences of the
-    # (nb+1)-entry mask-offset array in SMEM.
-    for j in range(bt):
-        start = off_ref[0, base + j]
-        win_ref[j, :] = _load_window(vals_ref, start, 64, lanes_iota)
-        ml = moff_ref[0, base + j]
-        plen = moff_ref[0, base + j + 1] - ml
-        mw = _load_window(ms_ref, ml, 8, lanes_iota)
-        mwin_ref[j, :8] = jnp.where(iota8 < plen, mw, 0)
+    # Tile value/mask windows. Masks ALWAYS ride the matmul path (a
+    # block's mask prefix is <= 8 bytes, so a tile's mask span is
+    # bounded by 8*bt = the segment width by construction — and the
+    # membership test subsumes the old per-byte plen zeroing). Values
+    # ride it when the tile's stream span fits the segment (typical
+    # camera content: ~5 values/block vs the 8/block budget; denser
+    # tiles take the exact per-block fallback below).
+    s0 = offs_ref[0, OFF + base]
+    span = offs_ref[0, OFF + base + bt] - s0
+    m0 = offs_ref[0, MOFF + base]
+    offt = offt_ref[0]
+
+    mwin_ref[:, :8] = _windows_matmul(
+        ms_ref, offt[:bt1], m0, bt // 16, 8, lanes_iota)
+
+    # One 32-values/block segment serves every realistic tile (camera
+    # content averages ~10-14 values/block, tools/measure_sparse_stats);
+    # a second smaller tier measured WORSE than always running this one
+    # — pl.when region overhead exceeds the saved element work (stage
+    # floor table, docs/ROUND9.md). Pathological tiles (span > 32/block)
+    # take the exact serial per-block fallback.
+    t2 = bt * 32
+
+    @pl.when(span <= t2)
+    def _values_fast():
+        win_ref[:] = _windows_matmul(
+            vals_ref, offt[bt1:2 * bt1], s0, t2 // LANES, 64, lanes_iota)
+
+    @pl.when(span > t2)
+    def _values_dense():
+        for j in range(bt):
+            start = offs_ref[0, OFF + base + j]
+            win_ref[j, :] = _load_window(vals_ref, start, 64, lanes_iota)
 
     # Expand the 8 mask bytes to the (bt, 64) bit plane — in ZIGZAG lane
     # order (the wire mask order; natural order is restored by one
@@ -146,23 +256,30 @@ def _kernel(moff_ref, off_ref, eoff1_ref, eoff2_ref, ms_ref, vals_ref,
     win = win_ref[:]                        # (bt, 64) i32 nibble values
 
     def to_natural(x):
-        # zigzag -> natural lanes: one MXU matmul with the constant
-        # permutation. Precision HIGHEST is REQUIRED: the default TPU
-        # matmul truncates f32 operands to bf16, and esc16-level values
-        # (|v| > 256) are not bf16-representable (-303 would come out
-        # -304). The rank matmuls elsewhere are fine at default — their
-        # operands are 0/1 flags and ranks <= 64, all bf16-exact. At
-        # HIGHEST, f32 carries integers up to 2^24 exactly >> 32767.
-        return jax.lax.dot(
-            x.astype(jnp.float32), pmat_ref[:],
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32).astype(jnp.int32)
+        # zigzag -> natural lanes: constant permutation matmuls. The
+        # default TPU matmul truncates f32 operands to bf16 (integers
+        # exact only to 256), and esc16-level values reach +-32767 —
+        # but HIGHEST precision costs 6 MXU passes. Exact at TWO
+        # default passes instead: split the int16 into bytes (each
+        # bf16-exact), permute each, recombine (the matrix is 0/1 and
+        # each output sums ONE term, so no accumulation concerns).
+        return _perm_bytes(x, pmat_ref)
 
-    # value placement: dense[p] = window[rank[p]] where bit set
-    acc = jnp.zeros((bt, 64), jnp.int32)
-    for k in range(64):
-        acc = acc + jnp.where(rank == k, win[:, k][:, None], 0)
-    acc = acc * bits
+    # Value placement: dense[p] = window[rank[p]] where bit set. The
+    # straight 64-step one-hot select was the kernel's single hottest
+    # stage (1.67 of 3.44 ms/batch, bisected via strip flags); values
+    # are NIBBLES, so pack 4 per word with one f32-HIGHEST dot (exact:
+    # sums <= 2^16) and select among 16 words instead, extracting the
+    # in-word nibble with per-element shifts.
+    lane64 = jax.lax.broadcasted_iota(jnp.int32, (bt, 64), 1)
+    contrib = (win & 15) << ((lane64 & 3) * 4)
+    win_p = _perm_bytes(contrib, grp4_ref)          # (bt, 16) exact
+    rw = rank >> 2
+    word = jnp.zeros((bt, 64), jnp.int32)
+    for k in range(16):
+        word = word + jnp.where(rw == k, win_p[:, k][:, None], 0)
+    nib = (word >> ((rank & 3) * 4)) & 15
+    acc = (nib - ((nib >> 3) << 4)) * bits      # sign-extend the nibble
 
     # Escapes are RARE (0.06-0.27/block at camera quality, zero on most
     # blocks), so every escape stage is predicated on the actual counts,
@@ -173,7 +290,7 @@ def _kernel(moff_ref, off_ref, eoff1_ref, eoff2_ref, ms_ref, vals_ref,
     # scratch in ewin*_ref — harmless: the one-hot substitution only
     # keeps lanes where esc1/esc2 is set, and those exist only in blocks
     # whose windows were loaded this step.
-    tile_e1 = eoff1_ref[0, base + bt] - eoff1_ref[0, base]
+    tile_e1 = offs_ref[0, EOFF1 + base + bt] - offs_ref[0, EOFF1 + base]
 
     @pl.when(tile_e1 == 0)
     def _no_escapes():
@@ -181,27 +298,44 @@ def _kernel(moff_ref, off_ref, eoff1_ref, eoff2_ref, ms_ref, vals_ref,
 
     @pl.when(tile_e1 > 0)
     def _esc1_stage():
-        for j in range(bt):
-            e1 = eoff1_ref[0, base + j]
-            c1j = eoff1_ref[0, base + j + 1] - e1
+        e1_0 = offs_ref[0, EOFF1 + base]
 
-            @pl.when(c1j > 0)
-            def _load1(e1=e1, j=j):
-                ewin1_ref[j, :EW1] = _load_window(
-                    esc8_ref, e1, EW1, lanes_iota)
+        @pl.when(tile_e1 <= 4 * LANES)
+        def _ewin1_matmul():
+            ewin1_ref[:, :EW1] = _windows_matmul(
+                esc8_ref, offt[2 * bt1:3 * bt1], e1_0, 4, EW1, lanes_iota)
+
+        @pl.when(tile_e1 > 4 * LANES)
+        def _ewin1_dense():
+            for j in range(bt):
+                e1 = offs_ref[0, EOFF1 + base + j]
+                c1j = offs_ref[0, EOFF1 + base + j + 1] - e1
+
+                @pl.when(c1j > 0)
+                def _load1(e1=e1, j=j):
+                    ewin1_ref[j, :EW1] = _load_window(
+                        esc8_ref, e1, EW1, lanes_iota)
 
         # level-1 escapes: sentinel slots (v5 nibble -8 / v6 3-bit -4)
-        # take the next esc8-window entry
+        # take the next esc8-window entry. Same packed-select trick as
+        # value placement: esc8 entries are BYTES, two per word, so the
+        # 32-step one-hot halves to 16 + an in-word extraction.
         esc1 = (acc == sentinel) & (bits > 0)
         erank1 = jnp.dot(esc1.astype(jnp.float32), slt_ref[:],
                          preferred_element_type=jnp.float32).astype(jnp.int32)
         ewin1 = ewin1_ref[:]                # (bt, 128) i32, escapes in :EW1
-        eacc1 = jnp.zeros((bt, 64), jnp.int32)
-        for k in range(EW1):
-            eacc1 = eacc1 + jnp.where(erank1 == k, ewin1[:, k][:, None], 0)
+        lane_e = jax.lax.broadcasted_iota(jnp.int32, (bt, EW1), 1)
+        contrib1 = (ewin1[:, :EW1] & 255) << ((lane_e & 1) * 8)
+        ep1 = _perm_bytes(contrib1, grpe_ref)
+        erw = erank1 >> 1
+        eword = jnp.zeros((bt, 64), jnp.int32)
+        for k in range(EW1 // 2):
+            eword = eword + jnp.where(erw == k, ep1[:, k][:, None], 0)
+        eb = (eword >> ((erank1 & 1) * 8)) & 255
+        eacc1 = eb - ((eb >> 7) << 8)       # sign-extend the byte
         c1 = jnp.where(esc1, eacc1, acc)
 
-        tile_e2 = eoff2_ref[0, base + bt] - eoff2_ref[0, base]
+        tile_e2 = offs_ref[0, EOFF2 + base + bt] - offs_ref[0, EOFF2 + base]
 
         @pl.when(tile_e2 == 0)
         def _no_esc16():
@@ -209,14 +343,23 @@ def _kernel(moff_ref, off_ref, eoff1_ref, eoff2_ref, ms_ref, vals_ref,
 
         @pl.when(tile_e2 > 0)
         def _esc2_stage():
-            for j in range(bt):
-                e2 = eoff2_ref[0, base + j]
-                c2j = eoff2_ref[0, base + j + 1] - e2
+            e2_0 = offs_ref[0, EOFF2 + base]
 
-                @pl.when(c2j > 0)
-                def _load2(e2=e2, j=j):
-                    ewin2_ref[j, :EW2] = _load_window(
-                        esc16_ref, e2, EW2, lanes_iota)
+            @pl.when(tile_e2 <= 4 * LANES)
+            def _ewin2_matmul():
+                ewin2_ref[:, :EW2] = _windows_matmul(
+                    esc16_ref, offt[3 * bt1:], e2_0, 4, EW2, lanes_iota)
+
+            @pl.when(tile_e2 > 4 * LANES)
+            def _ewin2_dense():
+                for j in range(bt):
+                    e2 = offs_ref[0, EOFF2 + base + j]
+                    c2j = offs_ref[0, EOFF2 + base + j + 1] - e2
+
+                    @pl.when(c2j > 0)
+                    def _load2(e2=e2, j=j):
+                        ewin2_ref[j, :EW2] = _load_window(
+                            esc16_ref, e2, EW2, lanes_iota)
 
             # level-2 escapes: -128 slots take the next esc16-window entry
             esc2 = esc1 & (c1 == -128)
@@ -247,16 +390,31 @@ def _rows128(stream32, extra_rows=2):
         b, rows + extra_rows, LANES)
 
 
-def _reconstruct(moff, off, eoff1, eoff2, ms32, vals32, esc8_32, esc16_32,
+def _tiled_offsets(offx, bt):
+    """(B, NBp+1) exclusive offsets -> (B, NBT, bt+1, 1) per-tile offset
+    COLUMNS for the matmul window path: tile t's block starts plus its
+    end, in sublane orientation (the kernel needs (bt+1, 1) columns for
+    broadcast compares; SMEM scalars can't form a vector without bt
+    serial inserts). The trailing size-1 dim keeps XLA's default layout
+    identical to the pallas block layout — no boundary relayout."""
+    b, nbp1 = offx.shape
+    nb = nbp1 - 1
+    nbt = nb // bt
+    main = offx[:, :nb].reshape(b, nbt, bt)
+    tail = offx[:, bt::bt].reshape(b, nbt, 1)
+    return jnp.concatenate([main, tail], axis=2)[..., None]
+
+
+def _reconstruct(moff, offx, eoff1, eoff2, ms32, vals32, esc8_32, esc16_32,
                  *, interpret=False, sentinel=-8):
     """(B, rows, 128) mask/value/escape streams -> (B, NB, 64) i32.
 
     ``moff`` is (B, NB+1): exclusive mask-stream byte offsets EXTENDED
     with the total, so the kernel reads each block's plen as an adjacent
-    difference. ``eoff1``/``eoff2`` are (B, NB+1) likewise for the
-    escape streams (per-block and per-tile escape counts gate the escape
-    stages). Bit plane and in-block ranks are derived in-kernel from the
-    windowed mask bytes."""
+    difference. ``offx`` is the value-stream analog (B, NB+1);
+    ``eoff1``/``eoff2`` likewise for the escape streams (per-block and
+    per-tile escape counts gate the escape stages). Bit plane and
+    in-block ranks are derived in-kernel from the windowed mask bytes."""
     b = moff.shape[0]
     nb = moff.shape[1] - 1
     bt = _pick_bt(nb)
@@ -273,23 +431,21 @@ def _reconstruct(moff, off, eoff1, eoff2, ms32, vals32, esc8_32, esc16_32,
     e2r = esc16_32.shape[1]
     grid = (b, nb // bt)
     return pl.pallas_call(
-        functools.partial(_kernel, bt=bt, sentinel=sentinel),
+        functools.partial(_kernel, bt=bt, nb1=nb + 1, sentinel=sentinel),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, 1, nb + 1), lambda i, t: (i, 0, 0),
-                         memory_space=pltpu.SMEM),                 # moff
-            pl.BlockSpec((None, 1, nb), lambda i, t: (i, 0, 0),
-                         memory_space=pltpu.SMEM),                 # off
-            pl.BlockSpec((None, 1, nb + 1), lambda i, t: (i, 0, 0),
-                         memory_space=pltpu.SMEM),                 # eoff1
-            pl.BlockSpec((None, 1, nb + 1), lambda i, t: (i, 0, 0),
-                         memory_space=pltpu.SMEM),                 # eoff2
+            pl.BlockSpec((None, 1, 4 * (nb + 1)), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.SMEM),     # [moff|off|e1|e2]
+            pl.BlockSpec((None, 1, 4 * (bt + 1), 1),
+                         lambda i, t: (i, t, 0, 0)),   # tiled offsets
             pl.BlockSpec((None, mr, LANES), lambda i, t: (i, 0, 0)),  # mask
             pl.BlockSpec((None, vr, LANES), lambda i, t: (i, 0, 0)),  # vals
             pl.BlockSpec((None, e1r, LANES), lambda i, t: (i, 0, 0)),  # esc8
             pl.BlockSpec((None, e2r, LANES), lambda i, t: (i, 0, 0)),  # esc16
             pl.BlockSpec((64, 64), lambda i, t: (0, 0)),           # slt
             pl.BlockSpec((64, 64), lambda i, t: (0, 0)),           # pmat
+            pl.BlockSpec((64, 16), lambda i, t: (0, 0)),           # grp4
+            pl.BlockSpec((EW1, EW1 // 2), lambda i, t: (0, 0)),    # grpe
         ],
         out_specs=pl.BlockSpec((None, bt, 64), lambda i, t: (i, t, 0)),
         out_shape=jax.ShapeDtypeStruct((b, nb, 64), jnp.int32),
@@ -300,9 +456,13 @@ def _reconstruct(moff, off, eoff1, eoff2, ms32, vals32, esc8_32, esc16_32,
             pltpu.VMEM((bt, LANES), jnp.int32),   # esc16 windows (:EW2)
         ],
         interpret=interpret,
-    )(moff[:, None, :], off[:, None, :], eoff1[:, None, :],
-      eoff2[:, None, :], ms32, vals32, esc8_32, esc16_32,
-      jnp.asarray(_slt64()), jnp.asarray(_pmat64()))
+    )(jnp.concatenate([moff, offx, eoff1, eoff2], axis=1)[:, None, :],
+      jnp.concatenate([_tiled_offsets(moff, bt), _tiled_offsets(offx, bt),
+                       _tiled_offsets(eoff1, bt),
+                       _tiled_offsets(eoff2, bt)], axis=2),
+      ms32, vals32, esc8_32, esc16_32,
+      jnp.asarray(_slt64()), jnp.asarray(_pmat64()),
+      jnp.asarray(_grp(64, 4)), jnp.asarray(_grp(EW1, 2)))
 
 
 def _stream_counts(flags_s, off, nnz):
@@ -392,12 +552,17 @@ def _batch_ac(plen, maskstream, vals, esc8, esc16, nb, *, sentinel,
     # counts from adjacent differences (see _reconstruct)
     eoff1x = jnp.concatenate([eoff1, eoff1[:, -1:] + ecnt1[:, -1:]], -1)
     eoff2x = jnp.concatenate([eoff2, eoff2[:, -1:] + ecnt2[:, -1:]], -1)
+    # The matmul window paths read their full segment rows from a
+    # dynamic start that can sit at the stream total — pad each stream
+    # by its largest segment + 1 (values: the 32/block tier; masks:
+    # 8/block; escapes: the fixed 4-row segment).
+    bt = _pick_bt(nb_pad)
     return _reconstruct(
-        moffx, off, eoff1x, eoff2x,
-        _rows128(maskstream.astype(jnp.int32)),
-        _rows128(vals),
-        _rows128(esc8.astype(jnp.int32)),
-        _rows128(esc16.astype(jnp.int32)),
+        moffx, probe, eoff1x, eoff2x,
+        _rows128(maskstream.astype(jnp.int32), extra_rows=bt // 16 + 1),
+        _rows128(vals, extra_rows=bt // 4 + 1),
+        _rows128(esc8.astype(jnp.int32), extra_rows=5),
+        _rows128(esc16.astype(jnp.int32), extra_rows=5),
         interpret=interpret, sentinel=sentinel,
     )[:, :nb]
 

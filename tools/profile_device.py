@@ -44,6 +44,8 @@ def _bucket(name: str, category: str = "") -> str:
     # over-reported elementwise 49% / convs 16%; by category the convs
     # carry most of that time).
     c = category.lower()
+    if "custom" in c:            # pallas kernels lower to custom-call
+        return "ingest-kernel"
     if "convolution" in c or c == "dot":
         return "conv/matmul"
     if "sort" in c or "while" in c:
@@ -93,7 +95,16 @@ def profile_engine(eng, jpegs, thrs, iters: int = 8) -> dict:
             continue               # $native_jpeg.py:... scan_layout)
         args_d = e.get("args") or {}
         cat = args_d.get("long_name", "") or name
-        if not any(k in name.lower() for k in (
+        # Any event the profiler tagged with an hlo_category is a real
+        # device-lane XLA op — count it unconditionally. The old
+        # keyword-only filter silently DROPPED the sparse-ingest Pallas
+        # custom-call once XLA started naming it "_unknown_.1" (no
+        # keyword hit): 6.6 ms/batch — 53% of true device time —
+        # missing from every bucketed total (docs/ROUND9.md). The
+        # keyword list remains only as the fallback for events with no
+        # category.
+        if not args_d.get("hlo_category") and not any(
+                k in name.lower() for k in (
                 "fusion", "conv", "dot", "copy", "pallas", "custom",
                 "while", "sort", "reduce", "scan", "dynamic", "transpose",
                 "broadcast", "concatenate", "slice", "iota", "cumsum")):
