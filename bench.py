@@ -793,7 +793,7 @@ def main():
         return
 
     (fps, passes, p50, (compile_s, warm_link), bg_warm_s, ingest,
-     weight_kind, link, legs, retry) = bench_tpu(
+     weight_kind, link, legs, retry, p50_local) = bench_tpu(
         args.frames, args.batch, args.inflight, mode=args.mode)
     vs = None
     baseline_kind = None
@@ -815,6 +815,9 @@ def main():
         "baseline_kind": baseline_kind,
         "north_star": "BASELINE.json ORT-CUDA e2e (unmeasurable here: no GPU/ORT)",
         "p50_ms": round(p50, 1),
+        # derived local-PCIe p50 anchor (VERDICT r3 weak #5): measured
+        # b1 host pack + profiler device-lane ms + 0.3 ms PCIe allowance
+        "p50_local": p50_local,
         "passes_fps": [round(p, 1) for p in passes],
         "link_probe_mbps": list(link),  # h2d weather around the passes
         "batch": args.batch,
