@@ -76,7 +76,7 @@ def main(argv):
     from fastdet_tpu.runtime import jpeg
     from fastdet_tpu.runtime.engine import DetectionEngine
     from fastdet_tpu.runtime.server import DetectionServer, ModelService
-    from fastdet_tpu.utils.profiling import STAGES
+    from fastdet_tpu.utils.profiling import GLOBAL as STAGES
 
     spec, params, kind = bench.load_bench_model("full", 80)
     engine = DetectionEngine(spec, params, mode=args.mode,
