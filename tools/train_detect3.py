@@ -49,7 +49,8 @@ EVAL_THR = 0.3
 
 
 def load_or_make(split: str, seeds, cache_dir="/tmp/fastdet_shapes",
-                 num_classes: int = 3, jpeg_q: int = 0):
+                 num_classes: int = 3, jpeg_q: int = 0,
+                 max_objects: int = 3):
     """Generate (or load cached) scenes + targets for a seed range.
 
     ``jpeg_q`` > 0 round-trips each scene through JPEG at that quality:
@@ -63,6 +64,8 @@ def load_or_make(split: str, seeds, cache_dir="/tmp/fastdet_shapes",
     tag = "" if num_classes == 3 else f":c{num_classes}"
     if jpeg_q:
         tag += f":q{jpeg_q}"
+    if max_objects != 3:
+        tag += f":m{max_objects}"
     key = hashlib.sha1(
         ("v1" + tag + ":" + split + ":" + ",".join(map(str, seeds))).encode()
     ).hexdigest()[:16]
@@ -71,7 +74,8 @@ def load_or_make(split: str, seeds, cache_dir="/tmp/fastdet_shapes",
         with np.load(path, allow_pickle=True) as z:
             return z["imgs"], list(z["boxes"]), list(z["labels"])
     t0 = time.time()
-    imgs, boxes, labels = synth.make_dataset(seeds, num_classes=num_classes)
+    imgs, boxes, labels = synth.make_dataset(
+        seeds, num_classes=num_classes, max_objects=max_objects)
     if jpeg_q:
         from fastdet_tpu.runtime import jpeg as jpeg_mod
 
@@ -128,6 +132,10 @@ def main(argv):
     ap.add_argument("--init-from", default=None,
                     help="resume/fine-tune from an existing .npz "
                          "checkpoint instead of random init")
+    ap.add_argument("--max-objects", type=int, default=3,
+                    help="objects per scene cap; >3 trains crowded "
+                         "scenes (multi-object recall was the held-out "
+                         "failure mode, r4)")
     ap.add_argument("--jpeg-q", type=int, default=0,
                     help="round-trip train/val scenes through JPEG at "
                          "this quality (0 = raw pixels) to match the "
@@ -158,10 +166,12 @@ def main(argv):
         100000, 120000)
     tr_imgs, tr_boxes, tr_labels = load_or_make(
         "train", range(tr_base, tr_base + args.n_train),
-        num_classes=args.classes, jpeg_q=args.jpeg_q)
+        num_classes=args.classes, jpeg_q=args.jpeg_q,
+        max_objects=args.max_objects)
     va_imgs, va_boxes, va_labels = load_or_make(
         "val", range(va_base, va_base + args.n_val),
-        num_classes=args.classes, jpeg_q=args.jpeg_q)
+        num_classes=args.classes, jpeg_q=args.jpeg_q,
+        max_objects=args.max_objects)
 
     # Targets for all four flip variants (none / hflip / vflip / both):
     # the step flips IMAGES on device and gathers the matching
@@ -311,6 +321,8 @@ def main(argv):
         "arch": args.arch, "num_classes": args.classes,
         "classes": list(synth_mod.SHAPE_CLASSES if args.classes == 3
                         else synth_mod.SHAPE_CLASSES_9),
+        "max_objects": args.max_objects,
+        "jpeg_q": args.jpeg_q,
         "train_seeds": [tr_base, tr_base + args.n_train],
         "val_seeds": [va_base, va_base + args.n_val],
         "steps_run": history[-1]["step"] if history else 0,
