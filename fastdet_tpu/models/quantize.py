@@ -223,7 +223,7 @@ def apply_int8(
     outputs: List[Any] = []   # (tensor, scale)
     heads: List[jnp.ndarray] = []
     cur, cs = x.astype(jnp.float32), None
-    for l in spec.layers:
+    for li, l in enumerate(spec.layers):
         if isinstance(l, Conv):
             p = qparams[l.name]
             if "w_q" not in p:  # float head conv
@@ -288,6 +288,23 @@ def apply_int8(
                 else:
                     cur, cs = yf, None
         elif isinstance(l, SpaceToDepth):
+            # Quantize BEFORE the relayout when the consumer conv is
+            # int8: s2d is value-preserving and the input scale is
+            # per-tensor, so quantize->s2d == s2d->quantize EXACTLY
+            # (zero pad channels are 0 in s8 too) — but the relayout
+            # copy + pad then move 1/4 the bytes. Profiled b24 int8:
+            # the f32 s2d relayout copy alone was 0.81 ms of a 13.8 ms
+            # batch (copy.603, docs/ROUND9.md).
+            if cs is None:
+                nxt = next((m for m in spec.layers[li + 1:]
+                            if isinstance(m, Conv)), None)
+                if nxt is not None and "w_q" in qparams.get(nxt.name, {}):
+                    s_in = qparams[nxt.name]["x_scale"]
+                    cur = jnp.clip(
+                        jnp.round(cur.astype(jnp.float32) * (1.0 / s_in)),
+                        -127, 127,
+                    ).astype(jnp.int8)
+                    cs = s_in
             # relayout (+zero channels): int8-safe
             cur = layers.space_to_depth(cur, l.factor, l.pad_channels)
         elif isinstance(l, MaxPool):
