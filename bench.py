@@ -312,6 +312,11 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 256,
     # waits so the passes measure steady state, and reports both times.
     engine.wait_warm()
     bg_warm_s = engine.background_warm_s
+    # Per-program warmup attribution (VERDICT r4 #7): which
+    # (path, layout, tier, bucket) combinations the compile seconds
+    # actually went to, eager + background combined.
+    warm_attr = dict(sorted(engine.warm_attribution.items(),
+                            key=lambda kv: -kv[1]))
 
     jpegs = make_jpegs(64)
     thresholds = [BENCH_THRESHOLD] * batch
@@ -834,6 +839,10 @@ def main():
         # fallback programs keep compiling on a background thread after
         # warmup() returns (serving is already up at compile_s)
         "bg_warm_s": round(bg_warm_s, 1) if bg_warm_s else None,
+        # per-program first-call wall seconds, worst first (attribution
+        # for compile_s/bg_warm_s; threads overlap so these sum to MORE
+        # than the walls)
+        "warm_attribution": warm_attr,
     }
     if retry is not None:
         # the discarded attempt of the catastrophic-weather retry
@@ -857,12 +866,18 @@ def main():
         out["inpass_link_mbps"] = round(inpass_mbps, 1)
         out["link_bound_fps"] = round(link_fps, 1)
         out["sol_fps"] = round(min(host_fps, device_fps, link_fps), 1)
-        # A bound the measurement exceeds is a broken bound — fail the
-        # bench loudly rather than record a self-contradictory artifact
-        # (VERDICT r3 #3). 5% grace covers timer noise between legs.
-        assert fps <= out["sol_fps"] * 1.05, (
-            f"measured {fps:.1f} f/s exceeds sol_fps {out['sol_fps']} — "
-            "a leg under-measures its capacity; fix the leg model")
+        # A bound the measurement exceeds is a broken bound — record the
+        # contradiction explicitly (VERDICT r3 #3) WITHOUT aborting: the
+        # legs are timed at a different moment than the passes, so an
+        # ordinary tunnel-weather swing can trip this on a healthy run,
+        # and a hard assert would discard the whole bench (advisor r4).
+        # 5% grace covers timer noise between legs.
+        out["self_consistent"] = bool(fps <= out["sol_fps"] * 1.05)
+        if not out["self_consistent"]:
+            out["consistency_note"] = (
+                f"measured {fps:.1f} f/s exceeds sol_fps {out['sol_fps']}"
+                " — a leg under-measured its capacity (likely a link-"
+                "weather swing between the leg probe and the passes)")
     print(json.dumps(out))
 
 

@@ -65,11 +65,16 @@ def _pick_bt(nb: int) -> int:
     # branch regions, offset DMA) are per-tile-fixed, and realistic
     # content always pays them (esc rate 0.2-0.6/block) — measured
     # 3.85 -> 3.56 ms/batch-24 over 64-block tiles (docs/ROUND9.md).
+    # floor 16: the mask segment uses bt // 16 rows, so bt < 16 would
+    # give an empty mask window (advisor r4); validate the override too
     cap = int(os.environ.get("FASTDET_SPARSE_BT", "128"))
-    for bt in range(cap, 7, -8):
+    if cap < 16 or cap % 16:
+        raise ValueError(f"FASTDET_SPARSE_BT={cap}: must be a positive "
+                         f"multiple of 16")
+    for bt in range(cap, 15, -16):
         if nb % bt == 0:
             return bt
-    return 8
+    return 16
 # Escape-window widths per level (must cover the native emitter's
 # per-block caps, fd_jpeg.cpp kMaxEsc8PerBlock / kMaxEsc16PerBlock).
 EW1 = 32
@@ -145,7 +150,8 @@ def _seg_load(ref, start, rows, lanes_iota):
     return jnp.where(lanes_iota + col < LANES, rot_a, rot_b)
 
 
-def _windows_matmul(stream_ref, offc, s0, rows, width, lanes_iota):
+def _windows_matmul(stream_ref, offc, s0, rows, width, lanes_iota,
+                    exact16=False):
     """All bt windows of one tile as TWO MXU matmuls per 128-entry row
     chunk — the vectorized replacement for bt serial _load_window calls
     (profiled 6.6 ms/batch-24, 53% of device time, docs/ROUND9.md).
@@ -159,9 +165,16 @@ def _windows_matmul(stream_ref, offc, s0, rows, width, lanes_iota):
         offsel(l)   = off[block containing i(l)] = sum_j B1_r[j,l]*off[j]
 
     built from broadcast compares on (bt, 128) / (width, 128) tiles —
-    no per-element addressing, no serial per-block work. Values are
-    small ints (nibbles / mask bytes), bf16-exact, so the default MXU
-    precision is fine. ``offc`` is the tile's (bt+1, 1) offset column.
+    no per-element addressing, no serial per-block work. The default
+    TPU matmul truncates f32 operands to bf16 — integers exact only to
+    256 — which is fine for nibbles / mask bytes / esc8 bytes but NOT
+    for int16 escape values (±32767): those callers pass
+    ``exact16=True``, which splits the segment into byte halves (each
+    bf16-exact; hi = arithmetic >>8 ∈ [-128,127], lo = &255 ∈ [0,255])
+    and runs two default-precision dots — exact because each output
+    entry sums exactly ONE member·value product, so recombining
+    (hi<<8)+lo reproduces the int16. ``offc`` is the tile's (bt+1, 1)
+    offset column.
     """
     seg = _seg_load(stream_ref, s0, rows, lanes_iota)
     lo = (offc[:-1] - s0)                    # (bt, 1) local starts
@@ -179,14 +192,21 @@ def _windows_matmul(stream_ref, offc, s0, rows, width, lanes_iota):
                      keepdims=True)                       # (1, w_full)
     q = i_full - offsel                                   # (1, w_full)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 0)
-    qv = jnp.concatenate(
-        [jnp.where(kcol == q[:, r * LANES:(r + 1) * LANES],
-                   seg[r:r + 1, :], 0)
-         for r in range(rows)], axis=1)                   # (width, w_full)
-    return jax.lax.dot_general(
-        member.astype(jnp.float32), qv.astype(jnp.float32),
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.int32)
+    memf = member.astype(jnp.float32)
+
+    def _dot(segx):
+        qv = jnp.concatenate(
+            [jnp.where(kcol == q[:, r * LANES:(r + 1) * LANES],
+                       segx[r:r + 1, :], 0)
+             for r in range(rows)], axis=1)               # (width, w_full)
+        return jax.lax.dot_general(
+            memf, qv.astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    if exact16:
+        return (_dot(seg >> 8) << 8) + _dot(seg & 255)
+    return _dot(seg)
 
 
 def _kernel(offs_ref, offt_ref, ms_ref, vals_ref, esc8_ref, esc16_ref,
@@ -347,8 +367,11 @@ def _kernel(offs_ref, offt_ref, ms_ref, vals_ref, esc8_ref, esc16_ref,
 
             @pl.when(tile_e2 <= 4 * LANES)
             def _ewin2_matmul():
+                # exact16: esc16 values reach ±32767 — the default-
+                # precision dot would silently round |v|>256 to bf16
                 ewin2_ref[:, :EW2] = _windows_matmul(
-                    esc16_ref, offt[3 * bt1:], e2_0, 4, EW2, lanes_iota)
+                    esc16_ref, offt[3 * bt1:], e2_0, 4, EW2, lanes_iota,
+                    exact16=True)
 
             @pl.when(tile_e2 > 4 * LANES)
             def _ewin2_dense():

@@ -50,13 +50,28 @@ def build_targets(
     """Dense per-scale targets (B, H, W, 3, 5+C).
 
     Channel layout: [tx_off, ty_off, tw_log, th_log, obj, one-hot classes].
-    Each ground-truth box is assigned to its best-matching anchor (max
-    IoU of width/height against the anchor table) at its center cell —
-    and, when ``multi_anchor_thr`` is set, to every OTHER anchor whose
-    wh-IoU clears the threshold too (the standard recall trick: objects
-    near an anchor-size boundary otherwise train only one of the two
-    near-equally-responsible predictors, and the one that fires at test
-    time may be the untrained one)."""
+    Each ground-truth box claims the best-matching FREE anchor slot (max
+    IoU of width/height against the anchor table, at its center cell for
+    that anchor's scale) — and, when ``multi_anchor_thr`` is set, every
+    other free anchor whose wh-IoU clears the threshold too (the
+    standard recall trick: objects near an anchor-size boundary
+    otherwise train only one of the two near-equally-responsible
+    predictors, and the one that fires at test time may be the untrained
+    one).
+
+    Collision-aware (VERDICT r4 #4): when two similar-size objects share
+    a cell at one scale, the naive rule assigns both to the SAME
+    (cell, anchor) slot and the later write evicts the earlier — the
+    trained model then structurally cannot detect both (the r4 failure
+    mode: 3-object scenes missing exactly one object). Instead, a box
+    whose best slot already holds another box's primary assignment
+    overflows to its next-best anchor by wh-IoU — different anchors of
+    the same cell, or another scale entirely, whose FINER/COARSER grid
+    usually separates the two centers into different cells. Primaries
+    may evict threshold-extras but never another primary; candidates are
+    floored at wh-IoU ≥ max(0.15, iou_best/2) so overflow never lands
+    on a wildly wrong-size anchor (log-ratio targets stay sane).
+    """
     b = len(gt_boxes)
     c = spec.num_classes
     grids = list(grids) if grids is not None else yolov3.head_grid_sizes(spec)
@@ -65,9 +80,17 @@ def build_targets(
     anchors = np.asarray(spec.anchors, np.float32)       # (S, 3, 2) pixels
     flat = anchors.reshape(-1, 2)                         # (S*3, 2)
 
+    def slot_of(a, cx, cy):
+        s, k = divmod(a, anchors.shape[1])
+        g = grids[s]
+        gx = min(int(cx * g), g - 1)
+        gy = min(int(cy * g), g - 1)
+        return s, k, gy, gx
+
     for i in range(b):
         boxes = np.asarray(gt_boxes[i], np.float32).reshape(-1, 4)
         labels = np.asarray(gt_labels[i]).reshape(-1)
+        occ: Dict[Tuple[int, int, int, int], bool] = {}  # slot -> is_primary
         for (cx, cy, w, h), lab in zip(boxes, labels):
             if lab < 0:
                 continue   # negative label = ignore marker (darknet -1)
@@ -82,23 +105,27 @@ def build_targets(
             inter = np.minimum(flat, wh).prod(axis=1)
             union = flat.prod(axis=1) + wh.prod() - inter
             iou = inter / np.maximum(union, 1e-9)
-            best = int(np.argmax(iou))
-            chosen = {best}
+            order = np.argsort(-iou)
+            best = int(order[0])
+            floor = max(0.15, float(iou[best]) * 0.5)
+            primary = best            # fallback: overwrite-best (rare)
+            for a in order:
+                if iou[a] < floor and a != best:
+                    break
+                if occ.get(slot_of(int(a), cx, cy)) is not True:
+                    primary = int(a)
+                    break
+            chosen = [primary]
             if multi_anchor_thr is not None:
-                chosen.update(np.nonzero(iou >= multi_anchor_thr)[0].tolist())
+                for a in np.nonzero(iou >= multi_anchor_thr)[0].tolist():
+                    if a != primary and slot_of(a, cx, cy) not in occ:
+                        chosen.append(a)
             for a in chosen:
-                s, k = divmod(a, anchors.shape[1])
+                s, k, gy, gx = slot_of(a, cx, cy)
+                occ[(s, k, gy, gx)] = occ.get((s, k, gy, gx), False) \
+                    or (a == primary)
                 g = grids[s]
-                gx = min(int(cx * g), g - 1)
-                gy = min(int(cy * g), g - 1)
                 t = targets[s][i, gy, gx, k]
-                # A threshold-extra assignment never evicts a slot some
-                # earlier box already claimed (best-anchor writes win;
-                # advisor r3: the unconditional zero+write silently
-                # erased an earlier box's best-anchor target when two
-                # objects shared a cell+anchor).
-                if a != best and t[4] == 1.0:
-                    continue
                 t[:] = 0.0
                 t[0] = cx * g - gx
                 t[1] = cy * g - gy

@@ -392,6 +392,9 @@ class DetectionEngine:
         self._lazy_pending: set = set()
         self._lazy_thread = None
         self.background_warm_s: Optional[float] = None
+        #: per-program warmup wall seconds, keyed by the warm-job tag
+        #: (path, layout, tier, bucket) — see warmup()'s _warm_one
+        self.warm_attribution: Dict[str, float] = {}
         self.max_batch = self.buckets[-1]
 
     def _place(self, arr: np.ndarray):
@@ -1301,9 +1304,16 @@ class DetectionEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         def _warm_one(j):
+            t_job = time.time()
             res = j[0](*j[1])
             self.fetch(res, j[2])       # CLI path: f32 packed d2h
             self.fetch_wire(res, j[2])  # serving path: u8 records d2h
+            # Per-program attribution (VERDICT r4 #7: compile_s grew
+            # 15 -> 196 s over four rounds with nothing saying where).
+            # Wall time of the FIRST call of each program = compile +
+            # first-run + its share of queueing on the warm pool; the
+            # table names which (path, layout, tier, bucket) combos pay.
+            self.warm_attribution[str(j[3])] = round(time.time() - t_job, 2)
 
         with ThreadPoolExecutor(min(8, len(jobs))) as ex:
             list(ex.map(_warm_one, jobs))

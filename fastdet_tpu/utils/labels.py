@@ -41,6 +41,13 @@ SHAPES3_NAMES: List[str] = ["disc", "box", "tri"]
 SHAPES9_NAMES: List[str] = ["disc", "box", "tri", "ring", "frame",
                             "cross", "bar", "dots", "stripes"]
 
+# 80-class shape world (hue family x shape, synth.SHAPE_CLASSES_80) —
+# the trained stand-in for the reference's full:80 COCO endpoint.
+_HUES = ["red", "amber", "lime", "green", "teal", "azure", "blue",
+         "violet", "pink"]
+SHAPES80_NAMES: List[str] = [
+    f"{_HUES[k // 9]}-{SHAPES9_NAMES[k % 9]}" for k in range(80)]
+
 
 def load_names(path: str) -> List[str]:
     with open(path) as fp:

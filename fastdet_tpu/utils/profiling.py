@@ -73,6 +73,14 @@ class StageTimer:
     def snapshot(self) -> Dict[str, Dict[str, float]]:
         return {name: self.percentiles(name) for name in self._samples}
 
+    def reset(self) -> None:
+        """Drop all samples/counts — measurement harnesses call this so
+        a sweep row's percentiles reflect only that row's traffic
+        (advisor r4: the rolling deques otherwise mix warmup + every
+        earlier row into each row's numbers)."""
+        self._samples.clear()
+        self._counts.clear()
+
     def log_all(self) -> None:
         for name in sorted(self._samples):
             logger.info("stage %s: %s", name, self.summary_line(name))

@@ -132,6 +132,10 @@ def main(argv):
                  bench.BENCH_THRESHOLD)   # short warmup pass
         svc.batch_hist.clear()
         b0, f0 = svc.batches, svc.frames
+        # this row's stage percentiles must reflect only this row's
+        # traffic (advisor r4: the rolling global timer otherwise mixes
+        # warmup + all earlier rows into every row and the attribution)
+        STAGES.reset()
         pa = round(bench.probe_link_mbps(n=3, device=engine.devices[0]), 1)
         out = run_load(server.bound_port, n_clients, args.per_client,
                        args.window, bench.BENCH_THRESHOLD)

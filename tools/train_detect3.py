@@ -120,9 +120,10 @@ def main(argv):
     ap.add_argument("--dtype", default="bf16", choices=("bf16", "f32"),
                     help="train compute dtype (f32 dodges a remote-"
                          "compiler crash on the 9-class bf16 backward)")
-    ap.add_argument("--classes", type=int, default=3, choices=(3, 9),
-                    help="shape classes: 3 (disc/box/tri) or the 9-class "
-                         "palette (the rsu:9 analog)")
+    ap.add_argument("--classes", type=int, default=3, choices=(3, 9, 80),
+                    help="shape classes: 3 (disc/box/tri), the 9-class "
+                         "palette (the rsu:9 analog), or the 80-class "
+                         "hue-x-shape palette (the full:80 analog)")
     ap.add_argument("--arch", default="tiny", choices=("tiny", "full"),
                     help="tiny (2-scale) or the flagship Darknet-53 "
                          "full (3-scale)")
@@ -161,9 +162,10 @@ def main(argv):
 
     # Disjoint seed plans per class count (3-class documented in the
     # module docstring; 9-class: train 100000+, val 120000+, test
-    # 130000+ reserved for tests)
-    tr_base, va_base = (1000, 20000) if args.classes == 3 else (
-        100000, 120000)
+    # 130000+ reserved for tests; 80-class: train 200000+, val 220000+,
+    # test 230000+ reserved for tests)
+    tr_base, va_base = {3: (1000, 20000), 9: (100000, 120000),
+                        80: (200000, 220000)}[args.classes]
     tr_imgs, tr_boxes, tr_labels = load_or_make(
         "train", range(tr_base, tr_base + args.n_train),
         num_classes=args.classes, jpeg_q=args.jpeg_q,
@@ -319,8 +321,9 @@ def main(argv):
 
     meta = {
         "arch": args.arch, "num_classes": args.classes,
-        "classes": list(synth_mod.SHAPE_CLASSES if args.classes == 3
-                        else synth_mod.SHAPE_CLASSES_9),
+        "classes": list({3: synth_mod.SHAPE_CLASSES,
+                         9: synth_mod.SHAPE_CLASSES_9,
+                         80: synth_mod.SHAPE_CLASSES_80}[args.classes]),
         "max_objects": args.max_objects,
         "jpeg_q": args.jpeg_q,
         "train_seeds": [tr_base, tr_base + args.n_train],
