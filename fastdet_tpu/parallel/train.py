@@ -136,6 +136,93 @@ def build_targets(
     return targets
 
 
+# Sparse target row layout: [scale, gy, gx, k, tx, ty, tw, th, lab];
+# invalid slots carry scale = -1.
+MAX_SLOTS = 32
+
+
+def build_sparse_targets(
+    spec: ModelSpec,
+    gt_boxes: Sequence[np.ndarray],
+    gt_labels: Sequence[np.ndarray],
+    grids: Optional[Sequence[int]] = None,
+    multi_anchor_thr: Optional[float] = 0.35,
+    max_slots: int = MAX_SLOTS,
+) -> np.ndarray:
+    """Sparse (B, max_slots, 9) float32 form of :func:`build_targets`.
+
+    Dense per-scale planes cost (g²·3·(5+C)) floats per scale per image
+    — at C=80 with flip variants that is tens of GB for a resident
+    dataset, while the actual information is ≤ a few dozen slot rows.
+    The sparse form stores exactly the assigned slots (same collision-
+    aware selection as the dense builder: this delegates to it with
+    tiny per-image planes and reads the nonzeros back, so the two can
+    never drift) and the device loss (:func:`yolo_loss_sparse`)
+    scatters/gathers on device. Geometric flips become an O(slots)
+    index transform (:func:`flip_slots`) instead of 4 stored variants.
+    """
+    b = len(gt_boxes)
+    grids = list(grids) if grids is not None else yolov3.head_grid_sizes(spec)
+    out = np.full((b, max_slots, 9), -1.0, np.float32)
+    for i in range(b):
+        # per-image dense planes (tiny) — building the whole batch dense
+        # at C=80 would transiently cost GBs of host RAM
+        dense = build_targets(spec, [gt_boxes[i]], [gt_labels[i]], grids,
+                              multi_anchor_thr)
+        rows = []
+        for s, g in enumerate(grids):
+            pos = np.argwhere(dense[s][0, :, :, :, 4] > 0)
+            for gy, gx, k in pos:
+                t = dense[s][0, gy, gx, k]
+                lab = int(np.argmax(t[5:]))
+                rows.append([s, gy, gx, k, t[0], t[1], t[2], t[3], lab])
+        if len(rows) > max_slots:
+            raise ValueError(
+                f"image {i}: {len(rows)} assigned slots exceed "
+                f"max_slots={max_slots}")
+        if rows:
+            out[i, :len(rows)] = np.asarray(rows, np.float32)
+    return out
+
+
+def flip_slots(
+    slots: jnp.ndarray,          # (B, M, 9) float32
+    fh: jnp.ndarray,             # (B,) bool — horizontal flip
+    fv: jnp.ndarray,             # (B,) bool — vertical flip
+    grids: Sequence[int],
+) -> jnp.ndarray:
+    """Transform sparse targets for on-device image flips.
+
+    A flipped center cx' = 1-cx maps to cell/offset
+    (gx', tx') = split(g - gx - tx): for tx ∈ (0,1) that is exactly
+    (g-1-gx, 1-tx). The measure-zero tx == 0 edge clamps into the last
+    cell (training-tolerance only — targets are not a parity surface).
+    Invalid slots (scale = -1) pass through unchanged.
+    """
+    garr = jnp.asarray(list(grids), jnp.float32)
+    scale = slots[..., 0]
+    valid = scale >= 0
+    g = garr[jnp.clip(scale.astype(jnp.int32), 0, len(grids) - 1)]
+
+    def _flip(gc, t):
+        f = g - gc - t
+        gc2 = jnp.clip(jnp.floor(f - 1e-6), 0.0, g - 1.0)
+        return gc2, f - gc2
+
+    gy, gx = slots[..., 1], slots[..., 2]
+    ty, tx = slots[..., 5], slots[..., 4]
+    gx_f, tx_f = _flip(gx, tx)
+    gy_f, ty_f = _flip(gy, ty)
+    fh_ = (fh[:, None] & valid)
+    fv_ = (fv[:, None] & valid)
+    out = slots
+    out = out.at[..., 2].set(jnp.where(fh_, gx_f, gx))
+    out = out.at[..., 4].set(jnp.where(fh_, tx_f, tx))
+    out = out.at[..., 1].set(jnp.where(fv_, gy_f, gy))
+    out = out.at[..., 5].set(jnp.where(fv_, ty_f, ty))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Loss
 # ---------------------------------------------------------------------------
@@ -194,6 +281,71 @@ def yolo_loss(
     return total, metrics
 
 
+def yolo_loss_sparse(
+    spec: ModelSpec,
+    params: Dict[str, Any],
+    images: jnp.ndarray,                # (B, H, W, 3) float in [0,1]
+    slots: jnp.ndarray,                 # (B, M, 9) sparse targets
+    *,
+    train: bool = True,
+    compute_dtype=None,
+    collect_bn_stats: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Same loss as :func:`yolo_loss`, computed from sparse slot rows.
+
+    Coordinate/class terms gather head activations at the ≤M assigned
+    slots; the objectness map is a scatter of ones into each scale's
+    (g, g, 3) plane. Identical math to the dense spelling (the slot set
+    IS the dense nonzero set), at O(M) instead of O(g²·C) target
+    traffic — what makes an 80-class resident dataset fit."""
+    bn_stats: Dict[str, Any] = {}
+    heads = yolov3.apply(
+        spec, params, images, train=train, compute_dtype=compute_dtype,
+        bn_stats=bn_stats if (train and collect_bn_stats) else None,
+    )
+    b, m = images.shape[0], slots.shape[1]
+    c = spec.num_classes
+    scale_col = slots[..., 0]
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (b, m), 0)
+    coord_l = obj_l = cls_l = 0.0
+    for s, (head, anchors) in enumerate(zip(heads, spec.anchors)):
+        g = head.shape[1]
+        p = head.reshape(b, g, g, 3, 5 + c).astype(jnp.float32)
+        sel = (scale_col == s)
+        gy = jnp.clip(slots[..., 1].astype(jnp.int32), 0, g - 1)
+        gx = jnp.clip(slots[..., 2].astype(jnp.int32), 0, g - 1)
+        k = jnp.clip(slots[..., 3].astype(jnp.int32), 0, 2)
+        pred = p[bidx, gy, gx, k]                      # (B, M, 5+C)
+        txy = slots[..., 4:6]
+        twh = slots[..., 6:8]
+        lab = jnp.clip(slots[..., 8].astype(jnp.int32), 0, c - 1)
+        aw = jnp.asarray(anchors, jnp.float32)[k]      # (B, M, 2)
+        wh_dec = jnp.exp(twh) * aw / spec.image_size
+        box_w = jnp.where(sel, 2.0 - wh_dec[..., 0] * wh_dec[..., 1], 0.0)
+        pxy = jax.nn.sigmoid(pred[..., 0:2])
+        coord_l += jnp.sum(box_w[..., None] * (pxy - txy) ** 2) \
+            + jnp.sum(box_w[..., None] * (pred[..., 2:4] - twh) ** 2)
+        onehot = jax.nn.one_hot(lab, c, dtype=jnp.float32)
+        cls_l += jnp.sum(
+            jnp.where(sel, jnp.sum(_bce_logits(pred[..., 5:], onehot), -1),
+                      0.0))
+        pos = jnp.zeros((b, g, g, 3), jnp.float32).at[
+            bidx, gy, gx, k].max(jnp.where(sel, 1.0, 0.0))
+        obj_bce = _bce_logits(p[..., 4], pos)
+        obj_l += jnp.sum(jnp.where(pos > 0.5, obj_bce,
+                                   LAMBDA_NOOBJ * obj_bce))
+    total = (LAMBDA_COORD * coord_l + obj_l + cls_l) / b
+    metrics: Dict[str, Any] = {
+        "loss": total,
+        "coord": coord_l / b,
+        "obj": obj_l / b,
+        "cls": cls_l / b,
+    }
+    if collect_bn_stats:
+        metrics["bn_stats"] = bn_stats
+    return total, metrics
+
+
 # ---------------------------------------------------------------------------
 # Train state / step
 # ---------------------------------------------------------------------------
@@ -232,15 +384,24 @@ def init_train_state(
     return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
 
-def make_train_step(spec: ModelSpec, optimizer, *, compute_dtype=None):
-    """Build the jit-able train step fn(state, images, *targets)."""
+def make_train_step(spec: ModelSpec, optimizer, *, compute_dtype=None,
+                    sparse: bool = False):
+    """Build the jit-able train step fn(state, images, *targets).
+
+    ``sparse=True`` builds the slot-row variant: fn(state, images,
+    slots) with slots from :func:`build_sparse_targets`."""
 
     def step_fn(state: TrainState, images: jnp.ndarray, *targets: jnp.ndarray):
-        (_, metrics), grads = jax.value_and_grad(
-            lambda p: yolo_loss(
+        loss_fn = (
+            (lambda p: yolo_loss_sparse(
+                spec, p, images, targets[0], train=True,
+                compute_dtype=compute_dtype, collect_bn_stats=True))
+            if sparse else
+            (lambda p: yolo_loss(
                 spec, p, images, targets, train=True,
-                compute_dtype=compute_dtype, collect_bn_stats=True,
-            ),
+                compute_dtype=compute_dtype, collect_bn_stats=True)))
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn,
             has_aux=True,
         )(state.params)
         bn_stats = metrics.pop("bn_stats", {})

@@ -104,6 +104,56 @@ def test_build_targets_collision_primary_evicts_extra():
     np.testing.assert_allclose(offs, [0.30 * 4 - 1, 0.42 * 4 - 1], rtol=1e-5)
 
 
+def test_sparse_loss_matches_dense():
+    """yolo_loss_sparse over slot rows == yolo_loss over dense planes
+    (same assignments by construction; only summation order differs)."""
+    spec = _small_spec()
+    params = weights.synthetic_params(spec, seed=5)
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.rand(3, 64, 64, 3).astype(np.float32))
+    boxes = [np.array([[0.3, 0.3, 0.4, 0.4], [0.7, 0.6, 0.2, 0.3]],
+                      np.float32),
+             np.array([[0.5, 0.5, 0.6, 0.5]], np.float32),
+             np.zeros((0, 4), np.float32)]
+    labels = [np.array([0, 3]), np.array([2]), np.zeros((0,), np.int32)]
+    dense = [jnp.asarray(t) for t in train.build_targets(spec, boxes, labels)]
+    slots = jnp.asarray(train.build_sparse_targets(spec, boxes, labels))
+    l_dense, m_dense = train.yolo_loss(spec, params, images, dense,
+                                       train=True)
+    l_sparse, m_sparse = train.yolo_loss_sparse(spec, params, images,
+                                                slots, train=True)
+    np.testing.assert_allclose(float(l_dense), float(l_sparse), rtol=1e-5)
+    for key in ("coord", "obj", "cls"):
+        np.testing.assert_allclose(float(m_dense[key]),
+                                   float(m_sparse[key]), rtol=1e-4)
+
+
+def test_flip_slots_matches_host_flip():
+    """On-device slot flips == building targets from host-flipped boxes
+    (anchor choice is flip-invariant; cells/offsets mirror)."""
+    spec = _small_spec()
+    rng = np.random.RandomState(4)
+    boxes = [np.array([[0.31, 0.27, 0.4, 0.35], [0.72, 0.63, 0.22, 0.3]],
+                      np.float32)]
+    labels = [np.array([1, 2])]
+    grids = [2, 4]
+    slots = train.build_sparse_targets(spec, boxes, labels, grids)
+    for fh, fv in ((1, 0), (0, 1), (1, 1)):
+        bf = [b.copy() for b in boxes]
+        if fh:
+            bf[0][:, 0] = 1.0 - bf[0][:, 0]
+        if fv:
+            bf[0][:, 1] = 1.0 - bf[0][:, 1]
+        want = train.build_sparse_targets(spec, bf, labels, grids)
+        got = np.asarray(train.flip_slots(
+            jnp.asarray(slots), jnp.asarray([bool(fh)]),
+            jnp.asarray([bool(fv)]), grids))
+        w = sorted(map(tuple, np.round(want[0], 4).tolist()))
+        g = sorted(map(tuple, np.round(got[0], 4).tolist()))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-3, err_msg=f"fh={fh} fv={fv}")
+
+
 @pytest.mark.slow
 def test_loss_decreases_under_training():
     spec = _small_spec()

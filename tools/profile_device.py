@@ -86,6 +86,7 @@ def profile_engine(eng, jpegs, thrs, iters: int = 8) -> dict:
     # carry 'dur' in microseconds; host python events are filtered by
     # requiring an HLO-ish name or a TensorFlow Op annotation)
     buckets: dict = {}
+    per_op: dict = {}
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
@@ -112,12 +113,19 @@ def profile_engine(eng, jpegs, thrs, iters: int = 8) -> dict:
         b = _bucket(cat if len(cat) > len(name) else name,
                     args_d.get("hlo_category", ""))
         buckets[b] = buckets.get(b, 0.0) + e["dur"]
+        per_op.setdefault(name, [0.0, b, cat])[0] += e["dur"]
         total += e["dur"]
     per_batch_ms = total / 1000.0 / iters
     return {
         "buckets": {b: round(us / 1000.0 / iters, 2)
                     for b, us in sorted(buckets.items(),
                                         key=lambda kv: -kv[1])},
+        "top_ops": [
+            {"name": n, "ms": round(v[0] / 1000.0 / iters, 3),
+             "bucket": v[1],
+             "long_name": v[2][:200] if v[2] != n else ""}
+            for n, v in sorted(per_op.items(), key=lambda kv: -kv[1][0])[:40]
+        ],
         "total_ms_per_batch": round(per_batch_ms, 2),
         "device_only_fps": (round(1000.0 * batch / per_batch_ms, 1)
                             if per_batch_ms > 0 else None),
@@ -131,6 +139,10 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--arch", default="full")
+    ap.add_argument("--top", type=int, default=0,
+                    help="print the top-N individual ops (lever hunting)")
+    ap.add_argument("--json-out", default=None,
+                    help="write the full profile dict to this path")
     args = ap.parse_args()
 
     from bench import bench_calibration, load_bench_model, make_jpegs
@@ -150,6 +162,14 @@ def main():
         print(f"  {b:16s} {ms:8.2f} ms/batch ({100 * ms / total:5.1f}%)")
     print(f"  device total     {total:8.2f} ms/batch "
           f"-> {prof['device_only_fps']:7.1f} f/s device-only")
+    if args.top:
+        print("top ops:")
+        for op in prof["top_ops"][:args.top]:
+            print(f"  {op['ms']:8.3f} ms  [{op['bucket']:>14s}] "
+                  f"{op['name']}  {op['long_name'][:90]}")
+    if args.json_out:
+        with open(args.json_out, "w") as fp:
+            json.dump(prof, fp, indent=1)
     print(f"trace: {prof['trace_dir']}")
 
 

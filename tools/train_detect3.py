@@ -137,6 +137,9 @@ def main(argv):
                     help="objects per scene cap; >3 trains crowded "
                          "scenes (multi-object recall was the held-out "
                          "failure mode, r4)")
+    ap.add_argument("--sparse-targets", action="store_true",
+                    help="slot-row targets + on-device flips (automatic "
+                         "for --classes 80)")
     ap.add_argument("--jpeg-q", type=int, default=0,
                     help="round-trip train/val scenes through JPEG at "
                          "this quality (0 = raw pixels) to match the "
@@ -175,41 +178,55 @@ def main(argv):
         num_classes=args.classes, jpeg_q=args.jpeg_q,
         max_objects=args.max_objects)
 
-    # Targets for all four flip variants (none / hflip / vflip / both):
-    # the step flips IMAGES on device and gathers the matching
-    # pre-built target plane — 4x effective pose diversity with zero
-    # per-step host work. (Transposes would also be free for images but
-    # swap box w/h, which changes anchor assignment — not worth the
-    # asymmetry.)
+    # Targets. Two regimes:
+    # - SPARSE (classes=80, or --sparse-targets): (N, M, 9) slot rows
+    #   (train_lib.build_sparse_targets) with flips applied ON DEVICE as
+    #   an O(slots) index transform (flip_slots). Dense 85-channel
+    #   planes x 4 flip variants would be tens of GB resident; slots
+    #   are ~2 MB. Equivalence to the dense loss is pinned by
+    #   tests/test_train.py::test_sparse_loss_matches_dense.
+    # - DENSE (3/9-class legacy): all four flip variants prebuilt.
+    #   (Transposes would also be free for images but swap box w/h,
+    #   which changes anchor assignment — not worth the asymmetry.)
     t0 = time.time()
-    variants = []
-    for f in range(4):
-        boxes_f = []
-        for b in tr_boxes:
-            b = b.copy()
-            if f & 1:
-                b[:, 0] = 1.0 - b[:, 0]
-            if f & 2:
-                b[:, 1] = 1.0 - b[:, 1]
-            boxes_f.append(b)
-        variants.append(train_lib.build_targets(spec, boxes_f, tr_labels))
-    # FLATTENED (4*N, g, g, 3, 5+C) with index flip*N+i — a double-axis
-    # t[flip, idx] gather on the 14-channel 9-class targets reliably
-    # crashes the remote XLA compiler helper (HTTP 500, 3/3 attempts;
-    # single-axis take compiles fine and is the same math).
-    # Full-arch targets (3 scales incl. 52x52) are ~4x tiny's — stored
-    # float16 on device (offsets/log-ratios are O(1); f16's 1e-3
-    # rounding is far under the loss's useful resolution) and cast back
-    # to f32 inside the step.
-    tgt_store = np.float16 if args.arch == "full" else np.float32
-    tgts = [np.concatenate([v[s] for v in variants]).astype(tgt_store)
-            for s in range(n_scales)]
-    print(f"[data] flip-variant targets built in {time.time()-t0:.1f}s "
-          f"shapes={[t.shape for t in tgts]} store={tgt_store.__name__}")
+    use_sparse = args.classes == 80 or args.sparse_targets
+    grids = yolov3.head_grid_sizes(spec)
+    if use_sparse:
+        tr_slots = train_lib.build_sparse_targets(spec, tr_boxes, tr_labels)
+        print(f"[data] sparse targets built in {time.time()-t0:.1f}s "
+              f"shape={tr_slots.shape}")
+    else:
+        variants = []
+        for f in range(4):
+            boxes_f = []
+            for b in tr_boxes:
+                b = b.copy()
+                if f & 1:
+                    b[:, 0] = 1.0 - b[:, 0]
+                if f & 2:
+                    b[:, 1] = 1.0 - b[:, 1]
+                boxes_f.append(b)
+            variants.append(train_lib.build_targets(spec, boxes_f, tr_labels))
+        # FLATTENED (4*N, g, g, 3, 5+C) with index flip*N+i — a double-
+        # axis t[flip, idx] gather on the 14-channel 9-class targets
+        # reliably crashes the remote XLA compiler helper (HTTP 500,
+        # 3/3 attempts; single-axis take compiles fine and is the same
+        # math). Full-arch targets (3 scales incl. 52x52) are ~4x
+        # tiny's — stored float16 on device (offsets/log-ratios are
+        # O(1); f16's 1e-3 rounding is far under the loss's useful
+        # resolution) and cast back to f32 inside the step.
+        tgt_store = np.float16 if args.arch == "full" else np.float32
+        tgts = [np.concatenate([v[s] for v in variants]).astype(tgt_store)
+                for s in range(n_scales)]
+        print(f"[data] flip-variant targets built in {time.time()-t0:.1f}s "
+              f"shapes={[t.shape for t in tgts]} store={tgt_store.__name__}")
 
     t0 = time.time()
     data = jax.device_put(tr_imgs)
-    dev_tgts = tuple(jax.device_put(t) for t in tgts)
+    if use_sparse:
+        dev_tgts = (jax.device_put(tr_slots),)
+    else:
+        dev_tgts = tuple(jax.device_put(t) for t in tgts)
     val = jax.device_put(va_imgs)
     jax.block_until_ready((data, dev_tgts, val))
     print(f"[h2d] dataset resident in {time.time()-t0:.1f}s")
@@ -233,7 +250,8 @@ def main(argv):
     state = train_lib.init_train_state(spec, params, opt)
     base_step = train_lib.make_train_step(
         spec, opt,
-        compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else None)
+        compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else None,
+        sparse=use_sparse)
 
     # The resident dataset arrays are jit ARGUMENTS, not closure
     # captures (a closed-over ~200 MB array would be embedded in the
@@ -254,9 +272,13 @@ def main(argv):
         imgs = imgs * cj_scale[:, None, None, :] + cj_off[:, None, None, :]
         imgs = imgs + jax.random.normal(key, imgs.shape) * 0.02
         imgs = jnp.clip(imgs, 0.0, 1.0)
-        fi = flip * data_.shape[0] + idx
-        picked = tuple(jnp.take(t, fi, axis=0).astype(jnp.float32)
-                       for t in tgts_)
+        if use_sparse:
+            slots = jnp.take(tgts_[0], idx, axis=0)
+            picked = (train_lib.flip_slots(slots, fh, fv, grids),)
+        else:
+            fi = flip * data_.shape[0] + idx
+            picked = tuple(jnp.take(t, fi, axis=0).astype(jnp.float32)
+                           for t in tgts_)
         return base_step(st, imgs, *picked)
 
     @jax.jit
@@ -288,8 +310,17 @@ def main(argv):
     for s in range(1, args.steps + 1):
         idx = rng.randint(len(tr_imgs), size=args.batch).astype(np.int32)
         flip = rng.randint(4, size=args.batch).astype(np.int32)
-        cj_s = rng.uniform(0.75, 1.25, (args.batch, 3)).astype(np.float32)
-        cj_o = rng.uniform(-0.12, 0.12, (args.batch, 3)).astype(np.float32)
+        if args.classes == 80:
+            # hue is HALF the class identity in the 80-class world —
+            # channel-independent jitter would relabel objects. Jitter
+            # brightness/contrast only (shared across channels).
+            cj_s = np.repeat(rng.uniform(0.8, 1.2, (args.batch, 1)),
+                             3, 1).astype(np.float32)
+            cj_o = np.repeat(rng.uniform(-0.10, 0.10, (args.batch, 1)),
+                             3, 1).astype(np.float32)
+        else:
+            cj_s = rng.uniform(0.75, 1.25, (args.batch, 3)).astype(np.float32)
+            cj_o = rng.uniform(-0.12, 0.12, (args.batch, 3)).astype(np.float32)
         state, metrics = step(state, data, dev_tgts, idx, flip, cj_s, cj_o,
                               jax.random.fold_in(key0, s))
         if s % 50 == 0:
