@@ -49,7 +49,14 @@ def blocks_to_pixels(coeffs: jnp.ndarray, qtab: jnp.ndarray) -> jnp.ndarray:
     (still f32), matching libjpeg's post-IDCT range limiting.
     """
     deq = coeffs.astype(jnp.float32) * qtab.astype(jnp.float32)[None, :]
-    pix = jnp.dot(deq, _idct_kron(), preferred_element_type=jnp.float32) + 128.0
+    # HIGHEST: the default TPU matmul truncates f32 operands to bf16;
+    # dequantized coefficients reach thousands and the basis is
+    # irrational, so default precision shifts pixels by whole levels vs
+    # the host decoder. The 6-pass f32 decomposition costs ~40 us per
+    # batch-24 — noise against the convs — and keeps TPU pixels on the
+    # same grid the CPU tests verify.
+    pix = jnp.dot(deq, _idct_kron(), precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32) + 128.0
     return jnp.clip(jnp.round(pix), 0.0, 255.0)
 
 
@@ -219,24 +226,39 @@ def take_onehot(s: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     ns/element loop, so an NB-sized probe costs ~1 ms/batch-24 (traced:
     5 such probes were 23% of device time). The same lookup as
     structured ops: split idx into (row, lane) of a (R, 128) view, pick
-    the row with a one-hot (K, R) @ (R, 128) matmul, pick the lane with
-    a one-hot compare + reduce. All values are integers well inside
-    f32's 2^24 exact range (offsets <= stream capacities, escape values
-    int16), and one-hot sums touch exactly one nonzero — bit-exact vs
-    jnp.take. Callers must pre-clip idx into range (same contract as
-    the probes always had).
+    the row with one-hot (K, R) @ (R, 128) matmuls, pick the lane with
+    a one-hot compare + reduce.
+
+    EXACTNESS (the r5 hardware-divergence root cause): the TPU MXU
+    truncates f32 operands to bf16 at default precision — integers are
+    exact only to 256, and ``s`` here carries stream-offset cumsums in
+    the tens of thousands (CPU runs f32 and hid this; every offset
+    > 256 was silently rounded on real hardware —
+    tools/verify_kernel_tpu.py caught it). The one-hot side is 0/1
+    (exact); the VALUE side is split into byte planes, each bf16-exact,
+    with three default-precision dots recombined in int32 — bit-exact
+    for any |value| < 2^23 (covers every caller: offsets <= stream
+    capacities, escape values int16). One-hot sums touch exactly one
+    nonzero, so there are no accumulation concerns. Callers must
+    pre-clip idx into range (same contract as always).
     """
     (cap,) = s.shape
     r = -(cap // -128)
-    s2 = jnp.pad(s, (0, r * 128 - cap)).reshape(r, 128).astype(jnp.float32)
+    si = jnp.pad(s.astype(jnp.int32), (0, r * 128 - cap)).reshape(r, 128)
     row, col = idx // 128, idx % 128
     oh_r = (row[:, None] == jax.lax.broadcasted_iota(
         jnp.int32, (1, r), 1)).astype(jnp.float32)
-    rows = jax.lax.dot(oh_r, s2,
-                       preferred_element_type=jnp.float32)  # (K, 128)
-    oh_c = (col[:, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (1, 128), 1)).astype(jnp.float32)
-    return (rows * oh_c).sum(-1).astype(s.dtype)
+
+    def _pick(plane):
+        return jax.lax.dot(
+            oh_r, plane.astype(jnp.float32),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    rows = ((_pick(si >> 16) << 16) + (_pick((si >> 8) & 255) << 8)
+            + _pick(si & 255))                              # (K, 128) i32
+    oh_c = col[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, 128), 1)
+    return jnp.where(oh_c, rows, 0).sum(-1).astype(s.dtype)
 
 
 def unpack_nibbles(nib: jnp.ndarray) -> jnp.ndarray:
