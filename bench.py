@@ -86,6 +86,15 @@ def load_bench_model(arch: str = "full", num_classes: int = 80):
         if path:
             spec, params = weights.load_model(path, arch=arch, num_classes=80)
             return spec, params, "real"
+    if arch == "full" and num_classes == 80:
+        # the flagship full:80 headline config serves the first-party
+        # TRAINED 80-class checkpoint (r5, 80-class hue x shape world)
+        # whenever the real COCO blob remains unfetchable — the headline
+        # rows then measure a working detector, not synthetic weights
+        p = os.path.join(REPO, "weights", "detect80_full.npz")
+        if os.path.exists(p):
+            spec, params = weights.load_npz(p)
+            return spec, params, "trained"
     if arch == "full" and num_classes == 9:
         # the rsu:9 analog IS the flagship arch at 9 classes — serve the
         # first-party TRAINED checkpoint (r4) so the rsu rows measure a
@@ -734,7 +743,11 @@ def main():
     # unaffected (bucket-1 path).
     ap.add_argument("--frames", type=int, default=512)
     ap.add_argument("--batch", type=int, default=24)
-    ap.add_argument("--inflight", type=int, default=3)
+    # 5-deep (VERDICT r4 #2): r4 measured 567 f/s at depth 3 vs a 700
+    # f/s in-pass link bound — the producer stalled on the queue while
+    # the tunnel had capacity; deeper inflight lets puts ride through
+    # fetch jitter so measured fps tracks link_bound_fps
+    ap.add_argument("--inflight", type=int, default=5)
     # int8-through is the default serving mode for the headline: measured
     # same-session 317.4 f/s (passes 315-321) vs bf16's 204 (166-223) at
     # b16/if3 — shrinking device time both raises throughput and makes

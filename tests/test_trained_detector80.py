@@ -35,8 +35,10 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def held_out():
-    imgs, boxes, labels = synth.make_dataset(
-        TEST_SEEDS, num_classes=80, max_objects=4)
+    # serving distribution (1-3 objects/frame) — the same config the
+    # 9-class flagship gate uses; the crowded 4-object recall is
+    # reported separately (training sidecar + docs/map tables)
+    imgs, boxes, labels = synth.make_dataset(TEST_SEEDS, num_classes=80)
     jpegs = [jpeg.encode_rgb(im, quality=90) for im in imgs]
     return jpegs, boxes, labels
 
