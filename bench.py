@@ -435,7 +435,8 @@ def bench_tpu(frames: int, batch: int, inflight: int, warm_frames: int = 256,
         p50_local = {"error": repr(e)}
     link = (link_before, link_after)
     return (fps, passes, p50, (compile_s, warm_link), bg_warm_s,
-            ingest["path"], weight_kind, link, legs, retry, p50_local)
+            ingest["path"], weight_kind, link, legs, retry, p50_local,
+            warm_attr)
 
 
 def bench_baseline_cpu(frames: int = 8):
@@ -811,7 +812,7 @@ def main():
         return
 
     (fps, passes, p50, (compile_s, warm_link), bg_warm_s, ingest,
-     weight_kind, link, legs, retry, p50_local) = bench_tpu(
+     weight_kind, link, legs, retry, p50_local, warm_attr) = bench_tpu(
         args.frames, args.batch, args.inflight, mode=args.mode)
     vs = None
     baseline_kind = None

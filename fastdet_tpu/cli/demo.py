@@ -56,6 +56,7 @@ def _names_for(args, num_classes):
     table = {
         "coco": labels.COCO_NAMES, "rsu": labels.RSU_NAMES,
         "shapes": labels.SHAPES3_NAMES, "shapes9": labels.SHAPES9_NAMES,
+        "shapes80": labels.SHAPES80_NAMES,
     }
     if args.labels != "auto":
         return table[args.labels]
@@ -186,7 +187,8 @@ def main(argv):
                     help="default: 0.3 COCO / 0.1 RSU (scene defaults)")
     ap.add_argument("-m", "--mode", default=None)
     ap.add_argument("--labels", default="auto",
-                    choices=("auto", "coco", "rsu", "shapes", "shapes9"),
+                    choices=("auto", "coco", "rsu", "shapes", "shapes9",
+                             "shapes80"),
                     help="label table (auto: 3 classes->shapes, 9->rsu, "
                          "else coco)")
     ap.add_argument("--stream", action="store_true",
