@@ -219,7 +219,8 @@ ZIGZAG = np.array([
 NAT2ZZ = np.argsort(ZIGZAG).astype(np.int32)  # natural pos -> zigzag idx
 
 
-def take_onehot(s: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def take_onehot(s: jnp.ndarray, idx: jnp.ndarray,
+                max_abs: int = 1 << 23) -> jnp.ndarray:
     """``s[idx]`` for integer vectors, as one-hot MXU matmuls.
 
     TPUs have no fast random gather — XLA lowers jnp.take to a ~10
@@ -241,6 +242,15 @@ def take_onehot(s: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     capacities, escape values int16). One-hot sums touch exactly one
     nonzero, so there are no accumulation concerns. Callers must
     pre-clip idx into range (same contract as always).
+
+    ``max_abs``: static bound on |s| values, used to drop redundant
+    byte planes (each plane is one MXU dot plus a (K, 128)
+    intermediate): |s| <= 256 needs ONE default-precision dot
+    (bf16-exact directly — signed int8 included); |s| < 2^16 needs
+    two (s >> 8 is arithmetic, stays within +-256, and
+    (hi << 8) + (s & 255) is exact for any int in that range). The
+    stream-offset callers bound s by their stream capacities (< 2^16
+    for every supported layout); escape-value callers pass 256/32768.
     """
     (cap,) = s.shape
     r = -(cap // -128)
@@ -254,8 +264,13 @@ def take_onehot(s: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
             oh_r, plane.astype(jnp.float32),
             preferred_element_type=jnp.float32).astype(jnp.int32)
 
-    rows = ((_pick(si >> 16) << 16) + (_pick((si >> 8) & 255) << 8)
-            + _pick(si & 255))                              # (K, 128) i32
+    if max_abs <= 256:
+        rows = _pick(si)
+    elif max_abs < (1 << 16):
+        rows = (_pick(si >> 8) << 8) + _pick(si & 255)
+    else:
+        rows = ((_pick(si >> 16) << 16) + (_pick((si >> 8) & 255) << 8)
+                + _pick(si & 255))                          # (K, 128) i32
     oh_c = col[:, None] == jax.lax.broadcasted_iota(
         jnp.int32, (1, 128), 1)
     return jnp.where(oh_c, rows, 0).sum(-1).astype(s.dtype)
@@ -312,7 +327,8 @@ def dc_reconstruct(dc8: jnp.ndarray, dcesc: jnp.ndarray,
     f32 = flag.astype(jnp.int32)
     rank = jnp.cumsum(f32) - f32                               # exclusive
     idx = jnp.clip(rank, 0, dcesc.shape[0] - 1)
-    delta = jnp.where(flag, take_onehot(dcesc, idx).astype(jnp.int32), d)
+    delta = jnp.where(
+        flag, take_onehot(dcesc, idx, max_abs=32768).astype(jnp.int32), d)
     return jnp.concatenate([
         jnp.cumsum(delta[:yb]),
         jnp.cumsum(delta[yb:yb + cb]),
@@ -335,11 +351,13 @@ def dc_reconstruct6(dc4: jnp.ndarray, dcesc8: jnp.ndarray,
     f1 = d == -8
     r1 = jnp.cumsum(f1.astype(jnp.int32)) - f1.astype(jnp.int32)
     i1 = jnp.clip(r1, 0, dcesc8.shape[0] - 1)
-    d1 = jnp.where(f1, take_onehot(dcesc8, i1).astype(jnp.int32), d)
+    d1 = jnp.where(
+        f1, take_onehot(dcesc8, i1, max_abs=256).astype(jnp.int32), d)
     f2 = f1 & (d1 == -128)
     r2 = jnp.cumsum(f2.astype(jnp.int32)) - f2.astype(jnp.int32)
     i2 = jnp.clip(r2, 0, dcesc16.shape[0] - 1)
-    delta = jnp.where(f2, take_onehot(dcesc16, i2).astype(jnp.int32), d1)
+    delta = jnp.where(
+        f2, take_onehot(dcesc16, i2, max_abs=32768).astype(jnp.int32), d1)
     return jnp.concatenate([
         jnp.cumsum(delta[:yb]),
         jnp.cumsum(delta[yb:yb + cb]),

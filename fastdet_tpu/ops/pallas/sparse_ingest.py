@@ -150,7 +150,7 @@ def _seg_load(ref, start, rows, lanes_iota):
     return jnp.where(lanes_iota + col < LANES, rot_a, rot_b)
 
 
-def _windows_matmul(stream_ref, offc, s0, rows, width, lanes_iota,
+def _windows_matmul(stream_ref, lo_hi, s0, rows, width, lanes_iota,
                     exact16=False):
     """All bt windows of one tile as TWO MXU matmuls per 128-entry row
     chunk — the vectorized replacement for bt serial _load_window calls
@@ -173,12 +173,12 @@ def _windows_matmul(stream_ref, offc, s0, rows, width, lanes_iota,
     bf16-exact; hi = arithmetic >>8 ∈ [-128,127], lo = &255 ∈ [0,255])
     and runs two default-precision dots — exact because each output
     entry sums exactly ONE member·value product, so recombining
-    (hi<<8)+lo reproduces the int16. ``offc`` is the tile's (bt+1, 1)
-    offset column.
+    (hi<<8)+lo reproduces the int16. ``lo_hi`` is the tile's pair of
+    (bt, 1) absolute offset columns (block starts, block ends).
     """
     seg = _seg_load(stream_ref, s0, rows, lanes_iota)
-    lo = (offc[:-1] - s0)                    # (bt, 1) local starts
-    hi = (offc[1:] - s0)                     # (bt, 1) local ends
+    lo = lo_hi[0] - s0                       # (bt, 1) local starts
+    hi = lo_hi[1] - s0                       # (bt, 1) local ends
     w_full = rows * LANES
     # ONE wide dot, not one per 128-entry chunk: per-dot launch cost
     # (~0.15 us fill/drain on tiny matmuls) dominated the first cut of
@@ -188,11 +188,15 @@ def _windows_matmul(stream_ref, offc, s0, rows, width, lanes_iota,
     # cheap VPU build of qv.
     i_full = jax.lax.broadcasted_iota(jnp.int32, (1, w_full), 1)
     member = (lo <= i_full) & (i_full < hi)               # (bt, w_full)
+    memf = member.astype(jnp.float32)
+    # (offsel as a pair of byte-plane MXU dots contracting the bt
+    # sublanes measured WORSE — 3.28 -> 3.81 ms/batch-24 kernel time:
+    # the sublane-contraction dot_general relayouts the (bt, w_full)
+    # member matrix; the VPU sublane reduction stays.)
     offsel = jnp.sum(jnp.where(member, lo, 0), axis=0,
                      keepdims=True)                       # (1, w_full)
     q = i_full - offsel                                   # (1, w_full)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 0)
-    memf = member.astype(jnp.float32)
 
     def _dot(segx):
         qv = jnp.concatenate(
@@ -213,14 +217,29 @@ def _kernel(offs_ref, offt_ref, ms_ref, vals_ref, esc8_ref, esc16_ref,
             slt_ref, pmat_ref, grp4_ref, grpe_ref, out_ref, mwin_ref,
             win_ref, ewin1_ref, ewin2_ref, *, bt, nb1, sentinel):
     # offs_ref: ONE SMEM row holding [moff | off | eoff1 | eoff2], each
-    # nb1 wide; offt_ref: ONE (4bt+4, 1) column of the tile's offsets in
-    # the same order. Four separate inputs measured ~0.5 ms/batch of
-    # pure per-tile DMA-issue + region overhead (docs/ROUND9.md).
+    # nb1 wide; offt_ref: the tile's (4, bt) offset ROWS in the same
+    # stream order, lane-major. Per-stream (bt, 1) START columns come
+    # from ONE in-kernel sublane/lane transpose; END columns are the
+    # starts rolled up a sublane with the tile-end scalar (from SMEM)
+    # in the last slot. This replaces the old (4bt+4, 1) column input,
+    # whose XLA-side production (concat + relayout into a 1-lane
+    # T(8,128) layout) cost 0.65 ms/batch-24 of pure padded-tile
+    # traffic — ~65x the 8 KB of real offset data it carried. Four
+    # separate inputs measured ~0.5 ms/batch of per-tile DMA-issue +
+    # region overhead before that (docs/ROUND9.md); the transposed-row
+    # form keeps the single input AND the dense layout.
     t = pl.program_id(1)
     base = t * bt
     MOFF, OFF, EOFF1, EOFF2 = 0, nb1, 2 * nb1, 3 * nb1
-    bt1 = bt + 1
     lanes_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
+    offt_t = jnp.transpose(offt_ref[0], (1, 0))         # (bt, 4) starts
+
+    def _lo_hi(s, end_scalar):
+        lo = offt_t[:, s:s + 1]                          # (bt, 1)
+        hi = jnp.where(sub_iota == bt - 1, end_scalar,
+                       pltpu.roll(lo, bt - 1, 0))        # lo shifted up 1
+        return lo, hi
     # Tile value/mask windows. Masks ALWAYS ride the matmul path (a
     # block's mask prefix is <= 8 bytes, so a tile's mask span is
     # bounded by 8*bt = the segment width by construction — and the
@@ -231,10 +250,10 @@ def _kernel(offs_ref, offt_ref, ms_ref, vals_ref, esc8_ref, esc16_ref,
     s0 = offs_ref[0, OFF + base]
     span = offs_ref[0, OFF + base + bt] - s0
     m0 = offs_ref[0, MOFF + base]
-    offt = offt_ref[0]
 
     mwin_ref[:, :8] = _windows_matmul(
-        ms_ref, offt[:bt1], m0, bt // 16, 8, lanes_iota)
+        ms_ref, _lo_hi(0, offs_ref[0, MOFF + base + bt]), m0,
+        bt // 16, 8, lanes_iota)
 
     # One 32-values/block segment serves every realistic tile (camera
     # content averages ~10-14 values/block, tools/measure_sparse_stats);
@@ -247,7 +266,8 @@ def _kernel(offs_ref, offt_ref, ms_ref, vals_ref, esc8_ref, esc16_ref,
     @pl.when(span <= t2)
     def _values_fast():
         win_ref[:] = _windows_matmul(
-            vals_ref, offt[bt1:2 * bt1], s0, t2 // LANES, 64, lanes_iota)
+            vals_ref, _lo_hi(1, offs_ref[0, OFF + base + bt]), s0,
+            t2 // LANES, 64, lanes_iota)
 
     @pl.when(span > t2)
     def _values_dense():
@@ -323,7 +343,8 @@ def _kernel(offs_ref, offt_ref, ms_ref, vals_ref, esc8_ref, esc16_ref,
         @pl.when(tile_e1 <= 4 * LANES)
         def _ewin1_matmul():
             ewin1_ref[:, :EW1] = _windows_matmul(
-                esc8_ref, offt[2 * bt1:3 * bt1], e1_0, 4, EW1, lanes_iota)
+                esc8_ref, _lo_hi(2, offs_ref[0, EOFF1 + base + bt]),
+                e1_0, 4, EW1, lanes_iota)
 
         @pl.when(tile_e1 > 4 * LANES)
         def _ewin1_dense():
@@ -370,8 +391,8 @@ def _kernel(offs_ref, offt_ref, ms_ref, vals_ref, esc8_ref, esc16_ref,
                 # exact16: esc16 values reach ±32767 — the default-
                 # precision dot would silently round |v|>256 to bf16
                 ewin2_ref[:, :EW2] = _windows_matmul(
-                    esc16_ref, offt[3 * bt1:], e2_0, 4, EW2, lanes_iota,
-                    exact16=True)
+                    esc16_ref, _lo_hi(3, offs_ref[0, EOFF2 + base + bt]),
+                    e2_0, 4, EW2, lanes_iota, exact16=True)
 
             @pl.when(tile_e2 > 4 * LANES)
             def _ewin2_dense():
@@ -414,18 +435,18 @@ def _rows128(stream32, extra_rows=2):
 
 
 def _tiled_offsets(offx, bt):
-    """(B, NBp+1) exclusive offsets -> (B, NBT, bt+1, 1) per-tile offset
-    COLUMNS for the matmul window path: tile t's block starts plus its
-    end, in sublane orientation (the kernel needs (bt+1, 1) columns for
-    broadcast compares; SMEM scalars can't form a vector without bt
-    serial inserts). The trailing size-1 dim keeps XLA's default layout
-    identical to the pallas block layout — no boundary relayout."""
+    """(B, NBp+1) exclusive offsets -> (B, NBT, 1, bt) per-tile offset
+    ROWS (lane-major) for the matmul window path. The kernel flips tile
+    t's row into the (bt, 1) start column with one sublane/lane
+    transpose and derives the end column by a sublane roll + the SMEM
+    tile-end scalar. The old spelling shipped explicit (bt+1, 1)
+    COLUMNS instead — XLA laid the (B, NBT, 4bt+4, 1) concat out with
+    one lane used per 128 (0.65 ms/batch-24 of padded-tile traffic for
+    8 KB of offsets); the row form is layout-dense (minor dims
+    (NBT, bt) tile perfectly) and stacks the four streams on axis 2."""
     b, nbp1 = offx.shape
     nb = nbp1 - 1
-    nbt = nb // bt
-    main = offx[:, :nb].reshape(b, nbt, bt)
-    tail = offx[:, bt::bt].reshape(b, nbt, 1)
-    return jnp.concatenate([main, tail], axis=2)[..., None]
+    return offx[:, :nb].reshape(b, nb // bt, 1, bt)
 
 
 def _reconstruct(moff, offx, eoff1, eoff2, ms32, vals32, esc8_32, esc16_32,
@@ -459,8 +480,8 @@ def _reconstruct(moff, offx, eoff1, eoff2, ms32, vals32, esc8_32, esc16_32,
         in_specs=[
             pl.BlockSpec((None, 1, 4 * (nb + 1)), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.SMEM),     # [moff|off|e1|e2]
-            pl.BlockSpec((None, 1, 4 * (bt + 1), 1),
-                         lambda i, t: (i, t, 0, 0)),   # tiled offsets
+            pl.BlockSpec((None, 1, 4, bt),
+                         lambda i, t: (i, t, 0, 0)),   # tiled offset rows
             pl.BlockSpec((None, mr, LANES), lambda i, t: (i, 0, 0)),  # mask
             pl.BlockSpec((None, vr, LANES), lambda i, t: (i, 0, 0)),  # vals
             pl.BlockSpec((None, e1r, LANES), lambda i, t: (i, 0, 0)),  # esc8
@@ -500,7 +521,10 @@ def _stream_counts(flags_s, off, nnz):
 
     cap = flags_s.shape[-1]
     s = jnp.cumsum(flags_s, axis=-1)                     # (B, CAP)
-    take = jax.vmap(jpeg_device.take_onehot)
+    # s is an inclusive 0/1-flag cumsum, so |s| <= cap < 2^16 for every
+    # supported stream capacity -> two byte-plane dots, not three
+    take = jax.vmap(functools.partial(jpeg_device.take_onehot,
+                                      max_abs=max(cap, 512)))
     ends = jnp.concatenate([off, off[:, -1:] + nnz[:, -1:]], axis=-1)
     probe = jnp.where(
         ends > 0, take(s, jnp.clip(ends - 1, 0, cap - 1)), 0
@@ -559,8 +583,15 @@ def _batch_ac(plen, maskstream, vals, esc8, esc16, nb, *, sentinel,
     # precomputed bit plane plus its relayout copies at the pallas
     # boundary).
     pc = jax.lax.population_count(maskstream).astype(jnp.int32)
-    s = jnp.cumsum(pc, axis=-1)                          # (B, MCAP) incl.
-    take = jax.vmap(jpeg_device.take_onehot)
+    # the inclusive popcount cumsum is the AC-value count, which the
+    # host emitter bounds by the value-stream capacity (< 2^16 for all
+    # supported layouts); clamping keeps that bound structural so the
+    # probe can ride two byte-plane dots instead of three (the third
+    # plane's (B, NB, 128) intermediate was pure HBM traffic)
+    nvals = int(vals.shape[-1])
+    s = jnp.minimum(jnp.cumsum(pc, axis=-1), nvals)      # (B, MCAP) incl.
+    take = jax.vmap(functools.partial(jpeg_device.take_onehot,
+                                      max_abs=max(nvals, 512)))
     probe = jnp.where(
         moffx > 0, take(s, jnp.clip(moffx - 1, 0, pc.shape[-1] - 1)), 0
     ).astype(jnp.int32)                                  # (B, NBp+1)
