@@ -28,13 +28,18 @@ import jax.numpy as jnp
 from fastdet_tpu.models.yolov3 import ModelSpec
 
 
-def decode_head(
+def decode_head_components(
     head: jnp.ndarray,            # (H, W, 3*(5+C)) float32, one image
     anchors: jnp.ndarray,         # (3, 2) float32, pixel units
     num_classes: int,
     image_size: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Decode one scale. Returns (boxes (N,4), scores (N,), klass (N,))."""
+) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray, jnp.ndarray]:
+    """Decode one scale. Returns ((bx, by, bw, bh) each (N,), scores
+    (N,), klass (N,)). Box components stay as separate vectors: stacking
+    them into (N, 4) before the candidate top-k puts a 4-wide minor dim
+    on 128-lane tiles — the (B, 10647, 4) stack + its relayout copy
+    profiled 0.2 ms/batch-24 of padded traffic. select_candidates
+    gathers components by index and stacks at (K=512, 4) instead."""
     rows, cols = head.shape[0], head.shape[1]
     na = anchors.shape[0]
     stride = 5 + num_classes
@@ -66,11 +71,41 @@ def decode_head(
     cls_conf = jax.nn.sigmoid(jnp.max(cls_logits, axis=-1))
     scores = obj * cls_conf
 
-    boxes = jnp.stack(
-        [gx - wh[:, 0] / 2, gy - wh[:, 1] / 2, wh[:, 0], wh[:, 1]],
-        axis=-1,
-    )
-    return (boxes, scores, (klass + 1).astype(jnp.int32))
+    comps = (gx - wh[:, 0] / 2, gy - wh[:, 1] / 2, wh[:, 0], wh[:, 1])
+    return (comps, scores, (klass + 1).astype(jnp.int32))
+
+
+def decode_head(
+    head: jnp.ndarray,
+    anchors: jnp.ndarray,
+    num_classes: int,
+    image_size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode one scale. Returns (boxes (N,4), scores (N,), klass (N,))."""
+    comps, scores, klass = decode_head_components(
+        head, anchors, num_classes, image_size)
+    return jnp.stack(comps, axis=-1), scores, klass
+
+
+def decode_all_components(
+    heads: Sequence[jnp.ndarray],
+    spec: ModelSpec,
+) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray, jnp.ndarray]:
+    """Decode and concatenate every scale of one image, reference order,
+    box components as four (N,) vectors (see decode_head_components)."""
+    cs, ss, ks = [], [], []
+    for head, anchors in zip(heads, spec.anchors):
+        c, s, k = decode_head_components(
+            head,
+            jnp.asarray(anchors, jnp.float32),
+            spec.num_classes,
+            spec.image_size,
+        )
+        cs.append(c)
+        ss.append(s)
+        ks.append(k)
+    comps = tuple(jnp.concatenate([c[i] for c in cs]) for i in range(4))
+    return comps, jnp.concatenate(ss), jnp.concatenate(ks)
 
 
 def decode_all(
@@ -78,18 +113,8 @@ def decode_all(
     spec: ModelSpec,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode and concatenate every scale of one image, reference order."""
-    bs, ss, ks = [], [], []
-    for head, anchors in zip(heads, spec.anchors):
-        b, s, k = decode_head(
-            head,
-            jnp.asarray(anchors, jnp.float32),
-            spec.num_classes,
-            spec.image_size,
-        )
-        bs.append(b)
-        ss.append(s)
-        ks.append(k)
-    return jnp.concatenate(bs), jnp.concatenate(ss), jnp.concatenate(ks)
+    comps, ss, ks = decode_all_components(heads, spec)
+    return jnp.stack(comps, axis=-1), ss, ks
 
 
 def select_candidates(
@@ -108,6 +133,24 @@ def select_candidates(
     masked = jnp.where(scores >= threshold, scores, -1.0)
     top_scores, idx = jax.lax.top_k(masked, min(max_candidates, scores.shape[0]))
     sel_boxes = boxes[idx]
+    sel_klass = klass[idx]
+    valid = top_scores >= threshold
+    return sel_boxes, jnp.where(valid, top_scores, -1.0), jnp.where(valid, sel_klass, 0)
+
+
+def select_candidates_components(
+    comps: Tuple[jnp.ndarray, ...],  # four (N,) box components
+    scores: jnp.ndarray,          # (N,)
+    klass: jnp.ndarray,           # (N,)
+    threshold: jnp.ndarray,       # scalar
+    max_candidates: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """select_candidates over component vectors: gather each component
+    by the top-k index and stack at (K, 4) — identical outputs, no
+    (N, 4) intermediate (see decode_head_components)."""
+    masked = jnp.where(scores >= threshold, scores, -1.0)
+    top_scores, idx = jax.lax.top_k(masked, min(max_candidates, scores.shape[0]))
+    sel_boxes = jnp.stack([c[idx] for c in comps], axis=-1)
     sel_klass = klass[idx]
     valid = top_scores >= threshold
     return sel_boxes, jnp.where(valid, top_scores, -1.0), jnp.where(valid, sel_klass, 0)

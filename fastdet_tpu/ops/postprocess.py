@@ -15,7 +15,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from fastdet_tpu.models.yolov3 import ModelSpec
-from fastdet_tpu.ops.decode import decode_all, select_candidates
+from fastdet_tpu.ops.decode import (
+    decode_all, decode_all_components, select_candidates,
+    select_candidates_components)
 from fastdet_tpu.ops.nms import NMSResult, soft_nms
 
 MAX_CANDIDATES = 512
@@ -29,8 +31,9 @@ def postprocess_image(
     max_candidates: int = MAX_CANDIDATES,
     max_det: int = MAX_DET,
 ) -> NMSResult:
-    boxes, scores, klass = decode_all(heads, spec)
-    b, s, k = select_candidates(boxes, scores, klass, threshold, max_candidates)
+    comps, scores, klass = decode_all_components(heads, spec)
+    b, s, k = select_candidates_components(
+        comps, scores, klass, threshold, max_candidates)
     return soft_nms(b, s, k, threshold, max_det)
 
 
@@ -56,8 +59,9 @@ def select_batch(
     the early-exiting batched NMS the engine uses on its hot path."""
 
     def fn(t, *hs):
-        boxes, scores, klass = decode_all(hs, spec)
-        return select_candidates(boxes, scores, klass, t, max_candidates)
+        comps, scores, klass = decode_all_components(hs, spec)
+        return select_candidates_components(
+            comps, scores, klass, t, max_candidates)
 
     return jax.vmap(fn)(thresholds, *heads)
 
